@@ -1,0 +1,190 @@
+"""VectorCollection — the bucket→table abstraction.
+
+Reference model being reproduced (SURVEY.md §1):
+  - one logical collection per S3 bucket; name = bucket with '-'→'_'
+    (milvus-app/pythonvectordbceph_milvus.py:81) / '<bucket>-vectors'
+    (s3vectors-app/pythonvectordbceph.py:87);
+  - row = (url/key PK, float32 vector, tags JSON, dynamic metadata)
+    (pythonvectordbceph_milvus.py:92-99);
+  - DDL: idempotent create-if-missing (has_collection → create,
+    pythonvectordbceph_milvus.py:92-103; ensure_vector_bucket_exists,
+    pythonvectordbceph.py:93-119);
+  - upsert / delete / top-k search / filtered query / describe.
+
+Spark-first: the collection is a parquet-backed catalog table of an
+append-only change log; every verb compiles to a DataFrame plan
+(mutation resolves lazily at read — see operators/mutation.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators import filter_expr, knn, mutation
+
+# Core schema: fixed columns + dynamic-field overflow map (the Milvus
+# enable_dynamic_field=True analog, pythonvectordbceph_milvus.py:98).
+def collection_schema(dim: int) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("key", T.StringType(), nullable=False),
+            T.StructField("url", T.StringType(), nullable=True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), nullable=True),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+            T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
+            T.StructField("ingest_ts", T.TimestampType(), nullable=False),
+            T.StructField("seq", T.LongType(), nullable=False),
+            T.StructField("op", T.StringType(), nullable=False),
+        ]
+    )
+
+
+def collection_name_for_bucket(bucket: str) -> str:
+    """bucket → table name ('-'→'_', the reference's rule at
+    pythonvectordbceph_milvus.py:81)."""
+    return re.sub("-", "_", bucket)
+
+
+def object_url(endpoint: str, bucket: str, key: str) -> str:
+    """The reference's URL primary key (pythonvectordbceph.py:135)."""
+    return f"{endpoint}/{bucket}/{key}"
+
+
+@dataclass
+class VectorCollection:
+    """A keyed vector collection backed by a parquet change log."""
+
+    spark: SparkSession
+    path: str
+    dim: int
+    name: str = "collection"
+    metric: str = "l2"
+    _seq: int = field(default=0, repr=False)
+
+    # --- DDL -------------------------------------------------------
+    def ensure_exists(self) -> "VectorCollection":
+        """Idempotent create (the has_collection→create pattern)."""
+        try:
+            self.spark.read.schema(collection_schema(self.dim)).parquet(self.path).limit(0).collect()
+        except Exception:
+            empty = self.spark.createDataFrame([], collection_schema(self.dim))
+            empty.write.mode("overwrite").parquet(self.path)
+        return self
+
+    def describe(self) -> dict:
+        df = self._log()
+        return {
+            "name": self.name,
+            "dim": self.dim,
+            "metric": self.metric,
+            "schema": df.schema.jsonValue(),
+            "log_rows": df.count(),
+            "live_rows": self.snapshot().count(),
+        }
+
+    # --- internals -------------------------------------------------
+    def _log(self) -> DataFrame:
+        return self.spark.read.schema(collection_schema(self.dim)).parquet(self.path)
+
+    def _append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+    def _validated(self, df: DataFrame) -> DataFrame:
+        """Dim check (the backend's dim-enforced index, B2): reject
+        wrong-width vectors fail-fast rather than storing them."""
+        bad = df.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") != self.dim)
+        ).count()
+        if bad:
+            raise ValueError(f"{bad} rows with embedding dim != {self.dim}")
+        return df
+
+    # --- mutation verbs --------------------------------------------
+    def upsert(self, rows: DataFrame) -> None:
+        """Replace-by-key semantics via append + last-writer-wins read.
+        Idempotent under at-least-once redelivery (same key+seq)."""
+        self._seq += 1
+        seq = self._seq
+        prepared = (
+            rows.withColumn("op", F.lit("upsert"))
+            .withColumn("ingest_ts", F.coalesce(F.col("ingest_ts"), F.current_timestamp()))
+            if "ingest_ts" in rows.columns
+            else rows.withColumn("op", F.lit("upsert")).withColumn(
+                "ingest_ts", F.current_timestamp()
+            )
+        )
+        prepared = prepared.withColumn("seq", F.lit(seq).cast("long"))
+        for c in ("url", "tags", "props"):
+            if c not in prepared.columns:
+                prepared = prepared.withColumn(c, F.lit(None))
+        out = prepared.select(
+            F.col("key").cast("string"),
+            F.col("url").cast("string"),
+            F.col("embedding").cast("array<float>"),
+            F.col("tags").cast("map<string,string>"),
+            F.col("props").cast("map<string,string>"),
+            F.col("ingest_ts").cast("timestamp"),
+            F.col("seq"),
+            F.col("op"),
+        )
+        self._append(self._validated(out))
+
+    def delete_keys(self, keys: list[str]) -> None:
+        """delete_vectors(keys=[...]) analog (pythonvectordbceph.py:143-147)."""
+        self._seq += 1
+        rows = self.spark.createDataFrame([(k,) for k in keys], "key string")
+        tomb = (
+            rows.withColumn("url", F.lit(None).cast("string"))
+            .withColumn("embedding", F.lit(None).cast("array<float>"))
+            .withColumn("tags", F.lit(None).cast("map<string,string>"))
+            .withColumn("props", F.lit(None).cast("map<string,string>"))
+            .withColumn("ingest_ts", F.current_timestamp())
+            .withColumn("seq", F.lit(self._seq).cast("long"))
+            .withColumn("op", F.lit("delete"))
+        )
+        self._append(tomb)
+
+    def delete_where(self, expr: str) -> None:
+        """Milvus filter-expression delete (client.delete(filter=...),
+        pythonvectordbceph_milvus.py:108-113)."""
+        cond = filter_expr.translate(expr)
+        keys = [r.key for r in self.snapshot().filter(cond).select("key").collect()]
+        if keys:
+            self.delete_keys(keys)
+
+    # --- reads ------------------------------------------------------
+    def snapshot(self) -> DataFrame:
+        """Strong-consistency read: resolve last-writer-wins, drop
+        deleted keys (batch snapshot ≡ the reference's
+        consistency_level='Strong', milvus-app/search.py:18)."""
+        resolved = mutation.upsert_last_writer(
+            self._log(), ["key"], "seq", tiebreak_cols=["ingest_ts"]
+        )
+        return resolved.filter(F.col("op") != "delete").drop("op", "seq")
+
+    def query(self, filter: str = "", limit: int | None = None,
+              output_fields: list[str] | None = None) -> DataFrame:
+        """client.query(filter=..., limit=..., output_fields=[...])
+        analog (milvus-app/describe.py:26-31)."""
+        df = self.snapshot().filter(filter_expr.translate(filter))
+        if output_fields:
+            df = df.select(*output_fields)
+        if limit is not None:
+            df = df.orderBy("key").limit(limit)
+        return df
+
+    def search(self, qvec: list[float], k: int = 2,
+               filter: str = "", output_fields: list[str] | None = None) -> DataFrame:
+        """Top-k ANN search, optionally filtered (filter-then-rank in
+        one Catalyst plan). Default k=2 mirrors the reference CLIs."""
+        base = self.snapshot().filter(filter_expr.translate(filter))
+        return knn.knn_topk(
+            base, qvec, k, vec_col="embedding", id_col="key",
+            metric=self.metric,
+            output_cols=output_fields or ["key", "url", "tags"],
+        )

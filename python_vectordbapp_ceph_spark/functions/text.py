@@ -1,0 +1,113 @@
+"""Text-analysis column expressions for the LLM-data-pipeline surface.
+
+All pure Catalyst expressions (regexp/split/aggregate) so they run
+JVM-side at 100 TB; each has an exact SQL mirror for the DuckDB oracle.
+
+Operators: tokenization, token counting (whitespace + BPE-ish regex),
+stopword stats, quality scoring (length/punct/stopword ratios),
+n-gram-heuristic language ID, document fingerprinting (md5 of the
+normalized text — stable across engines, unlike murmur hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual marker sets for the n-gram-heuristic language ID.
+# Deliberately small + deterministic so the identical CASE logic can be
+# mirrored in the DuckDB oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "de", "los"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, empty strings removed."""
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (letter runs / digit runs / symbols).
+    regexp_extract_all (not lookahead splits) so the identical RE2-safe
+    pattern runs in the DuckDB oracle."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(F.lower(_c(text)))
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(stop).cast("double") / F.size(toks).cast("double")
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^\.\,\;\:\!\?]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    penalizes punctuation soup and stopword-free keyword mash."""
+    t = _c(text)
+    length_component = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop = stopword_ratio(t)
+    stop_component = F.lit(1.0) - F.abs(stop - F.lit(0.4)) / F.lit(0.4)
+    punct_component = F.lit(1.0) - F.least(punct_ratio(t) * 5.0, F.lit(1.0))
+    return F.round(
+        (length_component + F.greatest(stop_component, F.lit(0.0)) + punct_component)
+        / F.lit(3.0),
+        6,
+    )
+
+
+def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(_c(text)))
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram-heuristic language guess: argmax of marker-token hits,
+    'und' (undetermined) when no marker fires. Ties break in fixed
+    en>de>fr>es order so the SQL oracle can mirror exactly."""
+    t = _c(text)
+    hits = {lang: marker_hits(t, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_for_fingerprint(text: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace — the
+    canonical form used for exact-dup fingerprints."""
+    t = F.lower(_c(text))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """128-bit content fingerprint: md5 of the normalized text.
+    md5 (not murmur `hash()`) so DuckDB produces identical values."""
+    return F.md5(normalize_for_fingerprint(text))

@@ -1,0 +1,312 @@
+"""Deduplication family for the LLM-data-pipeline surface.
+
+Five tiers, all designed so the heavy lifting is a shuffle-on-key or a
+bucketed self-join — never an all-pairs cross join at scale:
+
+  exact          md5(normalized text) groupBy — one shuffle on a
+                 128-bit key; survivor = min(doc_id) (deterministic).
+  minhash-LSH    shingle → MinHash signature → band-bucket → join only
+                 within buckets (candidate pairs ≪ n²).
+  simhash        64-bit simhash; near-dups = equal value on rotated
+                 bands (Hamming ≤ r by pigeonhole) — again bucket-join.
+  ngram-jaccard  exact Jaccard on token-set pairs, restricted to a
+                 blocking key (e.g. same source) so the pair count is
+                 bounded; the verifier stage after LSH candidates.
+  embedding      cosine near-dup within a blocking key (label /
+                 IVF cluster) — the ANN-adjacent variant.
+
+MinHash/simhash use multiply-shift hashes over a crc32 base so
+signatures are deterministic across runs and engines that share the
+crc32 (DuckDB-side oracle not attempted — registered rows-only; the
+exact tiers have full SQL oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_for_fingerprint, fingerprint
+
+_MASK61 = (1 << 61) - 1  # Mersenne prime modulus keeps arithmetic in long range
+# Multiply-shift mixing constants (from public splitmix64), masked into
+# signed-long-literal range and forced odd. Java long multiply wraps
+# deterministically, so overflow is harmless; pmod folds back to [0, 2^61).
+_MIX_MULT = [
+    (m & _MASK61) | 1
+    for m in (
+        0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+        0xD6E8FEB86659FD93, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+        0x27D4EB2F165667C5, 0x85EBCA6B27D4EB2F,
+    )
+]
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one survivor per distinct normalized text: min(id) wins.
+
+    One hash-shuffle on the 128-bit fingerprint; survivors join back by
+    id. Deterministic → full DuckDB oracle.
+    """
+    fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct), from normalized text."""
+    toks = F.split(normalize_for_fingerprint(F.col(text_col)), " ")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def _minhash_of(shingle_arr, perm_idx: int):
+    """min over shingles of a multiply-shift rehash of crc32(shingle).
+
+    crc32 gives a stable 32-bit base hash (unlike murmur `hash()`,
+    stable across Spark versions too); the odd multiplier + mod-2^61-1
+    gives independent permutations.
+    """
+    mult = F.lit(_MIX_MULT[perm_idx % len(_MIX_MULT)] | 1)
+    add = F.lit((perm_idx * 0x9E3779B9) | 1)
+    return F.array_min(
+        F.transform(
+            shingle_arr,
+            lambda s: F.pmod(F.crc32(s.cast("binary")) * mult + add, F.lit(_MASK61)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    sh = df.select(id_col, shingles(text_col, shingle_n).alias("sh"))
+    sig = F.array(*[_minhash_of(F.col("sh"), i) for i in range(num_hashes)])
+    return sh.select(id_col, sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs agreeing on any band.
+
+    The self-join key is (band_idx, band_hash) → shuffle on the bucket
+    key only; candidate volume is the sum of C(bucket,2), tiny unless
+    documents genuinely collide. Returns (id_a, id_b), id_a < id_b.
+    """
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.to_json(
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        )
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs INSIDE a blocking key.
+
+    The blocking key bounds pair counts (per-block n²) and turns the
+    join into an equi-join shuffle on block_col. Used standalone on
+    small blocks or as the verify stage after LSH candidates.
+    """
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"),
+        shingles(text_col, shingle_n).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, sim) with a 48-bit SimHash over word shingles.
+
+    Shape chosen for scale: explode shingles → one hash per shingle
+    row → a single hash-aggregate with 48 conditional-sum columns
+    (bit votes) → recombine. One shuffle on id; everything JVM-side.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    h = (
+        F.crc32(F.col("s").cast("binary")) * F.lit(_MIX_MULT[0] | 1)
+        + F.crc32(F.concat(F.col("s"), F.lit("#2")).cast("binary"))
+    ) % F.lit(_MASK61)
+    hashed = sh.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("sim"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-≤(bands-1) candidates by pigeonhole: split the simhash
+    into bands; pairs equal on ANY band are candidates."""
+    width = SIMHASH_BITS // bands
+    sim = simhash_table(df, text_col, id_col)
+    banded = sim.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("sim"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(bands)
+            ])
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-duplicate pairs inside a blocking key.
+
+    Blocking on label (or an IVF cluster_id from operators/ivf.py)
+    turns the n² cross join into per-block equi-joins; at 100 TB the
+    block key IS the partition key so the join is co-located.
+    """
+    from ..functions import vector as V
+
+    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(vec_col))
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(V.cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def minhash_lsh_mllib(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hash_tables: int = 8,
+):
+    """MLlib MinHashLSH variant (approxSimilarityJoin) — the stock
+    Spark path; kept alongside the explicit implementation above for
+    parity with standard pipelines. Returns (id_a, id_b, jaccard_dist).
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol=text_col, outputCol="_toks", pattern=r"\s+")
+    toks = tok.transform(df.select(id_col, text_col))
+    cv = CountVectorizer(inputCol="_toks", outputCol="_features", binary=True)
+    cvm = cv.fit(toks)
+    feats = cvm.transform(toks)
+    mh = MinHashLSH(inputCol="_features", outputCol="_hashes",
+                    numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold,
+                                        distCol="jaccard_dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(F.col(f"datasetA.{id_col}").alias("id_a"),
+                F.col(f"datasetB.{id_col}").alias("id_b"),
+                F.round("jaccard_dist", 6).alias("jaccard_dist"))
+    )

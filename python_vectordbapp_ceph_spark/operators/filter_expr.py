@@ -1,0 +1,201 @@
+"""Milvus-style boolean filter expression → Spark Column.
+
+The reference filters/deletes with Milvus' expression grammar, e.g.
+``url == "http://.../key"`` (milvus-app/pythonvectordbceph_milvus.py:109)
+and ``client.query(filter="", ...)`` (milvus-app/describe.py:27-29).
+The grammar surface used/implied: ``== != > >= < <= in like and or
+not``, parentheses, string/number/bool literals, identifiers, and
+JSON-ish field access ``col["key"]``.
+
+This is a tiny recursive-descent parser producing Catalyst Columns, so
+translated predicates participate in pushdown/pruning like any native
+filter — predicate + ANN = filter-then-rank in one optimized plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()|(?P<rparen>\))|(?P<lbrack>\[)|(?P<rbrack>\])|
+        (?P<op>==|!=|>=|<=|>|<)|
+        (?P<comma>,)|
+        (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')|
+        (?P<number>-?\d+\.\d+|-?\d+)|
+        (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "in", "like", "true", "false", "null"}
+
+
+class FilterExprError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise FilterExprError(f"bad token at {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "word" and val.lower() in _KEYWORDS:
+            kind = val.lower()
+        out.append((kind, val))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise FilterExprError("unexpected end of expression")
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, kind: str) -> str:
+        k, v = self.next()
+        if k != kind:
+            raise FilterExprError(f"expected {kind}, got {k} {v!r}")
+        return v
+
+    # or_expr := and_expr (OR and_expr)*
+    def parse_or(self) -> Column:
+        left = self.parse_and()
+        while self.peek() == "or":
+            self.next()
+            left = left | self.parse_and()
+        return left
+
+    def parse_and(self) -> Column:
+        left = self.parse_not()
+        while self.peek() == "and":
+            self.next()
+            left = left & self.parse_not()
+        return left
+
+    def parse_not(self) -> Column:
+        if self.peek() == "not":
+            self.next()
+            return ~self.parse_not()
+        return self.parse_cmp()
+
+    def parse_cmp(self) -> Column:
+        if self.peek() == "lparen":
+            # could be a grouped boolean expr
+            save = self.i
+            self.next()
+            inner = self.parse_or()
+            self.expect("rparen")
+            # a grouped expr can't be followed by a comparison operator
+            # in this grammar (operands are identifiers/literals)
+            if self.peek() in ("op", "in", "like"):
+                self.i = save  # … unless it was a parenthesized operand
+            else:
+                return inner
+        left = self.parse_operand()
+        k = self.peek()
+        if k == "op":
+            _, op = self.next()
+            right = self.parse_operand()
+            return {
+                "==": left.eqNullSafe if False else left.__eq__,
+                "!=": left.__ne__,
+                ">": left.__gt__,
+                ">=": left.__ge__,
+                "<": left.__lt__,
+                "<=": left.__le__,
+            }[op](right)
+        if k == "in":
+            self.next()
+            self.expect("lparen" if self.peek() == "lparen" else "lbrack")
+            vals = [self.parse_literal()]
+            while self.peek() == "comma":
+                self.next()
+                vals.append(self.parse_literal())
+            if self.peek() in ("rparen", "rbrack"):
+                self.next()
+            else:
+                raise FilterExprError("unterminated in-list")
+            return left.isin(*vals)
+        if k == "like":
+            self.next()
+            kind, v = self.next()
+            if kind != "string":
+                raise FilterExprError("like needs a string pattern")
+            return left.like(_unquote(v))
+        # bare boolean operand (e.g. `true`)
+        return left.cast("boolean")
+
+    def parse_operand(self) -> Column:
+        k = self.peek()
+        if k in ("string", "number", "true", "false", "null"):
+            return F.lit(self.parse_literal())
+        if k == "word":
+            _, name = self.next()
+            col = F.col(name)
+            while self.peek() == "lbrack":
+                self.next()
+                kind, key = self.next()
+                if kind != "string":
+                    raise FilterExprError("json access needs string key")
+                self.expect("rbrack")
+                # JSON/map field access: works for MapType directly and
+                # for JSON strings via get_json_object
+                col = F.coalesce(
+                    F.get_json_object(col.cast("string"), f"$.{_unquote(key)}"),
+                    F.lit(None),
+                )
+            return col
+        raise FilterExprError(f"unexpected token {k}")
+
+    def parse_literal(self):
+        kind, v = self.next()
+        if kind == "string":
+            return _unquote(v)
+        if kind == "number":
+            return float(v) if "." in v else int(v)
+        if kind == "true":
+            return True
+        if kind == "false":
+            return False
+        if kind == "null":
+            return None
+        raise FilterExprError(f"expected literal, got {kind} {v!r}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\'", "'").replace("\\\\", "\\")
+
+
+def translate(expr: str) -> Column:
+    """Compile a Milvus-style filter expression to a Catalyst Column.
+
+    Empty/blank expression → lit(True) (Milvus' `filter=""` semantics,
+    milvus-app/describe.py:27).
+    """
+    if not expr or not expr.strip():
+        return F.lit(True)
+    p = _Parser(_tokenize(expr))
+    col = p.parse_or()
+    if p.i != len(p.toks):
+        raise FilterExprError(f"trailing tokens: {p.toks[p.i:]}")
+    return col

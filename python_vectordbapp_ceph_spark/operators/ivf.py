@@ -1,0 +1,99 @@
+"""IVF-style ANN: KMeans coarse quantizer + partition-pruned probe.
+
+Spark-native equivalent of the reference's delegated Milvus index
+``IVF_FLAT, nlist=16384, metric L2``
+(milvus-app/pythonvectordbceph_milvus.py:100-102).
+
+Design (scale-first):
+  build:  MLlib KMeans fits ``nlist`` centroids on a sample; every row
+          gets a ``cluster_id``; the table is WRITTEN partitioned by
+          ``cluster_id``. At 100 TB the write is a single shuffle and
+          thereafter every probe is partition-pruned at the parquet
+          scan — Spark reads only nprobe/nlist of the data.
+  probe:  rank centroids by distance to the query (driver-side — the
+          centroid table is nlist×dim, tiny), take the ``nprobe``
+          nearest cluster ids, ``filter(cluster_id IN probes)`` (static
+          partition pruning), exact re-rank inside the survivors.
+
+Approximate by construction → registered rows-only with the driver
+(recall checked in tests against brute force instead).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+@dataclass
+class IVFIndex:
+    """Coarse-quantized index: assigned table + centroid list."""
+
+    assigned: DataFrame            # base table + cluster_id column
+    centroids: list[list[float]]   # nlist × dim, index = cluster_id
+    vec_col: str
+    id_col: str
+
+    def probe_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
+        """Rank centroids by L2 distance to the query (driver-side:
+        nlist×dim floats, microseconds even at nlist=16384)."""
+        dists = [
+            (cid, math.dist(qvec, c)) for cid, c in enumerate(self.centroids)
+        ]
+        dists.sort(key=lambda t: (t[1], t[0]))
+        return [cid for cid, _ in dists[:nprobe]]
+
+    def search(self, qvec: list[float], k: int, nprobe: int = 4) -> DataFrame:
+        """Probe the nprobe nearest inverted lists, exact re-rank inside.
+
+        The IN-filter on cluster_id is a pushable predicate: over a
+        table written partitionBy('cluster_id') it becomes partition
+        pruning and only nprobe/nlist of the files are read.
+        """
+        probes = self.probe_clusters(qvec, nprobe)
+        qlit = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
+        cand = self.assigned.filter(F.col("cluster_id").isin(probes))
+        return (
+            cand.withColumn(
+                "distance", F.round(V.l2_distance(F.col(self.vec_col), qlit), 6)
+            )
+            .select(self.id_col, "cluster_id", "distance")
+            .orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+
+def build_ivf(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """Fit the coarse quantizer and assign cluster ids.
+
+    nlist defaults small for the test tables; production sizing follows
+    the reference's nlist=16384 at ~1e9+ rows (≈ sqrt(N) rule).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="_features",
+                predictionCol="cluster_id")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return IVFIndex(assigned=assigned, centroids=centroids, vec_col=vec_col, id_col=id_col)
+
+
+def write_partitioned(index: IVFIndex, path: str) -> None:
+    """Persist the inverted-file layout: parquet partitioned by
+    cluster_id, so probes become partition-pruned scans."""
+    index.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)

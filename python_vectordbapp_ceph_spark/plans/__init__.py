@@ -1,0 +1,6 @@
+from .inspect import (  # noqa: F401
+    explain_str,
+    has_broadcast_join,
+    has_whole_stage_codegen,
+    pushed_filters,
+)

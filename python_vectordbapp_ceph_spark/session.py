@@ -1,0 +1,57 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Defaults chosen for correctness + 100 TB design intent:
+  - AQE on (runtime partition coalescing, skew-join splitting);
+  - Arrow on (every pandas_udf / applyInPandas crosses via Arrow batches);
+  - session timezone UTC so parquet timestamps hash identically to the
+    DuckDB oracle (naive timestamps);
+  - shuffle partitions sized for the local harness but overridable —
+    on a real cluster this is set to ~2-3× total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "python-vectordbapp-ceph-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    for the test harness; on a cluster the caller passes none and lets
+    spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 128 MiB input splits: at 100 TB this yields ~800k tasks, the
+        # right granularity for a 1000-executor cluster.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

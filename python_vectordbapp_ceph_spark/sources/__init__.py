@@ -1,0 +1,8 @@
+from .readers import (  # noqa: F401
+    read_binary_files,
+    read_csv,
+    read_json_events,
+    read_parquet_table,
+    read_text_objects,
+    stream_json_events,
+)

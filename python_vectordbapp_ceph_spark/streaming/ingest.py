@@ -1,0 +1,133 @@
+"""Streaming ingest: the Spark rebuild of the reference's webhook.
+
+Reference flow (SURVEY.md §3.1): S3 PUT/COPY → bucket notification →
+Knative channel → Flask handler → embed → upsert one row. Here the
+same pipeline is Structured Streaming:
+
+    readStream(event JSON)                       # A1 event-source scan
+      → explode(Records)                         # fixes the Records[0]-only
+                                                 # bug at pythonvectordbceph.py:129
+      → parse key/event/tags (from_json)
+      → branch upsert/delete on eventName        # :138-152
+      → embed via iterator pandas_udf            # A5/A6, model once/executor
+      → foreachBatch: append to the collection   # idempotent — snapshot
+        change log                               # resolves last-writer-wins
+
+Exactly-once: checkpointed source offsets + idempotent upsert sink
+(at-least-once delivery × last-writer-wins read = effectively-once),
+mirroring B5 (persistent topic, rook-resources.yaml:22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# S3 bucket-notification event schema (the fields the reference reads:
+# s3.object.key, eventName, s3.object.tags — pythonvectordbceph.py:128-152).
+S3_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Records",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("eventName", T.StringType()),
+                        T.StructField("eventTime", T.StringType()),
+                        T.StructField(
+                            "s3",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "bucket",
+                                        T.StructType(
+                                            [T.StructField("name", T.StringType())]
+                                        ),
+                                    ),
+                                    T.StructField(
+                                        "object",
+                                        T.StructType(
+                                            [
+                                                T.StructField("key", T.StringType()),
+                                                T.StructField(
+                                                    "tags",
+                                                    T.MapType(
+                                                        T.StringType(), T.StringType()
+                                                    ),
+                                                ),
+                                            ]
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_s3_events(raw_json: DataFrame, json_col: str = "value") -> DataFrame:
+    """Event JSON → one row per record: (bucket, key, event_type, tags,
+    event_ts). Processes the WHOLE Records array via explode — the
+    reference drops all but Records[0] (pythonvectordbceph.py:129)."""
+    parsed = raw_json.select(
+        F.from_json(F.col(json_col).cast("string"), S3_EVENT_SCHEMA).alias("e")
+    )
+    rec = parsed.select(F.explode("e.Records").alias("r"))
+    return rec.select(
+        F.col("r.s3.bucket.name").alias("bucket"),
+        F.col("r.s3.object.key").alias("key"),
+        F.when(F.col("r.eventName").contains("Delete"), F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("r.s3.object.tags").alias("tags"),
+        F.to_timestamp("r.eventTime").alias("ingest_ts"),
+    )
+
+
+def ingest_stream(
+    events: DataFrame,
+    collection,
+    endpoint: str = "http://rgw",
+    checkpoint_dir: str | None = None,
+    object_text: DataFrame | None = None,
+):
+    """Wire a parsed event stream into a VectorCollection via
+    foreachBatch. ``object_text`` (key → text) stands in for the S3
+    get_object fetch in hermetic tests; on a real deployment this is a
+    binaryFile/text read against s3a://.
+
+    Returns the StreamingQuery (caller awaits/stops).
+    """
+    from ..collection import object_url
+    from ..embed import text_embed_udf
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ups = batch_df.filter(F.col("op") == "upsert")
+        dels = batch_df.filter(F.col("op") == "delete")
+        if object_text is not None:
+            ups = ups.join(object_text, "key", "left")
+        else:
+            ups = ups.withColumn("text", F.col("key"))
+        rows = ups.select(
+            F.col("key"),
+            F.concat(F.lit(endpoint + "/"), F.col("bucket"), F.lit("/"), F.col("key")).alias("url"),
+            text_embed_udf(F.col("text")).alias("embedding"),
+            F.col("tags"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+            F.col("ingest_ts"),
+        )
+        if rows.take(1):
+            collection.upsert(rows)
+        del_keys = [r.key for r in dels.select("key").distinct().collect()]
+        if del_keys:
+            collection.delete_keys(del_keys)
+
+    writer = events.writeStream.foreachBatch(do_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,115 @@
+"""Time-window operators — tumbling, sliding, session — that work on
+BOTH batch and streaming DataFrames (Spark's window()/session_window()
+are mode-agnostic; watermarks only apply when streaming).
+
+Replaces the reference's event-at-a-time webhook accounting with
+set-at-a-time windowed aggregation; the batch forms have exact DuckDB
+oracles (date_trunc / bucket arithmetic / lag+cumsum sessionization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count/sum; streaming-safe with a watermark."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    keys = [F.window(ts_col, width)] + [F.col(c) for c in (group_cols or [])]
+    out = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        *[F.col(c) for c in (group_cols or [])],
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window count: each event lands in width/slide windows."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    out = df.groupBy(F.window(ts_col, width, slide)).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(F.col("window.start").alias("window_start"), "n_events")
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based) via the native session_window —
+    works in batch too, which is what the oracle checks."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    out = df.groupBy(F.col(key_col), F.session_window(ts_col, gap)).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(
+        key_col,
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization by lag + cumulative-sum — the classic SQL
+    formulation, used to cross-check session_window and as the shape
+    the DuckDB oracle mirrors exactly.
+
+    Semantics match native session_window: a gap of EXACTLY ``gap``
+    starts a new session (windows are [start, last+gap)); comparison
+    in microseconds (unix_micros) to avoid second-truncation drift.
+    """
+    order = [F.col(ts_col).asc(), F.col("event_id").asc()] if "event_id" in events.columns else [F.col(ts_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    flagged = events.withColumn(
+        "_new_session",
+        F.when(prev.isNull(), 1)
+        .when(F.unix_micros(F.col(ts_col)) - prev >= gap_us, 1)
+        .otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("_new_session").over(wsum))
+    return sess.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def streaming_dedupe(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful exactly-once-per-key within the watermark horizon —
+    the streaming half of the idempotent-upsert story (state is
+    bounded by the watermark; without it state grows forever)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
