@@ -29,8 +29,15 @@ from pyspark.sql import functions as F
 def squared_l2(a: Column | str, b: Column | str) -> Column:
     """Sum of squared differences, accumulated in double."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+
+    def sqdiff(x, y):
+        d = x.cast("double") - y.cast("double")
+        # multiply, not **2: pow() is allowed 1-ulp error in libm, while
+        # d*d is IEEE-exact in every engine — keeps the oracle hashable
+        return d * d
+
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.zip_with(a, b, sqdiff),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,11 +31,25 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Columns written as parquet TIMESTAMP(NANOS): Spark 4 refuses them by
+# default (PARQUET_TYPE_ILLEGAL). We read them as raw nanos longs
+# (legacy.parquet.nanosAsLong) and rebuild micro-precision timestamps —
+# integer `div 1000` (no double round-trip, exact beyond 2^53) which is
+# bit-identical to what DuckDB's reader produces for the oracle.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Filters/projections placed on the
     result reach the parquet reader (PushedFilters / ReadSchema)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Runtime-settable SQL conf, so this works even under the driver's
+    # own SparkSession (which we don't get to build).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

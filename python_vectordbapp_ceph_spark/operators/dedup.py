@@ -15,10 +15,13 @@ bucketed self-join — never an all-pairs cross join at scale:
   embedding      cosine near-dup within a blocking key (label /
                  IVF cluster) — the ANN-adjacent variant.
 
-MinHash/simhash use multiply-shift hashes over a crc32 base so
-signatures are deterministic across runs and engines that share the
-crc32 (DuckDB-side oracle not attempted — registered rows-only; the
-exact tiers have full SQL oracles).
+MinHash/simhash permutations are seeded ``xxhash64`` evaluations —
+a well-defined 64-bit hash that is deterministic across runs and Spark
+versions, needs NO arithmetic on the result (so it cannot overflow
+under Spark 4's default ANSI mode, unlike multiply-shift rehashing of
+a 32-bit base), and stays entirely inside whole-stage codegen.
+Registered rows-only with the driver; the exact tiers (fingerprint
+dedup, Jaccard verify) carry full SQL oracles.
 """
 
 from __future__ import annotations
@@ -27,19 +30,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_for_fingerprint, fingerprint
-
-_MASK61 = (1 << 61) - 1  # Mersenne prime modulus keeps arithmetic in long range
-# Multiply-shift mixing constants (from public splitmix64), masked into
-# signed-long-literal range and forced odd. Java long multiply wraps
-# deterministically, so overflow is harmless; pmod folds back to [0, 2^61).
-_MIX_MULT = [
-    (m & _MASK61) | 1
-    for m in (
-        0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
-        0xD6E8FEB86659FD93, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-        0x27D4EB2F165667C5, 0x85EBCA6B27D4EB2F,
-    )
-]
 
 
 def exact_dedup(
@@ -76,19 +66,14 @@ def shingles(text_col: str, n: int = 3):
 
 
 def _minhash_of(shingle_arr, perm_idx: int):
-    """min over shingles of a multiply-shift rehash of crc32(shingle).
+    """min over shingles of the perm_idx-seeded xxhash64(shingle).
 
-    crc32 gives a stable 32-bit base hash (unlike murmur `hash()`,
-    stable across Spark versions too); the odd multiplier + mod-2^61-1
-    gives independent permutations.
+    Seeding by hashing (shingle, perm_idx) together gives independent
+    permutations with zero post-hash arithmetic — ANSI-safe and fully
+    codegen'd.
     """
-    mult = F.lit(_MIX_MULT[perm_idx % len(_MIX_MULT)] | 1)
-    add = F.lit((perm_idx * 0x9E3779B9) | 1)
     return F.array_min(
-        F.transform(
-            shingle_arr,
-            lambda s: F.pmod(F.crc32(s.cast("binary")) * mult + add, F.lit(_MASK61)),
-        )
+        F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(perm_idx)))
     )
 
 
@@ -200,11 +185,9 @@ def simhash_table(
     (bit votes) → recombine. One shuffle on id; everything JVM-side.
     """
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
-    h = (
-        F.crc32(F.col("s").cast("binary")) * F.lit(_MIX_MULT[0] | 1)
-        + F.crc32(F.concat(F.col("s"), F.lit("#2")).cast("binary"))
-    ) % F.lit(_MASK61)
-    hashed = sh.select(id_col, h.alias("h"))
+    # xxhash64 → 64 well-mixed bits, no post-arithmetic (ANSI-safe);
+    # bit b is read with an arithmetic shift + mask, valid for b < 63.
+    hashed = sh.select(id_col, F.xxhash64(F.col("s")).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)

@@ -75,19 +75,30 @@ def build_ivf(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 20,
+    fit_sample_rows: int = 100_000,
 ) -> IVFIndex:
     """Fit the coarse quantizer and assign cluster ids.
+
+    The KMeans FIT runs on a bounded sample (``fit_sample_rows`` cap):
+    centroid quality converges long before the full table is seen, and
+    fitting on 100 TB would otherwise dominate the build. The ASSIGN
+    pass still covers every row (one cheap map over the table).
 
     nlist defaults small for the test tables; production sizing follows
     the reference's nlist=16384 at ~1e9+ rows (≈ sqrt(N) rule).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    n = feats.count()
+    if n > fit_sample_rows:
+        fit_df = feats.sample(fraction=min(1.0, fit_sample_rows / n * 1.1), seed=seed)
+    else:
+        fit_df = feats
     km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="_features",
                 predictionCol="cluster_id")
-    model = km.fit(feats)
+    model = km.fit(fit_df)
     assigned = model.transform(feats).drop("_features")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return IVFIndex(assigned=assigned, centroids=centroids, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,73 @@
+"""Join operators Spark lacks as single calls: as-of join.
+
+The reference delegates all lookup semantics to its backends; as-of
+(latest-row-at-or-before) is the temporal-join primitive a training-data
+pipeline needs when stitching event streams to slowly-changing facts.
+
+Scale design — the union-sort formulation, NOT range-join + window:
+a range join (l.key = r.key AND r.ts <= l.ts) explodes to one row per
+(event, every earlier fact) before the window prunes it; the union form
+shuffles each input exactly once on the key and resolves the match with
+a running ``last(ignorenulls)`` — O(n log n) per key, no blow-up. This
+is the classic formulation used by point-in-time-correct feature joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    payload_order: str,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the payload of the
+    right row with the greatest ``right_ts <= left_ts`` for the same key
+    (ties on right_ts break by greatest ``payload_order``).
+
+    Returns all left columns plus ``payload_cols`` (null if no match).
+    One shuffle on the key; deterministic, so it has an exact SQL oracle
+    (row_number over the range join — same result, different plan).
+    """
+    left_cols = left.columns
+    # The payload struct leads with (ts, order) so struct ordering gives
+    # the deterministic "latest right row" under the running last().
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"),
+        F.col(payload_order).alias("_ord"),
+        *[F.col(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+    )
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        *[F.col(c) for c in left_cols],
+    )
+    unioned = r.select("_k", "_t", "_side", "_p", *[
+        F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols
+    ]).unionByName(l)
+    # right rows sort before left rows at equal ts (side 0 < 1) → "<=";
+    # among right rows at equal ts the struct order puts max payload_order last.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_p").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    return matched.filter(F.col("_side") == 1).select(
+        *left_cols, *[F.col("_m").getField(c).alias(c) for c in payload_cols]
+    )

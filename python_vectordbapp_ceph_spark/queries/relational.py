@@ -1,0 +1,623 @@
+"""Relational core (SURVEY §2.C3-C21): projections, filters, every join
+flavor, aggregates, windows, sorts, set ops, scalar-function bundles.
+
+Everything is a plain declarative DataFrame plan, so Catalyst provides
+pushdown/pruning/broadcast/AQE for free; each query carries its exact
+DuckDB oracle. Scale notes sit on the queries where the plan shape
+matters (broadcast vs shuffle, TakeOrderedAndProject, union-form asof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._common import T, dec2
+from ..operators.joins import asof_join
+from ..operators.mutation import delete_keys, upsert_last_writer
+
+
+# --- C3 projection / computed columns -------------------------------------
+
+@register(
+    "q_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+    FROM lineitem
+    """,
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    net = (dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))).cast("double")
+    return li.select("l_orderkey", "l_linenumber", net.alias("net_price"))
+
+
+# --- C4 filter predicates --------------------------------------------------
+
+@register(
+    "q_filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'O%'
+      AND NOT (l_discount > 0.08)
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("O%")
+        & ~(F.col("l_discount") > 0.08)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# --- A17/C17 limit + global top-k -----------------------------------------
+
+@register(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference: client.query(filter="", limit=10) (milvus-app/describe.py:26-31).
+    Ordered so the limit is deterministic."""
+    o = T(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_orderstatus").orderBy("o_orderkey").limit(10)
+
+
+@register(
+    "q_topk_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy().limit() → TakeOrderedAndProject: per-partition top-k,
+    k-row driver merge, no global sort shuffle. Survives 100×."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# --- C5/C6 equi joins ------------------------------------------------------
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, n.n_name, CAST(o.o_totalprice AS DOUBLE) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle (or AQE-broadcast) equi-join chain; the fact table shuffles
+    at most once per key — nation is always broadcast (25 rows)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name", F.col("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("spent"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of both dims: zero shuffle for the joins, a
+    5-row final aggregate — at 100 TB only the scan matters."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- C7 semi / anti joins --------------------------------------------------
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --- C8 range / band join --------------------------------------------------
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + band predicate: Catalyst keeps the hash join on the
+    equi part and evaluates the band as a post-join filter — the shape
+    that still scales (pure theta joins degenerate to BNLJ)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return li.join(
+        p,
+        (li.l_partkey == p.p_partkey)
+        & li.l_quantity.between(p.p_size - 5, p.p_size + 5),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size")
+
+
+# --- C9 as-of join ---------------------------------------------------------
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, x.o_orderkey AS asof_orderkey
+    FROM events e
+    LEFT JOIN (
+        SELECT e2.event_id AS eid, o.o_orderkey,
+               row_number() OVER (
+                   PARTITION BY e2.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e2
+        JOIN orders o ON o.o_custkey = e2.user_id AND o.o_orderdate <= e2.ts
+    ) x ON x.eid = e.event_id AND x.rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-form as-of join (operators/joins.py): one shuffle per side,
+    no range-join row explosion. The oracle states the same semantics
+    the quadratic way — same rows, different plan."""
+    e = T(spark, sf_dir, "events")
+    o = T(spark, sf_dir, "orders")
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        payload_order="o_orderkey",
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+
+
+# --- C11 hash aggregate (TPC-H Q1 shape) ----------------------------------
+
+@register(
+    "q_agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial (map-side) + final aggregation is automatic; decimal sums
+    make the result order-insensitive and engine-exact."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- C12 distinct / count-distinct ----------------------------------------
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("q_approx_distinct")  # HLL sketch → rows-only by design
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): mergeable sketch, one
+    pass, constant memory — THE count-distinct at 100 TB."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- C14 rollup / cube -----------------------------------------------------
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- C15/C16 window functions ---------------------------------------------
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS nt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("nt"),
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running frame; decimal accumulation keeps the running sum
+    exact so it hashes identically."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(dec2("value")).over(wsum).cast("double").alias("running_sum"),
+    )
+
+
+# --- C18 set operations ----------------------------------------------------
+
+_SEG_A = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000"
+_SEG_B = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey BETWEEN 500 AND 1500"
+
+
+def _segments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return c.filter(F.col("c_custkey") <= 1000), c.filter(F.col("c_custkey").between(500, 1500))
+
+
+@register("q_union", oracle=f"{_SEG_A} UNION {_SEG_B}")
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _segments(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@register("q_intersect", oracle=f"{_SEG_A} INTERSECT {_SEG_B}")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _segments(spark, sf_dir)
+    return a.intersect(b)
+
+
+@register("q_except", oracle=f"{_SEG_A} EXCEPT {_SEG_B}")
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _segments(spark, sf_dir)
+    return a.subtract(b)
+
+
+# --- C19 string functions (A8 url derivation lives here) -------------------
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           substr(text, 1, 20) AS prefix20,
+           length(text) AS text_len,
+           concat('http://endpoint/', replace(source, 'src', 's_'), '/',
+                  CAST(doc_id AS VARCHAR)) AS object_url,
+           trim(substr(text, 5, 10)) AS mid_trim,
+           string_split(text, ' ')[1] AS first_tok
+    FROM documents
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A8: object_url = endpoint + "/" + bucket + "/" + key
+    (s3vectors-app/pythonvectordbceph.py:135); name mangling '-'→'_'
+    (milvus-app/pythonvectordbceph_milvus.py:81)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.length("text").alias("text_len"),
+        F.concat(
+            F.lit("http://endpoint/"),
+            F.expr("replace(source, 'src', 's_')"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("object_url"),
+        F.trim(F.substring("text", 5, 10)).alias("mid_trim"),
+        F.split("text", " ").getItem(0).alias("first_tok"),
+    )
+
+
+# --- C20 date/time functions ----------------------------------------------
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS oyear,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS omonth,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS oday,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("oyear"),
+        F.month("o_orderdate").alias("omonth"),
+        F.dayofmonth("o_orderdate").alias("oday"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias("next_month"),
+    )
+
+
+# --- C21 math functions ----------------------------------------------------
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           abs(l_discount - 0.05) AS abs_disc,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(l_tax * l_tax, 6) AS tax_sq
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.col("l_tax") * F.col("l_tax"), 6).alias("tax_sq"),
+    )
+
+
+# --- C23 json extraction (A1/A9 event parsing) -----------------------------
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1: parse S3-notification JSON → typed fields
+    (s3vectors-app/pythonvectordbceph.py:128-133)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+# --- A11/A12 mutation semantics -------------------------------------------
+
+@register(
+    "q_upsert_last_writer",
+    oracle="""
+    SELECT o_custkey, latest_orderkey FROM (
+        SELECT o_custkey, o_orderkey AS latest_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    """,
+)
+def q_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A11 upsert-by-PK (milvus client.upsert,
+    pythonvectordbceph_milvus.py:154): last-writer-wins resolve."""
+    o = T(spark, sf_dir, "orders")
+    resolved = upsert_last_writer(o, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"])
+    return resolved.select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"))
+
+
+@register(
+    "q_delete_antijoin",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A12 delete-by-predicate (milvus client.delete filter,
+    pythonvectordbceph_milvus.py:108-113) as a broadcast anti-join."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    dels = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return delete_keys(c, dels, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# --- C32 pandas UDF surface ------------------------------------------------
+
+@register(
+    "q_pandas_udf_agg",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_pandas_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped aggregation — the Arrow-batched Python
+    path (SURVEY C32). Integer sums are exact in pandas, so even the
+    Python path hash-matches the SQL oracle."""
+    import pandas as pd
+
+    d = T(spark, sf_dir, "documents")
+
+    def agg_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [n],
+                "avg_chars": [round(int(pdf["n_chars"].sum()) / n, 6)],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        agg_fn, schema="source string, n_docs long, avg_chars double"
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis + dedup surface (SURVEY §2.C24-C26): exact dedup,
+token stats, language ID, quality scoring, exact Jaccard similarity
+pairs, MinHash-LSH / SimHash near-dup candidates.
+
+Exact tiers carry full DuckDB oracles that repeat the identical
+normalization (lower → strip non-alnum → collapse whitespace) and the
+identical ratio arithmetic. LSH tiers are approximate-by-construction →
+rows-only, with recall pytest-verified against exact Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ._common import T
+from ..functions import text as X
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_candidates,
+)
+
+# DuckDB mirror of text.normalize_for_fingerprint
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+# DuckDB mirror of text.tokens (whitespace split, empties dropped)
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+_TOKS_LOWER = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+_STOP_RATIO = (
+    f"CASE WHEN len({_TOKS_LOWER}) = 0 THEN 0.0 "
+    f"ELSE CAST(len(list_filter({_TOKS_LOWER}, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)"
+    f" / CAST(len({_TOKS_LOWER}) AS DOUBLE) END"
+)
+_PUNCT_RATIO = (
+    "CASE WHEN length(text) = 0 THEN 0.0 "
+    "ELSE CAST(length(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) END"
+)
+
+
+# --- C24 exact dedup -------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+    r AS (SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+    SELECT doc_id FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the 128-bit md5 fingerprint; survivor = min(id).
+    md5 (not murmur hash()) so the oracle engine produces identical
+    fingerprints."""
+    d = T(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+# --- C26 token statistics --------------------------------------------------
+
+@register(
+    "q_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}', 0)) AS BIGINT) AS n_tokens_bpe,
+           round({_STOP_RATIO}, 6) AS stop_ratio,
+           round({_PUNCT_RATIO}, 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, stopword/punct ratios —
+    pure Catalyst expressions, zero Python in the hot path."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count_ws("text").cast("long").alias("n_tokens_ws"),
+        X.token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
+        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+# --- C26 language ID -------------------------------------------------------
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter({_TOKS_LOWER}, x -> list_contains("
+        f"[{', '.join(repr(m) for m in markers)}], x)))"
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in X.LANG_MARKERS) + ")"
+    whens = " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in X.LANG_MARKERS
+    )
+    cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+    WITH h AS (SELECT doc_id, {cols} FROM documents)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END AS lang_guess
+    FROM h
+    """
+
+
+@register("q_lang_id", oracle=_lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token argmax language heuristic; tie order en>de>fr>es is
+    identical in both formulations."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id("text").alias("lang_guess"))
+
+
+# --- C26 quality scoring ---------------------------------------------------
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                  + greatest(1.0 - abs(({_STOP_RATIO}) - 0.4) / 0.4, 0.0)
+                  + (1.0 - least(({_PUNCT_RATIO}) * 5.0, 1.0))) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+# --- C25 exact Jaccard similarity pairs ------------------------------------
+
+@register(
+    "q_jaccard_pairs",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, source,
+                      list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+               FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                       6) AS jaccard
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard restricted to a blocking key (source):
+    per-block n² only, equi-join shuffle on the block key. The verify
+    stage of the near-dup funnel."""
+    d = T(spark, sf_dir, "documents")
+    return jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5)
+
+
+# --- C25 MinHash-LSH near-dup candidates (rows-only) -----------------------
+
+@register("q_dedup_near")
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → banded LSH bucket-join: candidate pairs
+    without the n² cross join. Approximate → rows-only; recall vs exact
+    Jaccard is pytest-verified."""
+    d = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=16, shingle_n=3)
+    return minhash_lsh_candidates(sigs, bands=4)
+
+
+@register("q_simhash_near")
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding (Hamming-≤3 by pigeonhole over 4 bands)."""
+    d = T(spark, sf_dir, "documents")
+    return simhash_candidates(d, bands=4)

@@ -1,0 +1,266 @@
+"""Vector-search surface (SURVEY §2.A7/A13-A16, B1-B2, C22, C27):
+normalize, distances, exact KNN (single + batch), dim check, multimodal
+join, result formatting, IVF probe, stub embedders, embedding near-dup.
+
+The DuckDB oracles repeat the identical left-to-right double arithmetic
+(list_transform/list_sum mirrors F.transform/F.aggregate), so rounded
+distance columns hash-match exactly. Approximate operators (IVF probe,
+stub embeddings) register rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ._common import T
+from ..functions import vector as V
+from ..operators.knn import knn_topk, knn_topk_batch, similarity_topk
+
+DIM = 64
+# Constant query vector: exercises the full zip_with machinery on the
+# Spark side while keeping the oracle SQL free of list-zip gymnastics.
+QVEC = [0.1] * DIM
+_QLIT = "[" + ", ".join("0.1" for _ in range(DIM)) + "]"
+
+# Shared oracle scaffolding: embeddings cast to double lists.
+_E = (
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings"
+)
+_L2_TO_Q = "sqrt(list_sum(list_transform(v, x -> (x - 0.1) * (x - 0.1))))"
+_NORM = "sqrt(list_sum(list_transform(v, x -> x * x)))"
+_QNORM = f"sqrt(list_sum(list_transform({_QLIT}, x -> x * x)))"
+_DOT_Q = "list_sum(list_transform(v, x -> x * 0.1))"
+
+
+# --- A7 L2 normalization ---------------------------------------------------
+
+@register(
+    "q_l2_normalize",
+    oracle=f"""
+    WITH e AS ({_E}),
+    n AS (SELECT vec_id, v, {_NORM} AS nrm FROM e)
+    SELECT vec_id, round(nrm, 6) AS norm, round(v[1] / nrm, 6) AS e0
+    FROM n WHERE nrm > 0
+    """,
+)
+def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A7: sklearn normalize(norm="l2")
+    (s3vectors-app/pythonvectordbceph.py:47) as a codegen'd expression."""
+    e = T(spark, sf_dir, "embeddings")
+    norm = V.l2_norm("embedding")
+    return (
+        e.filter(norm > 0)
+        .select(
+            "vec_id",
+            F.round(norm, 6).alias("norm"),
+            F.round(F.element_at(V.l2_normalize("embedding"), 1), 6).alias("e0"),
+        )
+    )
+
+
+# --- A14 distance computation ---------------------------------------------
+
+@register(
+    "q_vector_distance",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT vec_id,
+           round({_L2_TO_Q}, 6) AS l2_dist,
+           round({_DOT_Q}, 6) AS dot_q,
+           round(1.0 - ({_DOT_Q} / ({_NORM} * {_QNORM})), 6) AS cos_dist
+    FROM e
+    """,
+)
+def q_vector_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A14: metric L2 (pythonvectordbceph.py:114), cosine≡dot
+    on normalized vectors. All three metrics in one scan."""
+    e = T(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(x) for x in QVEC]).cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.round(V.l2_distance(F.col("embedding"), q), 6).alias("l2_dist"),
+        F.round(V.dot(F.col("embedding"), q), 6).alias("dot_q"),
+        F.round(V.cosine_distance(F.col("embedding"), q), 6).alias("cos_dist"),
+    )
+
+
+# --- A13 top-k ANN search --------------------------------------------------
+
+@register(
+    "q_knn_topk",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT vec_id, round({_L2_TO_Q}, 6) AS distance
+    FROM e ORDER BY distance, vec_id LIMIT 5
+    """,
+)
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A13: query_vectors(topK=k, returnDistance=True)
+    (s3vectors-app/search.py:49-58). Plan = TakeOrderedAndProject:
+    per-partition top-k, k-row merge, zero shuffle of the base table."""
+    e = T(spark, sf_dir, "embeddings")
+    return knn_topk(e, QVEC, k=5)
+
+
+@register(
+    "q_knn_batch_window",
+    oracle=f"""
+    WITH e AS ({_E}),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+    d AS (SELECT q.q_id, e.vec_id,
+                 round(sqrt(list_sum(list_transform(range({DIM}),
+                       i -> (e.v[i+1] - q.qv[i+1]) * (e.v[i+1] - q.qv[i+1])))), 6) AS distance
+          FROM e CROSS JOIN q),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY distance, vec_id) AS rn FROM d)
+    SELECT q_id, vec_id, distance FROM r WHERE rn <= 3
+    """,
+)
+def q_knn_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN: broadcast the query side, per-query window top-k.
+    The base table is scanned once and never shuffled for the join."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return knn_topk_batch(e, queries, k=3)
+
+
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT vec_id, round({_DOT_Q} / ({_NORM} * {_QNORM}), 6) AS similarity
+    FROM e ORDER BY similarity DESC, vec_id LIMIT 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return similarity_topk(e, QVEC, k=5)
+
+
+# --- B2 dimension check ----------------------------------------------------
+
+@register(
+    "q_dim_check",
+    oracle=f"""
+    SELECT vec_id FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {DIM}
+    """,
+)
+def q_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference B2: backend float32 index enforces dimension
+    (pythonvectordbceph.py:109-115) — here a Catalyst filter."""
+    e = T(spark, sf_dir, "embeddings")
+    return e.filter(V.dim_ok("embedding", DIM)).select("vec_id")
+
+
+# --- C27 multimodal join ---------------------------------------------------
+
+@register(
+    "q_multimodal_join",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           round({_NORM}, 6) AS emb_norm
+    FROM documents d JOIN e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + embedding modalities in one schema: documents⋈embeddings
+    by id (the SURVEY §1.4 keyed-vector-collection shape)."""
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label",
+        F.round(V.l2_norm("embedding"), 6).alias("emb_norm"),
+    )
+
+
+# --- A16 result formatting -------------------------------------------------
+
+@register(
+    "q_result_format",
+    oracle=f"""
+    WITH e AS ({_E}),
+    d AS (SELECT vec_id, round({_L2_TO_Q}, 6) AS distance
+          FROM e ORDER BY distance, vec_id LIMIT 3)
+    SELECT '{{"vector_key":"' || vec_id || '","distance_micros":'
+           || CAST(CAST(round(distance * 1000000) AS BIGINT) AS VARCHAR)
+           || ',"url":"s3://bucket/' || vec_id || '"}}' AS result_json
+    FROM d
+    """,
+)
+def q_result_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A16: [{vector_key, distance, metadata}] JSON output
+    (s3vectors-app/search.py:61-72) via to_json(struct(...))."""
+    e = T(spark, sf_dir, "embeddings")
+    top = knn_topk(e, QVEC, k=3)
+    return top.select(
+        F.to_json(
+            F.struct(
+                F.col("vec_id").cast("string").alias("vector_key"),
+                F.round(F.col("distance") * 1000000).cast("long").alias("distance_micros"),
+                F.concat(F.lit("s3://bucket/"), F.col("vec_id").cast("string")).alias("url"),
+            )
+        ).alias("result_json")
+    )
+
+
+# --- C24-adjacent: embedding near-duplicates -------------------------------
+
+@register(
+    "q_embedding_near_dup",
+    oracle=f"""
+    WITH e AS ({_E}),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_sum(list_transform(range({DIM}), i -> a.v[i+1] * b.v[i+1]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs blocked by label: the n² explodes only
+    inside each block, and at scale the block key IS the partition key
+    so the self-join is co-located."""
+    from ..operators.dedup import embedding_near_dups
+
+    e = T(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, block_col="label", threshold=0.3)
+
+
+# --- B1 IVF probe (approximate → rows-only) --------------------------------
+
+@register("q_ivf_partition_prune")
+def q_ivf_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-clustered ANN: fit centroids on a sample, assign clusters,
+    probe only the nearest nprobe clusters (partition pruning). Approx
+    by construction → rows-only check; recall is pytest-verified."""
+    from ..operators.ivf import build_ivf
+
+    e = T(spark, sf_dir, "embeddings")
+    index = build_ivf(e, nlist=8)
+    return index.search(QVEC, k=5, nprobe=3)
+
+
+# --- A5 text embedding (stub model → rows-only) ----------------------------
+
+@register("q_embed_text")
+def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas_udf embedding (model loads once per worker —
+    fixing the reference's per-request reload, pythonvectordbceph.py:162).
+    Hermetic hash-stub model → rows-only."""
+    from ..embed.embedders import text_embed_udf
+
+    d = T(spark, sf_dir, "documents").limit(50)
+    out = d.select("doc_id", text_embed_udf(F.col("text")).alias("embedding"))
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    )

@@ -1,0 +1,100 @@
+"""Time-window surface (SURVEY §2.C28-C29): tumbling, sliding and
+session windows over the events stream table — batch forms here (the
+same helper functions run under readStream; streaming execution with
+watermarks is exercised in tests/test_streaming.py).
+
+Timestamp outputs are epoch-microsecond bigints (unix_micros ↔
+epoch_us) or second-granularity strings — never raw timestamps — so
+engine representation differences can't break the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ._common import T, ts_str
+from ..streaming.windows import sessionize_batch, sliding_agg, session_agg, tumbling_agg
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window(ts, '1 hour') — epoch-aligned, so the batch oracle is a
+    plain date_trunc. Identical code runs under readStream + watermark."""
+    e = T(spark, sf_dir, "events")
+    out = tumbling_agg(e, width="1 hour", group_cols=["event_type"])
+    return out.select(
+        ts_str("window_start").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    WITH s AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb FROM events),
+    u AS (SELECT unnest([tb, tb - INTERVAL '30 minutes']) AS ws FROM s)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n_events
+    FROM u GROUP BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window(ts, '1 hour', '30 minutes'): each event lands in exactly
+    width/slide windows; the oracle materializes the same two starts."""
+    e = T(spark, sf_dir, "events")
+    out = sliding_agg(e, width="1 hour", slide="30 minutes")
+    return out.select(ts_str("window_start").alias("window_start"), "n_events")
+
+
+_SESSION_ORACLE = """
+    WITH f AS (SELECT user_id, event_id, ts,
+                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                           WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                           ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM f)
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("q_sessionize", oracle=_SESSION_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + cumulative sum, 30-minute gap) — the
+    classic SQL formulation; one shuffle on user_id."""
+    e = T(spark, sf_dir, "events")
+    out = sessionize_batch(e, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )
+
+
+@register("q_session_window", oracle=_SESSION_ORACLE)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window(ts, '30 minutes') — same semantics as
+    q_sessionize, checked against the SAME oracle: the two independent
+    formulations cross-validate each other."""
+    e = T(spark, sf_dir, "events")
+    out = session_agg(e, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )

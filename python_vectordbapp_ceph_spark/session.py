@@ -49,6 +49,9 @@ def get_spark(
         # right granularity for a 1000-executor cluster.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the driver's events table is TIMESTAMP(NANOS) parquet, which
+        # Spark 4 rejects by default; read as long, convert in io.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query at the given SF dir in Spark AND its DuckDB
+oracle, compares row count, column names, and order-insensitive values
+(columns sorted by name, rows sorted, exact equality). Rows-only
+queries are just executed and row-counted.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from python_vectordbapp_ceph_spark.io import TABLES  # noqa: E402
+from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        # exact comparison is the point; only normalize -0.0 and NaN repr
+        if v != v:
+            return "NaN"
+        return v + 0.0
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def df_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = [tuple(r) for r in cur.fetchall()]
+        except Exception:
+            print(f"FAIL {name}: DUCKDB ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        sc, sr = df_rows(scols, srows)
+        oc, orr = df_rows(ocols, orows)
+        if sc != oc:
+            print(f"FAIL {name}: columns {sc} vs {oc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(orr):
+            print(f"FAIL {name}: rowcount {len(sr)} vs {len(orr)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(sr, orr) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first: {bad[0][0]} vs {bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(sr)} rows, {len(sc)} cols ({time.time()-t0:.1f}s)")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    if not only:
+        try:
+            edf = entrymod.entry(spark)
+            n = edf.count()
+            print(f"entry(): {n} rows, schema {edf.columns}")
+        except Exception:
+            print("entry() FAILED")
+            traceback.print_exc()
+            n_fail += 1
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
