@@ -1,0 +1,73 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full column
+evaluation — a bare count() would let Catalyst prune the computed
+columns and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
+from python_vectordbapp_ceph_spark.queries import QUERIES  # noqa: E402
+
+# Headline set: one representative per operator family, weighted toward
+# the scale-sensitive plans (joins, windows, dedup, KNN).
+HEADLINE = [
+    "q_agg_group",         # TPC-H Q1 hash aggregate
+    "q_join_inner",        # fact-dim join chain
+    "q_join_asof",         # union-form as-of join
+    "q_window_rank",       # partitioned ranking window
+    "q_window_running",    # running-frame window
+    "q_topk_global",       # TakeOrderedAndProject
+    "q_knn_topk",          # exact single-query KNN
+    "q_knn_batch_window",  # broadcast batch KNN
+    "q_dedup_exact",       # fingerprint dedup
+    "q_dedup_near",        # MinHash-LSH candidates
+    "q_jaccard_pairs",     # blocked exact Jaccard
+    "q_token_stats",       # text analysis bundle
+    "q_sessionize",        # lag+cumsum sessionization
+    "q_tumbling_window",   # tumbling window agg
+    "q_vector_distance",   # 3-metric distance scan
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        # warm the input file listing etc. out of the first measurement
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_for_fingerprint, fingerprint
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure CPU-bound per-row compute (shingling, hashing) runs at
+    cluster parallelism. Small local inputs arrive as 1-2 parquet
+    splits — without this every downstream expression runs on one
+    core. When the scan already has enough partitions (the 100 TB
+    case) this is a no-op, so the extra shuffle is never paid at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -84,7 +97,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    sh = df.select(id_col, shingles(text_col, shingle_n).alias("sh"))
+    sh = _spread(df, id_col).select(id_col, shingles(text_col, shingle_n).alias("sh"))
     sig = F.array(*[_minhash_of(F.col("sh"), i) for i in range(num_hashes)])
     return sh.select(id_col, sig.alias("signature"))
 
@@ -99,6 +112,10 @@ def minhash_lsh_candidates(
     The self-join key is (band_idx, band_hash) → shuffle on the bucket
     key only; candidate volume is the sum of C(bucket,2), tiny unless
     documents genuinely collide. Returns (id_a, id_b), id_a < id_b.
+
+    The banded table is persisted before the self-join: without it
+    Spark evaluates the whole shingle→signature→band pipeline TWICE
+    (once per join side) — at scale that doubles the dominant cost.
     """
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = sigs.select(
@@ -117,7 +134,7 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band_idx", "band_hash"),
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -148,18 +165,30 @@ def jaccard_pairs(
     The blocking key bounds pair counts (per-block n²) and turns the
     join into an equi-join shuffle on block_col. Used standalone on
     small blocks or as the verify stage after LSH candidates.
+
+    Size-ratio pruning: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    pairs whose set sizes differ by more than the threshold factor are
+    dropped BEFORE the O(|A|+|B|) intersect — result-preserving, and
+    the size columns are join-condition-evaluable (cheap ints).
     """
-    base = df.select(
+    base = _spread(df, id_col).select(
         F.col(id_col), F.col(block_col).alias("_blk"),
         shingles(text_col, shingle_n).alias("sh"),
-    )
+    ).withColumn("n_sh", F.size("sh")).persist()
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    # |A∪B| = |A|+|B|-|A∩B| for distinct sets: one hash pass per pair
+    # instead of two (array_union would rebuild the set to count it)
+    union = F.col("a.n_sh") + F.col("b.n_sh") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    size_prune = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               & size_prune)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -184,7 +213,9 @@ def simhash_table(
     row → a single hash-aggregate with 48 conditional-sum columns
     (bit votes) → recombine. One shuffle on id; everything JVM-side.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    sh = _spread(df, id_col).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s")
+    )
     # xxhash64 → 64 well-mixed bits, no post-arithmetic (ANSI-safe);
     # bit b is read with an arithmetic shift + mask, valid for b < 63.
     hashed = sh.select(id_col, F.xxhash64(F.col("s")).alias("h"))
@@ -224,7 +255,7 @@ def simhash_candidates(
                 for i in range(bands)
             ])
         ).alias("band_idx", "band_val"),
-    )
+    ).persist()  # avoid recomputing the simhash aggregate per join side
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
