@@ -94,22 +94,40 @@ class VectorCollection:
     def _append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
 
+    def _next_seq(self) -> int:
+        """Monotone writer sequence, persistent across process restarts:
+        initialized from max(seq) in the log the first time a writer in
+        this process needs it (a reopened collection must order its
+        writes ABOVE the existing log, or deletes/upserts silently lose
+        to history)."""
+        if self._seq == 0:
+            row = self._log().agg(F.max("seq").alias("m")).collect()[0]
+            self._seq = int(row.m or 0)
+        self._seq += 1
+        return self._seq
+
     def _validated(self, df: DataFrame) -> DataFrame:
-        """Dim check (the backend's dim-enforced index, B2): reject
-        wrong-width vectors fail-fast rather than storing them."""
-        bad = df.filter(
-            F.col("embedding").isNotNull() & (F.size("embedding") != self.dim)
-        ).count()
-        if bad:
-            raise ValueError(f"{bad} rows with embedding dim != {self.dim}")
-        return df
+        """Dim check (the backend's dim-enforced index, B2), enforced
+        INSIDE the written column: a wrong-width vector trips
+        raise_error during the write job itself. One job per upsert —
+        no separate validation count() doubling every write (and
+        re-running upstream embedding UDFs)."""
+        bad = F.col("embedding").isNotNull() & (F.size("embedding") != self.dim)
+        checked = F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding dim != {self.dim} for key="), F.col("key")
+                )
+            ).cast("array<float>"),
+        ).otherwise(F.col("embedding"))
+        return df.withColumn("embedding", checked)
 
     # --- mutation verbs --------------------------------------------
     def upsert(self, rows: DataFrame) -> None:
         """Replace-by-key semantics via append + last-writer-wins read.
         Idempotent under at-least-once redelivery (same key+seq)."""
-        self._seq += 1
-        seq = self._seq
+        seq = self._next_seq()
         prepared = (
             rows.withColumn("op", F.lit("upsert"))
             .withColumn("ingest_ts", F.coalesce(F.col("ingest_ts"), F.current_timestamp()))
@@ -134,28 +152,36 @@ class VectorCollection:
         )
         self._append(self._validated(out))
 
-    def delete_keys(self, keys: list[str]) -> None:
-        """delete_vectors(keys=[...]) analog (pythonvectordbceph.py:143-147)."""
-        self._seq += 1
-        rows = self.spark.createDataFrame([(k,) for k in keys], "key string")
+    def _append_tombstones(self, key_rows: DataFrame) -> None:
+        """Append delete markers for a DataFrame of keys — fully
+        distributed; the matching key set never visits the driver."""
+        seq = self._next_seq()
         tomb = (
-            rows.withColumn("url", F.lit(None).cast("string"))
+            key_rows.select(F.col("key").cast("string"))
+            .withColumn("url", F.lit(None).cast("string"))
             .withColumn("embedding", F.lit(None).cast("array<float>"))
             .withColumn("tags", F.lit(None).cast("map<string,string>"))
             .withColumn("props", F.lit(None).cast("map<string,string>"))
             .withColumn("ingest_ts", F.current_timestamp())
-            .withColumn("seq", F.lit(self._seq).cast("long"))
+            .withColumn("seq", F.lit(seq).cast("long"))
             .withColumn("op", F.lit("delete"))
         )
         self._append(tomb)
 
+    def delete_keys(self, keys: list[str]) -> None:
+        """delete_vectors(keys=[...]) analog (pythonvectordbceph.py:143-147)."""
+        self._append_tombstones(
+            self.spark.createDataFrame([(k,) for k in keys], "key string")
+        )
+
     def delete_where(self, expr: str) -> None:
         """Milvus filter-expression delete (client.delete(filter=...),
-        pythonvectordbceph_milvus.py:108-113)."""
-        cond = filter_expr.translate(expr)
-        keys = [r.key for r in self.snapshot().filter(cond).select("key").collect()]
-        if keys:
-            self.delete_keys(keys)
+        pythonvectordbceph_milvus.py:108-113). Tombstones are appended
+        straight from the matching DataFrame — no collect(), so a broad
+        predicate can't blow up driver memory."""
+        snap = self.snapshot()
+        cond = filter_expr.translate(expr, snap)
+        self._append_tombstones(snap.filter(cond).select("key"))
 
     # --- reads ------------------------------------------------------
     def snapshot(self) -> DataFrame:
@@ -171,7 +197,8 @@ class VectorCollection:
               output_fields: list[str] | None = None) -> DataFrame:
         """client.query(filter=..., limit=..., output_fields=[...])
         analog (milvus-app/describe.py:26-31)."""
-        df = self.snapshot().filter(filter_expr.translate(filter))
+        snap = self.snapshot()
+        df = snap.filter(filter_expr.translate(filter, snap))
         if output_fields:
             df = df.select(*output_fields)
         if limit is not None:
@@ -182,7 +209,8 @@ class VectorCollection:
                filter: str = "", output_fields: list[str] | None = None) -> DataFrame:
         """Top-k ANN search, optionally filtered (filter-then-rank in
         one Catalyst plan). Default k=2 mirrors the reference CLIs."""
-        base = self.snapshot().filter(filter_expr.translate(filter))
+        snap = self.snapshot()
+        base = snap.filter(filter_expr.translate(filter, snap))
         return knn.knn_topk(
             base, qvec, k, vec_col="embedding", id_col="key",
             metric=self.metric,

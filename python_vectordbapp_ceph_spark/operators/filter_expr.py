@@ -56,9 +56,12 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], dtypes: dict[str, str] | None = None):
         self.toks = tokens
         self.i = 0
+        # column name → Spark simpleString dtype, used to compile
+        # `col["key"]` correctly for MapType vs JSON-string columns
+        self.dtypes = dtypes or {}
 
     def peek(self) -> str | None:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
@@ -125,15 +128,18 @@ class _Parser:
             }[op](right)
         if k == "in":
             self.next()
-            self.expect("lparen" if self.peek() == "lparen" else "lbrack")
+            opener = self.peek()
+            if opener not in ("lparen", "lbrack"):
+                raise FilterExprError("in-list must open with ( or [")
+            self.next()
+            closer = "rparen" if opener == "lparen" else "rbrack"
             vals = [self.parse_literal()]
             while self.peek() == "comma":
                 self.next()
                 vals.append(self.parse_literal())
-            if self.peek() in ("rparen", "rbrack"):
-                self.next()
-            else:
+            if self.peek() != closer:  # closer must match the opener
                 raise FilterExprError("unterminated in-list")
+            self.next()
             return left.isin(*vals)
         if k == "like":
             self.next()
@@ -146,23 +152,34 @@ class _Parser:
 
     def parse_operand(self) -> Column:
         k = self.peek()
+        if k == "lparen":  # parenthesized operand: (a) == 1
+            self.next()
+            inner = self.parse_operand()
+            self.expect("rparen")
+            return inner
         if k in ("string", "number", "true", "false", "null"):
             return F.lit(self.parse_literal())
         if k == "word":
             _, name = self.next()
             col = F.col(name)
+            dtype = self.dtypes.get(name, "")
             while self.peek() == "lbrack":
                 self.next()
                 kind, key = self.next()
                 if kind != "string":
                     raise FilterExprError("json access needs string key")
                 self.expect("rbrack")
-                # JSON/map field access: works for MapType directly and
-                # for JSON strings via get_json_object
-                col = F.coalesce(
-                    F.get_json_object(col.cast("string"), f"$.{_unquote(key)}"),
-                    F.lit(None),
-                )
+                key_s = _unquote(key)
+                # Map columns need element_at — get_json_object on a
+                # stringified map silently returns NULL (map<...>'s cast
+                # is not JSON). JSON-string columns need the opposite.
+                # With no schema available, assume MapType (the
+                # collection schema's tags/props are maps).
+                if dtype.startswith("map<") or not dtype:
+                    col = F.try_element_at(col, F.lit(key_s))
+                else:
+                    col = F.get_json_object(col.cast("string"), f"$.{key_s}")
+                dtype = ""
             return col
         raise FilterExprError(f"unexpected token {k}")
 
@@ -186,15 +203,18 @@ def _unquote(s: str) -> str:
     return body.replace('\\"', '"').replace("\\'", "'").replace("\\\\", "\\")
 
 
-def translate(expr: str) -> Column:
+def translate(expr: str, df=None) -> Column:
     """Compile a Milvus-style filter expression to a Catalyst Column.
 
     Empty/blank expression → lit(True) (Milvus' `filter=""` semantics,
-    milvus-app/describe.py:27).
+    milvus-app/describe.py:27). Pass the target DataFrame as ``df`` so
+    ``col["key"]`` accesses compile correctly for MapType vs
+    JSON-string columns (without it, MapType is assumed).
     """
     if not expr or not expr.strip():
         return F.lit(True)
-    p = _Parser(_tokenize(expr))
+    dtypes = dict(df.dtypes) if df is not None else None
+    p = _Parser(_tokenize(expr), dtypes)
     col = p.parse_or()
     if p.i != len(p.toks):
         raise FilterExprError(f"trailing tokens: {p.toks[p.i:]}")

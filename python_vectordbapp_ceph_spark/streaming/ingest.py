@@ -107,25 +107,38 @@ def ingest_stream(
     from ..embed import text_embed_udf
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ups = batch_df.filter(F.col("op") == "upsert")
-        dels = batch_df.filter(F.col("op") == "delete")
-        if object_text is not None:
-            ups = ups.join(object_text, "key", "left")
-        else:
-            ups = ups.withColumn("text", F.col("key"))
-        rows = ups.select(
-            F.col("key"),
-            F.concat(F.lit(endpoint + "/"), F.col("bucket"), F.lit("/"), F.col("key")).alias("url"),
-            text_embed_udf(F.col("text")).alias("embedding"),
-            F.col("tags"),
-            F.lit(None).cast("map<string,string>").alias("props"),
-            F.col("ingest_ts"),
-        )
-        if rows.take(1):
-            collection.upsert(rows)
-        del_keys = [r.key for r in dels.select("key").distinct().collect()]
-        if del_keys:
-            collection.delete_keys(del_keys)
+        # persist the parsed micro-batch: the upsert/delete split reads
+        # it twice, and the emptiness probes must not re-run the source
+        batch_df = batch_df.persist()
+        try:
+            ups = batch_df.filter(F.col("op") == "upsert")
+            dels = batch_df.filter(F.col("op") == "delete")
+            if object_text is not None:
+                ups = ups.join(object_text, "key", "left")
+            else:
+                ups = ups.withColumn("text", F.col("key"))
+            # emptiness is probed BEFORE the embedding UDF enters the
+            # plan, so the model runs exactly once per row — in the
+            # write job itself (the reference re-ran it per request,
+            # pythonvectordbceph.py:162; round-2 code ran it 3×/batch)
+            if not ups.isEmpty():
+                rows = ups.select(
+                    F.col("key"),
+                    F.concat(
+                        F.lit(endpoint + "/"), F.col("bucket"), F.lit("/"), F.col("key")
+                    ).alias("url"),
+                    text_embed_udf(F.col("text")).alias("embedding"),
+                    F.col("tags"),
+                    F.lit(None).cast("map<string,string>").alias("props"),
+                    F.col("ingest_ts"),
+                )
+                collection.upsert(rows)
+            if not dels.isEmpty():
+                # tombstones appended straight from the DataFrame — the
+                # delete key set never visits the driver
+                collection._append_tombstones(dels.select("key").distinct())
+        finally:
+            batch_df.unpersist()
 
     writer = events.writeStream.foreachBatch(do_batch).trigger(availableNow=True)
     if checkpoint_dir:

@@ -1,0 +1,99 @@
+"""VectorCollection semantics: upsert/delete across process reopen,
+dim enforcement, filtered delete on map tags, search."""
+
+import pytest
+
+from python_vectordbapp_ceph_spark.collection import (
+    VectorCollection,
+    collection_name_for_bucket,
+    object_url,
+)
+
+DIM = 4
+
+
+def make_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, embedding array<float>, tags map<string,string>"
+    )
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    return VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=DIM, name="t"
+    ).ensure_exists()
+
+
+def test_naming_rules():
+    assert collection_name_for_bucket("my-bucket-1") == "my_bucket_1"
+    assert object_url("http://h:8080", "b", "k.txt") == "http://h:8080/b/k.txt"
+
+
+def test_upsert_and_snapshot(spark, coll):
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], {"color": "red"}),
+                                  ("k2", [0.0, 1.0, 0.0, 0.0], {"color": "blue"})]))
+    snap = {r.key for r in coll.snapshot().collect()}
+    assert snap == {"k1", "k2"}
+
+
+def test_upsert_replaces_by_key(spark, coll):
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
+    coll.upsert(make_rows(spark, [("k1", [0.0, 0.0, 0.0, 1.0], None)]))
+    rows = coll.snapshot().collect()
+    assert len(rows) == 1
+    assert rows[0].embedding == [0.0, 0.0, 0.0, 1.0]
+
+
+def test_delete_after_reopen(spark, coll):
+    """Regression: _seq restarted at 0 per process, so deletes through a
+    REOPENED collection ordered below existing log rows and no-op'd."""
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None),
+                                  ("k2", [0.0, 1.0, 0.0, 0.0], None)]))
+    reopened = VectorCollection(spark=spark, path=coll.path, dim=DIM, name="t")
+    reopened.delete_keys(["k1"])
+    assert {r.key for r in reopened.snapshot().collect()} == {"k2"}
+    # and an upsert through yet another handle shadows history
+    reopened2 = VectorCollection(spark=spark, path=coll.path, dim=DIM, name="t")
+    reopened2.upsert(make_rows(spark, [("k2", [9.0, 9.0, 9.0, 9.0], None)]))
+    rows = {r.key: r.embedding for r in reopened2.snapshot().collect()}
+    assert rows == {"k2": [9.0, 9.0, 9.0, 9.0]}
+
+
+def test_dim_check_rejects(spark, coll):
+    with pytest.raises(Exception, match="dim"):
+        coll.upsert(make_rows(spark, [("bad", [1.0, 2.0], None)]))
+    # nothing got written
+    assert coll.snapshot().count() == 0
+
+
+def test_delete_where_tag_predicate(spark, coll):
+    """The Milvus filtered-delete path on MapType tags (regression:
+    used to silently match 0 rows)."""
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], {"color": "red"}),
+                                  ("k2", [0.0, 1.0, 0.0, 0.0], {"color": "blue"})]))
+    coll.delete_where('tags["color"] == "red"')
+    assert {r.key for r in coll.snapshot().collect()} == {"k2"}
+
+
+def test_query_and_search(spark, coll):
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], {"color": "red"}),
+                                  ("k2", [0.0, 1.0, 0.0, 0.0], {"color": "blue"}),
+                                  ("k3", [0.9, 0.1, 0.0, 0.0], {"color": "red"})]))
+    got = coll.query(filter='tags["color"] == "red"', limit=10,
+                     output_fields=["key"])
+    assert {r.key for r in got.collect()} == {"k1", "k3"}
+
+    hits = coll.search([1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [h.key for h in hits] == ["k1", "k3"]
+    assert hits[0].distance == 0.0
+
+    filtered = coll.search([1.0, 0.0, 0.0, 0.0], k=2,
+                           filter='tags["color"] == "blue"').collect()
+    assert [h.key for h in filtered] == ["k2"]
+
+
+def test_describe(spark, coll):
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
+    d = coll.describe()
+    assert d["dim"] == DIM and d["live_rows"] == 1

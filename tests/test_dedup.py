@@ -1,0 +1,90 @@
+"""Dedup family: exact survivors, LSH recall vs exact Jaccard,
+ANSI-mode safety of the hash pipelines."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_candidates,
+)
+
+WORDS = [f"w{i}" for i in range(50)]
+
+
+def _corpus():
+    """30 random docs + a near-duplicate of each (1 word changed) +
+    5 exact-normalized duplicates."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        toks = [rng.choice(WORDS) for _ in range(30)]
+        rows.append((i, " ".join(toks)))
+        near = list(toks)
+        near[rng.randrange(len(near))] = rng.choice(WORDS)
+        rows.append((100 + i, " ".join(near)))
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((200 + i, base.upper() + "!!!"))  # same after normalize
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string")
+
+
+def test_exact_dedup_survivors(docs):
+    out = exact_dedup(docs)
+    ids = {r.doc_id for r in out.collect()}
+    # normalized duplicates lose to the min-id original
+    assert all(200 + i not in ids for i in range(5))
+    assert all(i in ids for i in range(5))
+    # near-dups (different text) survive exact dedup
+    assert 100 in ids or 100 in {r.doc_id for r in docs.collect()}
+
+
+def test_minhash_runs_under_ansi(spark, docs):
+    """Regression: crc32*mult overflowed long under default ANSI mode."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    row = sigs.first()
+    assert len(row.signature) == 16
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, docs):
+    truth = jaccard_pairs(
+        docs.withColumn("blk", F.lit(1)), block_col="blk",
+        shingle_n=3, threshold=0.8,
+    )
+    true_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+    assert len(true_pairs) >= 10  # the built near-dups are above 0.8
+
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    cands = {(r.id_a, r.id_b)
+             for r in minhash_lsh_candidates(sigs, bands=8).collect()}
+    recall = len(true_pairs & cands) / len(true_pairs)
+    assert recall >= 0.9
+
+
+def test_simhash_runs_and_finds_near_dups(docs):
+    cands = {(r.id_a, r.id_b) for r in simhash_candidates(docs, bands=4).collect()}
+    # exact-normalized dups always collide on every band
+    assert any(a < 200 <= b for a, b in cands)
+
+
+def test_jaccard_values_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "a b c e", "x"), (3, "p q r s", "x")],
+        "doc_id long, text string, src string",
+    )
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_pairs(df, block_col="src", shingle_n=1).collect()}
+    # tokens {a,b,c,d} vs {a,b,c,e}: 3/5
+    assert out[(1, 2)] == 0.6
+    assert out[(1, 3)] == 0.0

@@ -1,0 +1,94 @@
+"""Milvus-style filter expression grammar → Catalyst Column."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_vectordbapp_ceph_spark.operators.filter_expr import (
+    FilterExprError,
+    translate,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("props", T.StringType()),  # JSON string column
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1, {"color": "red", "size": "L"}, '{"k": "1"}'),
+            ("b", 2, {"color": "blue"}, '{"k": "2"}'),
+            ("c", 3, None, None),
+        ],
+        SCHEMA,
+    )
+
+
+def keys(df, expr):
+    return {r.key for r in df.filter(translate(expr, df)).select("key").collect()}
+
+
+def test_comparisons(df):
+    assert keys(df, "n > 1") == {"b", "c"}
+    assert keys(df, "n >= 2 and n <= 3") == {"b", "c"}
+    assert keys(df, 'key == "a"') == {"a"}
+    assert keys(df, 'key != "a"') == {"b", "c"}
+
+
+def test_in_list_both_delimiters(df):
+    assert keys(df, "n in (1, 3)") == {"a", "c"}
+    assert keys(df, "n in [1, 3]") == {"a", "c"}
+
+
+def test_in_list_mismatched_closer_rejected():
+    with pytest.raises(FilterExprError):
+        translate("n in (1, 2]")
+    with pytest.raises(FilterExprError):
+        translate("n in [1, 2)")
+
+
+def test_like_not_parens(df):
+    assert keys(df, 'key like "a%"') == {"a"}
+    assert keys(df, 'not (key == "a")') == {"b", "c"}
+    assert keys(df, '(n == 1 or n == 2) and key != "a"') == {"b"}
+
+
+def test_parenthesized_operand(df):
+    # regression: `(a) == 1` used to raise "unexpected token lparen"
+    assert keys(df, "(n) == 1") == {"a"}
+
+
+def test_map_tag_access(df):
+    # regression: MapType access compiled to get_json_object(cast(map))
+    # which silently matched nothing (the Milvus delete-filter shape,
+    # pythonvectordbceph_milvus.py:109)
+    assert keys(df, 'tags["color"] == "red"') == {"a"}
+    assert keys(df, 'tags["color"] == "blue"') == {"b"}
+    assert keys(df, 'tags["size"] == "L"') == {"a"}
+
+
+def test_json_string_access(df):
+    assert keys(df, 'props["k"] == "1"') == {"a"}
+
+
+def test_empty_expr_matches_all(df):
+    assert keys(df, "") == {"a", "b", "c"}
+    assert keys(df, "   ") == {"a", "b", "c"}
+
+
+def test_errors():
+    with pytest.raises(FilterExprError):
+        translate("n ===")
+    with pytest.raises(FilterExprError):
+        translate('like "x"')
+    with pytest.raises(FilterExprError):
+        translate("n == 1 extra_token junk(")
+    with pytest.raises(FilterExprError):
+        translate("n @ 1")

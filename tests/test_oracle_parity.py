@@ -1,0 +1,67 @@
+"""Every registered oracle query must match DuckDB exactly at sf0.001
+— the same comparison the driver runs at sf0.01 (columns sorted by
+name, order-insensitive rows, exact values)."""
+
+import duckdb
+import pytest
+
+from python_vectordbapp_ceph_spark.io import TABLES
+from python_vectordbapp_ceph_spark.queries import ORACLES, QUERIES
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if v != v else v + 0.0
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(type(x)), x) for x in t),
+    )
+    return [cols[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, oracle_con, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    scols, srows = _canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = oracle_con.execute(ORACLES[name])
+    ocols, orows = _canon(
+        [d[0] for d in cur.description], [tuple(r) for r in cur.fetchall()]
+    )
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert srows == orows
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert {"doc_id", "distance"} <= set(df.columns)

@@ -1,0 +1,126 @@
+"""Window semantics (batch ≡ native session windows) and real
+Structured Streaming execution (tumbling agg, streaming dedupe,
+foreachBatch ingest into a VectorCollection)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.io import load_table
+from python_vectordbapp_ceph_spark.streaming.windows import (
+    session_agg,
+    sessionize_batch,
+    streaming_dedupe,
+    tumbling_agg,
+)
+
+from conftest import SF_DIR, rows_set
+
+
+def test_sessionize_batch_equals_native_session_window(spark):
+    events = load_table(spark, SF_DIR, "events")
+    lag_form = sessionize_batch(events, gap_minutes=30).select(
+        "user_id", F.unix_micros("session_start").alias("s"), "n_events"
+    )
+    native = session_agg(events, gap="30 minutes").select(
+        "user_id", F.unix_micros("session_start").alias("s"), "n_events"
+    )
+    assert rows_set(lag_form) == rows_set(native)
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = tumbling_agg(stream, width="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tumbling_test")
+    want = tumbling_agg(events, width="1 hour")
+    assert rows_set(got, ndigits=2) == rows_set(want, ndigits=2)
+
+
+def test_streaming_dedupe(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "dedupe_src")
+    events.select("user_id", "ts").write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    deduped = streaming_dedupe(stream, ["user_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedupe_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT user_id) AS d FROM dedupe_test").first()
+    assert got.n == got.d  # exactly one row per key
+
+
+def _event_json(key, event="ObjectCreated:Put", bucket="b1", tags=None):
+    return {
+        "Records": [
+            {
+                "eventName": event,
+                "eventTime": "2024-01-01T00:00:00.000Z",
+                "s3": {
+                    "bucket": {"name": bucket},
+                    "object": {"key": key, "tags": tags or {}},
+                },
+            }
+        ]
+    }
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    """The reference's webhook flow as Structured Streaming: event JSON
+    → parse/explode → embed (stub UDF) → idempotent collection append;
+    delete events tombstone. Mirrors pythonvectordbceph.py:121-212."""
+    from python_vectordbapp_ceph_spark.collection import VectorCollection
+    from python_vectordbapp_ceph_spark.streaming.ingest import (
+        ingest_stream,
+        parse_s3_events,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    # one file with TWO records (explode fixes the Records[0]-only bug)
+    two = _event_json("k1")
+    two["Records"].append(_event_json("k2", tags={"color": "red"})["Records"][0])
+    (events_dir / "e1.json").write_text(json.dumps(two))
+    (events_dir / "e2.json").write_text(
+        json.dumps(_event_json("k1", event="ObjectRemoved:Delete"))
+    )
+
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "coll"), dim=384, name="b1"
+    ).ensure_exists()
+
+    raw = spark.readStream.text(str(events_dir))
+    parsed = parse_s3_events(raw, json_col="value")
+    object_text = spark.createDataFrame(
+        [("k1", "hello one"), ("k2", "hello two")], "key string, text string"
+    )
+    q = ingest_stream(
+        parsed, coll,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        object_text=object_text,
+    )
+    q.awaitTermination(120)
+
+    snap = {r.key: r for r in coll.snapshot().collect()}
+    assert set(snap) == {"k2"}  # k1 was deleted by the second event
+    assert len(snap["k2"].embedding) == 384
+    assert snap["k2"].tags == {"color": "red"}
+    assert snap["k2"].url == "http://rgw/b1/k2"
