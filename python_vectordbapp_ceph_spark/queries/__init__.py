@@ -51,3 +51,4 @@ from . import relational  # noqa: E402,F401
 from . import vector  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
+from . import extended  # noqa: E402,F401

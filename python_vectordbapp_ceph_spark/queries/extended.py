@@ -1,0 +1,181 @@
+"""Extended surface: explode/UDTF lateral shapes, grouped-agg pandas
+UDF, catalog DDL, sink round-trip, modality dispatch (SURVEY §2.A2-A3,
+A18, C2, C22, C32)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ._common import T
+
+
+# --- C22 explode (posexplode = UDTF-shaped lateral) ------------------------
+
+@register(
+    "q_explode",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("pos"),  # 1-based like generate_subscripts
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+# --- C32 Python UDTF -------------------------------------------------------
+
+@register(
+    "q_udtf_tokens",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           unnest(toks) AS token,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos
+    FROM t
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+) in a LATERAL join — one doc row in,
+    one row per token out. The UDTF is the row-multiplying Python
+    escape hatch; posexplode covers the same shape natively."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split()):
+                yield tok, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM _docs_for_udtf d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
+# --- C32 grouped-agg pandas UDF --------------------------------------------
+
+@register(
+    "q_grouped_agg_udf",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf as a GROUPED_AGG aggregate expression (the UDAF
+    surface) — integer sums are exact, so even the Python aggregate
+    hash-matches SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mean(v):
+        return round(int(v.sum()) / len(v), 6)
+
+    def _cnt(v):
+        return len(v)
+
+    # real annotation objects (PEP 563 string annotations are in force
+    # in this module and pandas_udf can't infer GROUPED_AGG from them);
+    # a grouped-agg pandas UDF can't mix with JVM aggregates in one
+    # agg(), so the count is a pandas aggregate too
+    _mean.__annotations__ = {"v": pd.Series, "return": float}
+    _cnt.__annotations__ = {"v": pd.Series, "return": int}
+    mean_chars = pandas_udf(_mean, "double")
+    n_rows = pandas_udf(_cnt, "long")
+
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        n_rows("n_chars").alias("n_docs"),
+        mean_chars("n_chars").alias("mean_chars"),
+    )
+
+
+# --- A18 catalog / DDL -----------------------------------------------------
+
+@register(
+    "q_catalog_describe",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('doc_id', 'bigint'), ('text', 'string'), ('lang', 'string'),
+        ('source', 'string'), ('n_chars', 'bigint')
+    ) AS t(col_name, data_type)
+    """,
+)
+def q_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe_collection analog (milvus-app/describe.py:11-13):
+    register the view, DESCRIBE it, project (col_name, data_type)."""
+    from ..catalog import describe_table
+
+    T(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_describe")
+    return describe_table(spark, "_docs_for_describe")
+
+
+# --- C2 sink round-trip ----------------------------------------------------
+
+@register(
+    "q_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + re-scan: write orders partitioned by
+    status, read it back, aggregate — proves the write path preserves
+    rows and the partition layout prunes on read. At scale partitionBy
+    is the layout that turns status filters into directory pruning."""
+    out_dir = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    o = T(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- A2/A3 object fetch + type dispatch (stub models → rows-only) ----------
+
+@register("q_type_dispatch")
+def q_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A3: match OBJECT_TYPE → text/image pipeline
+    (pythonvectordbceph.py:158-173), as filter-split + per-tower embed
+    + unionByName. Modality synthesized from doc_id; unknown types
+    surface with status='unsupported_type' instead of crashing."""
+    from ..operators.dispatch import route_modalities
+
+    d = T(spark, sf_dir, "documents").limit(60)
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, "image")
+        .when(F.col("doc_id") % 7 == 0, "audio")
+        .otherwise("text")
+        .alias("modality"),
+        "text",
+        F.encode("text", "utf-8").alias("content"),
+    )
+    routed = route_modalities(media)
+    return routed.select(
+        "doc_id", "modality", "status",
+        F.coalesce(F.size("embedding"), F.lit(-1)).alias("emb_dim"),
+    )

@@ -93,6 +93,41 @@ def test_broadcast_join_in_plan(spark):
     assert has_broadcast_join(q_join_broadcast(spark, SF_DIR))
 
 
+def test_route_modalities_dispatch(spark):
+    """A3 type dispatch: each row goes through exactly one tower;
+    unknown modalities surface as unsupported, not a crash."""
+    from python_vectordbapp_ceph_spark.operators.dispatch import route_modalities
+
+    df = spark.createDataFrame(
+        [
+            ("t1", "text", "hello", bytearray(b"")),
+            ("i1", "image", None, bytearray(b"\x01\x02")),
+            ("a1", "audio", None, bytearray(b"\x03")),
+        ],
+        "id string, modality string, text string, content binary",
+    )
+    out = {r.id: r for r in route_modalities(df).collect()}
+    assert len(out["t1"].embedding) == 384 and out["t1"].status == "ok"
+    assert len(out["i1"].embedding) == 512 and out["i1"].status == "ok"
+    assert out["a1"].embedding is None and out["a1"].status == "unsupported_type"
+
+
+def test_catalog_ops(spark, tmp_path):
+    from python_vectordbapp_ceph_spark import catalog
+
+    names = catalog.register_table_views(spark, SF_DIR)
+    assert "lineitem" in names and catalog.has_table(spark, "lineitem")
+    assert "lineitem" in catalog.list_tables(spark)
+    desc = {r.col_name: r.data_type
+            for r in catalog.describe_table(spark, "embeddings").collect()}
+    assert desc["embedding"] == "array<float>"
+    catalog.create_collection_table(
+        spark, "coll_ddl_test", dim=4, path=str(tmp_path / "ddl")
+    )
+    assert catalog.has_table(spark, "coll_ddl_test")
+    spark.sql("DROP TABLE coll_ddl_test")
+
+
 def test_embed_text_batch_shape(spark):
     from python_vectordbapp_ceph_spark.embed.embedders import text_embed_udf
 
