@@ -49,6 +49,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: JVM/codegen/file-listing startup shouldn't be
+    # charged to whichever query happens to run first
+    QUERIES["q_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

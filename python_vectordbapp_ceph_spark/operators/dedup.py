@@ -65,17 +65,28 @@ def exact_dedup(
 
 
 def shingles(text_col: str, n: int = 3):
-    """Word n-gram shingle array (distinct), from normalized text."""
+    """Word n-gram shingle array (distinct), from normalized text.
+
+    The token array is bound as a LAMBDA VARIABLE (single-element
+    transform) before the per-shingle loop. Referencing the raw
+    normalize+split expression inside the inner lambda would re-run
+    the two regexes once PER SHINGLE per row — measured 25× slower on
+    the driver tables. A lambda variable is evaluated exactly once.
+    """
     toks = F.split(normalize_for_fingerprint(F.col(text_col)), " ")
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+
+    def body(t):
+        k = F.size(t) - (n - 1)
+        return F.when(k <= 0, F.array(F.concat_ws(" ", t))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                )
             )
         )
-    )
+
+    return F.element_at(F.transform(F.array(toks), body), 1)
 
 
 def _minhash_of(shingle_arr, perm_idx: int):
