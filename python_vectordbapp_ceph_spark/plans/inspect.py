@@ -28,4 +28,6 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in explain_str(df)
+    # codegen'd operators print as `*(n) OperatorName` in simple mode
+    text = explain_str(df, "simple")
+    return bool(re.search(r"\*\(\d+\)", text)) or "WholeStageCodegen" in text

@@ -41,8 +41,10 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
 
 def read_text_objects(spark: SparkSession, path: str, whole: bool = True) -> DataFrame:
     """UTF-8 text objects (the reference's TEXT branch, decode at
-    pythonvectordbceph.py:160). wholetext=one row per object."""
-    return spark.read.option("wholetext", str(whole).lower()).text(path)
+    pythonvectordbceph.py:160). wholetext=one row per object (passed
+    as the reader kwarg — the DataFrameReader option spelling is
+    silently ignored by the text source)."""
+    return spark.read.text(path, wholetext=whole)
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

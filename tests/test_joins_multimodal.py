@@ -93,6 +93,13 @@ def test_broadcast_join_in_plan(spark):
     assert has_broadcast_join(q_join_broadcast(spark, SF_DIR))
 
 
+def test_whole_stage_codegen_detected(spark):
+    from python_vectordbapp_ceph_spark.plans.inspect import has_whole_stage_codegen
+    from python_vectordbapp_ceph_spark.queries.relational import q_project
+
+    assert has_whole_stage_codegen(q_project(spark, SF_DIR))
+
+
 def test_route_modalities_dispatch(spark):
     """A3 type dispatch: each row goes through exactly one tower;
     unknown modalities surface as unsupported, not a crash."""

@@ -1,0 +1,53 @@
+"""Source connectors (A1/A2/A4/C1): JSON events, CSV, whole-text,
+binary files — write a fixture, read through the connector, check."""
+
+import json
+
+from pyspark.sql import types as T
+
+from python_vectordbapp_ceph_spark.sources.readers import (
+    read_binary_files,
+    read_csv,
+    read_json_events,
+    read_text_objects,
+)
+
+
+def test_read_json_events(spark, tmp_path):
+    p = tmp_path / "events.json"
+    p.write_text("\n".join(json.dumps({"k": k, "n": i}) for i, k in enumerate("abc")))
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    df = read_json_events(spark, str(p), schema)
+    assert {(r.k, r.n) for r in df.collect()} == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_read_csv(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert {(r.a, r.b) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_read_text_objects_whole(spark, tmp_path):
+    """One row per object — the reference's UTF-8 decode of a fetched
+    object body (pythonvectordbceph.py:160)."""
+    d = tmp_path / "objs"
+    d.mkdir()
+    (d / "o1.txt").write_text("hello\nworld")
+    (d / "o2.txt").write_text("zweite datei")
+    df = read_text_objects(spark, str(d), whole=True)
+    vals = {r.value for r in df.collect()}
+    assert vals == {"hello\nworld", "zweite datei"}
+
+
+def test_read_binary_files_with_glob(spark, tmp_path):
+    d = tmp_path / "bin"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x01\x02\x03")
+    (d / "b.txt").write_bytes(b"nope")
+    df = read_binary_files(spark, str(d), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].content) == b"\x01\x02\x03"
+    assert rows[0].length == 3
