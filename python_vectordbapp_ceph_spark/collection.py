@@ -193,6 +193,22 @@ class VectorCollection:
         )
         return resolved.filter(F.col("op") != "delete").drop("op", "seq")
 
+    def compact(self) -> None:
+        """Rewrite the log as its resolved snapshot (all seq collapsed
+        to a fresh base). Reads amortize: the last-writer-wins window
+        afterwards runs over live rows only, not full history. At scale
+        this is the periodic maintenance job, optionally bucketed by
+        key so subsequent merges are co-located."""
+        snap = self.snapshot().withColumn("op", F.lit("upsert")).withColumn(
+            "seq", F.lit(0).cast("long")
+        ).select(*[f.name for f in collection_schema(self.dim).fields])
+        tmp = self.path + "._compact"
+        snap.write.mode("overwrite").parquet(tmp)
+        # re-read from the temp location and atomically replace the log
+        compacted = self.spark.read.schema(collection_schema(self.dim)).parquet(tmp)
+        compacted.write.mode("overwrite").parquet(self.path)
+        self._seq = 0  # re-derive from the rewritten log on next write
+
     def query(self, filter: str = "", limit: int | None = None,
               output_fields: list[str] | None = None) -> DataFrame:
         """client.query(filter=..., limit=..., output_fields=[...])

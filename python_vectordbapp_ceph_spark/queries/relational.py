@@ -590,6 +590,111 @@ def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delete_keys(c, dels, ["c_custkey"]).select("c_custkey", "c_name")
 
 
+# --- composite analytics (multi-join + agg + top-k in one plan) ------------
+
+@register(
+    "q_tpch_q3_shape",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join chain → agg → top-k.
+    The segment/date filters push to the scans; the final top-10 is a
+    TakeOrderedAndProject over the aggregate."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1995-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5_shape",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join — facts shuffle on their keys, the
+    three dims broadcast, Catalyst/AQE pick the order."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    disc_price = dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_dedupe_keys",
+    oracle="""
+    SELECT user_id, event_id AS first_event FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def q_dedupe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming dropDuplicates (C31) made deterministic:
+    keep the EARLIEST event per key (the streaming form keeps the first
+    arrival; with event-time ordering that's min(ts))."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event"))
+    )
+
+
 # --- C32 pandas UDF surface ------------------------------------------------
 
 @register(

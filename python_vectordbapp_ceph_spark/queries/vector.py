@@ -248,6 +248,25 @@ def q_ivf_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(QVEC, k=5, nprobe=3)
 
 
+# --- A6 image embedding (stub model → rows-only) ---------------------------
+
+@register("q_embed_image")
+def q_embed_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tower (timm resnet34 contract, 512-d) over binary content
+    — identical iterator-pandas_udf lifecycle as text; hermetic
+    hash-stub model → rows-only."""
+    from ..embed.embedders import image_embed_udf
+
+    d = T(spark, sf_dir, "documents").limit(30)
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    out = media.select("doc_id", image_embed_udf(F.col("content")).alias("embedding"))
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    )
+
+
 # --- A5 text embedding (stub model → rows-only) ----------------------------
 
 @register("q_embed_text")

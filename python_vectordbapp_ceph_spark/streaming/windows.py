@@ -113,3 +113,54 @@ def streaming_dedupe(
     the streaming half of the idempotent-upsert story (state is
     bounded by the watermark; without it state grows forever)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def stateful_running_count(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    timeout_minutes: int = 120,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the PySpark
+    arbitrary-state surface, SURVEY C31/C32): per-key running event
+    count + last-seen timestamp, state evicted by processing-time
+    timeout so it stays bounded.
+
+    This is the shape the built-ins can't express (cross-batch
+    arbitrary state with custom eviction); everything expressible with
+    window()/session_window/dropDuplicates stays on those (JVM-side).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, last_ts timestamp"
+    state_schema = "n long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        last = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf[ts_col].max()
+            last = m if last is None else max(last, m)
+        state.update((n,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "last_ts": [last]}
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -93,6 +93,23 @@ def test_query_and_search(spark, coll):
     assert [h.key for h in filtered] == ["k2"]
 
 
+def test_compact_preserves_snapshot(spark, coll):
+    """Compaction rewrites history as the resolved base; reads and
+    subsequent mutations behave identically."""
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None),
+                                  ("k2", [0.0, 1.0, 0.0, 0.0], None)]))
+    coll.upsert(make_rows(spark, [("k1", [2.0, 0.0, 0.0, 0.0], None)]))
+    coll.delete_keys(["k2"])
+    before = {(r.key, tuple(r.embedding)) for r in coll.snapshot().collect()}
+    coll.compact()
+    after = {(r.key, tuple(r.embedding)) for r in coll.snapshot().collect()}
+    assert before == after == {("k1", (2.0, 0.0, 0.0, 0.0))}
+    assert coll._log().count() == 1  # history collapsed
+    # post-compaction mutations still order correctly
+    coll.delete_keys(["k1"])
+    assert coll.snapshot().count() == 0
+
+
 def test_describe(spark, coll):
     coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
     d = coll.describe()

@@ -68,6 +68,40 @@ def test_streaming_dedupe(spark, tmp_path):
     assert got.n == got.d  # exactly one row per key
 
 
+def test_stateful_running_count(spark, tmp_path):
+    """applyInPandasWithState: per-key state carried across
+    micro-batches of a real stream."""
+    from python_vectordbapp_ceph_spark.streaming.windows import (
+        stateful_running_count,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "state_src")
+    events.select("user_id", "ts").write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    counted = stateful_running_count(stream, watermark="0 seconds")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM state_test GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
 def _event_json(key, event="ObjectCreated:Put", bucket="b1", tags=None):
     return {
         "Records": [
