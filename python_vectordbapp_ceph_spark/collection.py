@@ -174,6 +174,12 @@ class VectorCollection:
             self.spark.createDataFrame([(k,) for k in keys], "key string")
         )
 
+    def delete_keys_df(self, key_rows: DataFrame) -> None:
+        """Distributed delete: tombstone every key in ``key_rows``
+        (a DataFrame with a ``key`` column) without driver round-trips
+        — the bulk path streaming ingest and backfills use."""
+        self._append_tombstones(key_rows)
+
     def delete_where(self, expr: str) -> None:
         """Milvus filter-expression delete (client.delete(filter=...),
         pythonvectordbceph_milvus.py:108-113). Tombstones are appended

@@ -119,7 +119,7 @@ class _Parser:
             _, op = self.next()
             right = self.parse_operand()
             return {
-                "==": left.eqNullSafe if False else left.__eq__,
+                "==": left.__eq__,
                 "!=": left.__ne__,
                 ">": left.__gt__,
                 ">=": left.__ge__,

@@ -176,3 +176,14 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding (Hamming-≤3 by pigeonhole over 4 bands)."""
     d = T(spark, sf_dir, "documents")
     return simhash_candidates(d, bands=4)
+
+
+@register("q_dedup_near_mllib")
+def q_dedup_near_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-Spark variant: MLlib MinHashLSH.approxSimilarityJoin over
+    CountVectorizer token sets — kept alongside the explicit banding
+    implementation for parity with standard pipelines."""
+    from ..operators.dedup import minhash_lsh_mllib
+
+    d = T(spark, sf_dir, "documents")
+    return minhash_lsh_mllib(d, threshold=0.4, num_hash_tables=8)

@@ -136,7 +136,7 @@ def ingest_stream(
             if not dels.isEmpty():
                 # tombstones appended straight from the DataFrame — the
                 # delete key set never visits the driver
-                collection._append_tombstones(dels.select("key").distinct())
+                collection.delete_keys_df(dels.select("key").distinct())
         finally:
             batch_df.unpersist()
 

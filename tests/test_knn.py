@@ -59,6 +59,25 @@ def test_ivf_full_probe_equals_exact(vec_df):
     assert got == brute_topk(QUERY, K)
 
 
+def test_ivf_on_disk_partition_pruning(vec_df, tmp_path, spark):
+    """The 100 TB story: cluster-id partitioned layout turns a probe
+    into PartitionFilters at the parquet scan — Spark reads only
+    nprobe/nlist of the files."""
+    from python_vectordbapp_ceph_spark.operators.ivf import build_ivf, write_partitioned
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    index = build_ivf(vec_df, nlist=4)
+    path = str(tmp_path / "ivf")
+    write_partitioned(index, path)
+    table = spark.read.parquet(path)
+    probes = index.probe_clusters(QUERY, 2)
+    probed = table.filter(F.col("cluster_id").isin(probes))
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # pruned scan reads a strict subset
+    assert probed.count() < table.count()
+
+
 def test_ivf_pruned_probe_recall(vec_df):
     index = build_ivf(vec_df, nlist=4)
     got = {r.vec_id for r in index.search(QUERY, k=K, nprobe=2).collect()}
