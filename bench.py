@@ -40,6 +40,8 @@ HEADLINE = [
     "q_sessionize",        # lag+cumsum sessionization
     "q_tumbling_window",   # tumbling window agg
     "q_vector_distance",   # 3-metric distance scan
+    "q_tpch_q3_shape",     # selective join chain + agg + top-k
+    "q_tpch_q5_shape",     # 6-way join
 ]
 
 

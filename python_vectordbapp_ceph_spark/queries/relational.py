@@ -358,6 +358,56 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (C14) through the SQL surface."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation over the sorted values). The approximate path for
+    100 TB is approx_percentile / t-digest — see q_approx_quantiles."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+@register("q_approx_quantiles")  # sketch-based → rows-only by design
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: mergeable quantile sketch — constant memory,
+    one pass; the scale path where exact percentile would sort 100 TB."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("q"),
+    ).select("l_returnflag", F.col("q")[0].alias("p50"), F.col("q")[1].alias("p90"))
+
+
 # --- C15/C16 window functions ---------------------------------------------
 
 @register(
