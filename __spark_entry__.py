@@ -11,10 +11,17 @@ The registry itself lives in ``python_vectordbapp_ceph_spark.queries``
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# import must work regardless of the harness CWD
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,101 @@
+"""End-to-end training-data preparation pipeline — the LLM-pipeline
+operators composed the way a 100 TB corpus job composes them:
+
+    scan → exact dedup → near-dup removal (LSH candidates → exact
+    Jaccard verify → drop one of each pair) → quality/language filter
+    → token annotation → embedding join + normalize
+
+Every stage is one of the registry's tested operators; this module
+only sequences them into a single lazy plan (the driver sees one
+DataFrame — Catalyst fuses the stages; nothing materializes until the
+sink). The LSH candidate set is the only stage that must resolve
+before the anti-join, which is why it lands in a broadcastable
+drop-list rather than a second full shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as X
+from .functions import vector as V
+from .io import load_table
+from .operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
+
+
+def near_dup_drop_list(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id) rows to drop: the larger id of every verified near-dup pair.
+
+    Funnel: LSH candidates (bucket-join, no n²) → exact Jaccard verify
+    restricted to the candidate pairs → keep-min/drop-max survivor
+    rule. The drop list is tiny relative to the corpus → broadcast
+    anti-join against the base."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    # verify stage: exact Jaccard only on candidate pairs — join the
+    # shingle sets back by id (blocking key = the candidate pair itself)
+    from .operators.dedup import shingles
+
+    sh = docs.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / (F.size("sh_a") + F.size("sh_b")
+               - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def prepare_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.2,
+    lang: str | None = "en",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The full curation plan over the driver tables: returns one row
+    per surviving document with quality/token annotations and its
+    L2-normalized embedding (docs without an embedding survive with
+    null — the multimodal left join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+
+    deduped = exact_dedup(docs)
+    drops = near_dup_drop_list(deduped, jaccard_threshold=jaccard_threshold)
+    kept = deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+
+    annotated = kept.select(
+        "doc_id", "text", "source", "n_chars",
+        X.lang_id("text").alias("lang_guess"),
+        X.quality_score("text").alias("quality"),
+        X.token_count_ws("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= min_quality)
+    if lang is not None:
+        annotated = annotated.filter(F.col("lang_guess") == lang)
+
+    emb = embs.select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize("embedding").alias("embedding"),
+        "label",
+    )
+    return annotated.join(emb, "doc_id", "left")

@@ -154,6 +154,22 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- LLM training-data pipeline (composed plan, rows-only) -----------------
+
+@register("q_training_pipeline")
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel in one lazy plan: exact dedup → LSH
+    near-dup removal (verified) → quality/language filter → token
+    annotation → normalized-embedding join. Rows-only (LSH stage)."""
+    from ..pipelines import prepare_training_corpus
+
+    out = prepare_training_corpus(spark, sf_dir)
+    return out.select(
+        "doc_id", "lang_guess", "quality", "n_tokens",
+        F.size(F.coalesce("embedding", F.array())).alias("emb_dim"),
+    )
+
+
 # --- A2/A3 object fetch + type dispatch (stub models → rows-only) ----------
 
 @register("q_type_dispatch")

@@ -1,0 +1,47 @@
+"""Training-corpus curation pipeline: each funnel stage removes what
+it should, survivors carry annotations + normalized embeddings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.pipelines import (
+    near_dup_drop_list,
+    prepare_training_corpus,
+)
+
+from conftest import SF_DIR
+
+
+def test_near_dup_drop_list(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup of 1
+            (3, "completely different text about spark query engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    drops = {r.doc_id for r in near_dup_drop_list(docs, jaccard_threshold=0.5).collect()}
+    assert drops == {2}  # larger id of the verified pair drops
+
+
+def test_prepare_training_corpus(spark):
+    out = prepare_training_corpus(spark, SF_DIR, min_quality=0.0, lang=None)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_id = {r.doc_id: r for r in rows}
+    # unique survivors
+    assert len(by_id) == len(rows)
+    # annotations present and embeddings normalized where joined
+    sample = rows[0]
+    assert sample.quality is not None and sample.n_tokens > 0
+    with_emb = [r for r in rows if r.embedding is not None]
+    assert with_emb, "documents⋈embeddings join produced no embeddings"
+    norm = sum(x * x for x in with_emb[0].embedding) ** 0.5
+    assert abs(norm - 1.0) < 1e-6
+
+
+def test_quality_and_lang_filters_reduce(spark):
+    loose = prepare_training_corpus(spark, SF_DIR, min_quality=0.0, lang=None).count()
+    strict = prepare_training_corpus(spark, SF_DIR, min_quality=0.5, lang="en").count()
+    assert strict <= loose
