@@ -187,15 +187,21 @@ def jaccard_pairs(
         shingles(text_col, shingle_n).alias("sh"),
     ).withColumn("n_sh", F.size("sh")).persist()
     a, b = base.alias("a"), base.alias("b")
+    size_prune = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
+    # The intersect is computed in the join's own projection — pair
+    # rows (with their shingle sets) are never materialized through a
+    # second exchange. A repartition-before-compute variant measured
+    # faster warm but 2× slower cold: serializing every candidate pair
+    # with both sets (~#pairs × 2×|sh|) dominates the win. Parallelism
+    # within a block comes from AQE splitting skewed join partitions.
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     # |A∪B| = |A|+|B|-|A∩B| for distinct sets: one hash pass per pair
     # instead of two (array_union would rebuild the set to count it)
     union = F.col("a.n_sh") + F.col("b.n_sh") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    size_prune = (
-        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
-        >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
-    )
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -461,6 +461,88 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_similar
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the row-based frame in
+    q_window_running): peers within 1000 of the current price."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_missing,
+           CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal = 0 THEN 'zero'
+                ELSE 'pos' END AS bal_sign,
+           ifnull(NULL, c_custkey) AS k2
+    FROM customer
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics bundle: nullif/coalesce/ifnull + CASE."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+        F.col("c_acctbal").isNull().alias("bal_missing"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("pos")
+        .alias("bal_sign"),
+        F.ifnull(F.lit(None).cast("long"), F.col("c_custkey")).alias("k2"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           round(v[1], 6) AS first_el,
+           list_transform(v[1:4], x -> round(x, 6)) AS head4,
+           round(list_max(v), 6) AS vmax,
+           round(list_min(v), 6) AS vmin,
+           len(v) AS n,
+           list_contains(list_transform(v, x -> x > 0.4), true) AS has_big
+    FROM e
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function bundle (C22): element access, slice, min/max,
+    size, exists — all higher-order, JVM-side."""
+    e = T(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(v, 1), 6).alias("first_el"),
+        F.transform(F.slice(v, 1, 4), lambda x: F.round(x, 6)).alias("head4"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.size(v).cast("long").alias("n"),
+        F.exists(v, lambda x: x > 0.4).alias("has_big"),
+    )
+
+
 # --- C18 set operations ----------------------------------------------------
 
 _SEG_A = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000"
