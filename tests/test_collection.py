@@ -110,6 +110,27 @@ def test_compact_preserves_snapshot(spark, coll):
     assert coll.snapshot().count() == 0
 
 
+def test_apply_change_log_cdc(spark):
+    """Batch CDC resolve: base ∪ log, last-writer-wins, deletes drop —
+    the webhook Put/Copy-vs-Delete branch as one set operation."""
+    from python_vectordbapp_ceph_spark.operators.mutation import apply_change_log
+
+    base = spark.createDataFrame(
+        [("a", 1, 0), ("b", 2, 0)], "key string, val long, ts long"
+    )
+    log = spark.createDataFrame(
+        [("a", 10, 1, "upsert"),   # update a
+         ("b", 0, 1, "delete"),    # delete b
+         ("c", 3, 1, "upsert"),    # insert c
+         ("c", 4, 2, "upsert")],   # update c again
+        "key string, val long, ts long, op string",
+    )
+    out = apply_change_log(base, log, key_cols=["key"], ts_col="ts",
+                           tiebreak_cols=["val"])
+    got = {(r.key, r.val) for r in out.collect()}
+    assert got == {("a", 10), ("c", 4)}
+
+
 def test_describe(spark, coll):
     coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
     d = coll.describe()
