@@ -722,6 +722,61 @@ def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delete_keys(c, dels, ["c_custkey"]).select("c_custkey", "c_name")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): explicit value list so the output schema is
+    static — at scale an unpinned pivot needs an extra distinct scan."""
+    e = T(spark, sf_dir, "events")
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    # pivot yields null for empty cells; the CASE-COUNT oracle yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           round(CAST(MIN(o_totalprice) AS DOUBLE), 2) AS lo,
+           round(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor binning — one hash aggregate,
+    the 100 TB-safe way to histogram (no sort, no collect)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 # --- composite analytics (multi-join + agg + top-k in one plan) ------------
 
 @register(

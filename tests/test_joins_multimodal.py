@@ -30,6 +30,25 @@ def test_asof_join_small_case(spark):
     assert got == {1: "z", 2: "b", 3: None, 4: None}
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting spreads hot keys without changing the result."""
+    from python_vectordbapp_ceph_spark.operators.skew import salted_join
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = {(r.o_orderkey, r.c_name) for r in o.join(c, "o_custkey").collect()}
+    salted = {(r.o_orderkey, r.c_name)
+              for r in salted_join(o, c, on="o_custkey", salt=4).collect()}
+    assert salted == plain
+
+    left_plain = o.join(c, "o_custkey", "left").count()
+    left_salted = salted_join(o, c, on="o_custkey", how="left", salt=4).count()
+    assert left_salted == left_plain
+
+
 def test_multimodal_fake_decode_and_frames(spark):
     from python_vectordbapp_ceph_spark.multimodal.binary import (
         MEDIA_SCHEMA,
