@@ -398,6 +398,19 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_stats_moments")  # float accumulation order → rows-only
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics (stddev/corr/skewness): single-pass
+    mergeable moment aggregates — scale-safe, but their double
+    accumulation is partition-order-dependent, so rows-only."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.skewness("l_discount"), 4).alias("disc_skew"),
+    )
+
+
 @register("q_approx_quantiles")  # sketch-based → rows-only by design
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: mergeable quantile sketch — constant memory,

@@ -30,6 +30,36 @@ def test_asof_join_small_case(spark):
     assert got == {1: "z", 2: "b", 3: None, 4: None}
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key pre-shuffles at WRITE time:
+    the join plan shows no Exchange — at 100 TB this converts every
+    recurring join into a local zip of co-located buckets."""
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_DIR, "orders")
+        c = load_table(spark, SF_DIR, "customer")
+        o.write.bucketBy(4, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("orders_bkt")
+        c.write.bucketBy(4, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable("customer_bkt")
+        joined = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = explain_str(joined, "simple")
+        assert "Exchange" not in plan
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting spreads hot keys without changing the result."""
     from python_vectordbapp_ceph_spark.operators.skew import salted_join
