@@ -1,0 +1,110 @@
+"""Partition-pruned MERGE: upsert/delete into a bucketed parquet base
+rewriting ONLY the partitions the changes touch.
+
+The append-log collection (collection.py) is the streaming-friendly
+write path; this is the batch MERGE INTO equivalent for a compacted
+base at rest. Layout: the base is partitioned by a stable hash bucket
+of the key (`_kb = pmod(xxhash64(key), n_buckets)`). A merge:
+
+  1. derives the affected bucket set from the (small) change set —
+     driver gets only bucket ids, never rows;
+  2. reads ONLY those partitions of the base (partition pruning),
+     resolves last-writer-wins against the changes, drops deletes;
+  3. rewrites just those partitions via dynamic partition overwrite.
+
+At 100 TB with n_buckets≈4096 and a typical batch touching a few
+hundred buckets, the merge reads and writes a few percent of the
+table instead of all of it. xxhash64 (not `hash()`/rand) keeps bucket
+assignment stable across Spark versions and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .mutation import upsert_last_writer
+
+N_BUCKETS_DEFAULT = 64
+
+
+def _with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
+    return df.withColumn("_kb", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
+
+
+def write_bucketed_base(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS_DEFAULT
+) -> None:
+    """Initial layout: parquet partitioned by the key's hash bucket."""
+    _with_bucket(df, key_col, n_buckets).write.mode("overwrite").partitionBy(
+        "_kb"
+    ).parquet(path)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> list[int]:
+    """MERGE the change set into the bucketed base at ``path``.
+
+    ``changes`` carries (key, payload..., ts, op). Returns the list of
+    rewritten bucket ids (the driver-side footprint — ids only).
+    """
+    ch = _with_bucket(changes, key_col, n_buckets)
+    buckets = [r._kb for r in ch.select("_kb").distinct().collect()]
+    if not buckets:
+        return []
+
+    base = spark.read.parquet(path).filter(F.col("_kb").isin(buckets))
+    base_cols = [c for c in base.columns]
+    # changes beat base rows on timestamp ties (the MERGE contract):
+    # explicit priority, not op-name ordering
+    ch_aligned = ch.select(*base_cols, F.col(op_col)).withColumn("_prio", F.lit(1))
+    base_log = base.withColumn(op_col, F.lit("upsert")).withColumn("_prio", F.lit(0))
+    merged = upsert_last_writer(
+        base_log.unionByName(ch_aligned),
+        [key_col],
+        ts_col,
+        tiebreak_cols=["_prio"],
+    )
+    result = merged.filter(F.col(op_col) != delete_op).drop(op_col, "_prio")
+    # materialize BEFORE overwriting the path we just read (truncates
+    # the lineage back to the files being replaced); eager by default
+    result = result.localCheckpoint()
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode: only the partitions present in `result` (the
+        # affected buckets) are replaced; the rest of the base is
+        # untouched on disk
+        result.write.mode("overwrite").partitionBy("_kb").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # a bucket whose keys were ALL deleted writes no partition, so
+    # dynamic overwrite leaves its stale files — drop those dirs
+    survivors = {r._kb for r in result.select("_kb").distinct().collect()}
+    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = spark._jvm.org.apache.hadoop.fs.FileSystem.get(  # noqa: SLF001
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    for b in set(buckets) - survivors:
+        fs.delete(hpath(f"{path}/_kb={b}"), True)
+    # the session caches the path's file listing; later reads must see
+    # the rewritten partitions
+    spark.catalog.refreshByPath(path)
+    return sorted(buckets)
+
+
+def read_base(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read the merged base. Pass ``schema`` for the degenerate case
+    where every row has been deleted (no files left to infer from)."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path).drop("_kb")

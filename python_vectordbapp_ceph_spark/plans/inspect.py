@@ -28,6 +28,10 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    # codegen'd operators print as `*(n) OperatorName` in simple mode
-    text = explain_str(df, "simple")
-    return bool(re.search(r"\*\(\d+\)", text)) or "WholeStageCodegen" in text
+    # codegen'd operators print as `*(n) Op` in simple mode; under AQE
+    # the static simple plan hides them, but formatted mode tags nodes
+    # with `[codegen id : n]`
+    simple = explain_str(df, "simple")
+    if re.search(r"\*\(\d+\)", simple) or "WholeStageCodegen" in simple:
+        return True
+    return "codegen id" in explain_str(df, "formatted")

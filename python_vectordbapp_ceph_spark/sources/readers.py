@@ -47,6 +47,12 @@ def read_text_objects(spark: SparkSession, path: str, whole: bool = True) -> Dat
     return spark.read.text(path, wholetext=whole)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (vectorized reader, predicate pushdown on by default)."""
+    return spark.read.orc(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Opaque object bytes (the reference's IMAGE branch / get_object
     at pythonvectordbceph.py:155): path, modificationTime, length,

@@ -41,6 +41,19 @@ def test_read_text_objects_whole(spark, tmp_path):
     assert vals == {"hello\nworld", "zweite datei"}
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.sources.readers import read_orc
+
+    from conftest import SF_DIR
+
+    nation = load_table(spark, SF_DIR, "nation")
+    p = str(tmp_path / "nation_orc")
+    nation.write.orc(p)
+    back = read_orc(spark, p)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
 def test_read_binary_files_with_glob(spark, tmp_path):
     d = tmp_path / "bin"
     d.mkdir()
