@@ -154,6 +154,58 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- partition-pruned MERGE (batch MERGE INTO equivalent) ------------------
+
+@register(
+    "q_merge_into",
+    oracle="""
+    SELECT o_orderkey, val FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN -1.0 ELSE o_totalprice END AS val
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL SELECT 9999999, 42.0
+    )
+    """,
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-base MERGE end-to-end: build the base from orders,
+    apply updates (keys %10), deletes (keys %7) and one insert, read
+    the merged result back. Only the touched hash buckets are
+    rewritten on disk (operators/merge.py)."""
+    from ..operators.merge import merge_into, read_base, write_bucketed_base
+
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("val"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    path = tempfile.mkdtemp(prefix="merge_q_") + "/base"
+    write_bucketed_base(base, path, "o_orderkey", n_buckets=16)
+
+    updates = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 0))
+        .select(
+            "o_orderkey",
+            F.lit(-1.0).alias("val"),
+            F.lit(1).cast("long").alias("ts"),
+            F.lit("upsert").alias("op"),
+        )
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("val"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit("delete").alias("op"),
+    )
+    insert = spark.createDataFrame(
+        [(9999999, 42.0, 1, "upsert")], "o_orderkey long, val double, ts long, op string"
+    )
+    changes = updates.unionByName(deletes).unionByName(insert)
+    merge_into(spark, path, changes, key_col="o_orderkey", ts_col="ts", n_buckets=16)
+    return read_base(spark, path).select("o_orderkey", "val")
+
+
 # --- LLM training-data pipeline (composed plan, rows-only) -----------------
 
 @register("q_training_pipeline")
