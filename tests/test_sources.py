@@ -41,6 +41,42 @@ def test_read_text_objects_whole(spark, tmp_path):
     assert vals == {"hello\nworld", "zweite datei"}
 
 
+def test_stream_json_events(spark, tmp_path):
+    """Streaming file-arrival source over notification JSON (A1)."""
+    import json as _json
+
+    from python_vectordbapp_ceph_spark.sources.readers import stream_json_events
+
+    d = tmp_path / "stream_events"
+    d.mkdir()
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    (d / "a.json").write_text("\n".join(
+        _json.dumps({"k": k, "n": i}) for i, k in enumerate("abc")))
+    stream = stream_json_events(spark, str(d), schema)
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("json_stream_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) AS n FROM json_stream_test").first().n == 3
+
+
+def test_media_table_from_binary_files(spark, tmp_path):
+    from python_vectordbapp_ceph_spark.multimodal.binary import (
+        media_table_from_binary_files,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "x.img").write_bytes(b"\x01\x02")
+    media = media_table_from_binary_files(spark, str(d), modality="image")
+    rows = media.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.modality == "image" and bytes(r.content) == b"\x01\x02"
+    assert r.media_id.endswith("x.img") and r.tags == {}
+
+
 def test_orc_roundtrip(spark, tmp_path):
     from python_vectordbapp_ceph_spark.io import load_table
     from python_vectordbapp_ceph_spark.sources.readers import read_orc
