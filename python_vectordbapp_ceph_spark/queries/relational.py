@@ -567,6 +567,58 @@ def _segments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return c.filter(F.col("c_custkey") <= 1000), c.filter(F.col("c_custkey").between(500, 1500))
 
 
+@register(
+    "q_cross_join",
+    oracle="""
+    SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (C10) — only ever between bounded sides; the
+    KNN batch path is the production use (broadcast × scan)."""
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: sort_array(collect_list) keeps the
+    result deterministic (bare collect_list is partition-order
+    dependent and would never hash-match)."""
+    n = T(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INTEGER) AS prio_num,
+           regexp_replace(o_orderpriority, '^\\d+-', '', 'g') AS prio_name,
+           regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot
+    FROM orders
+    """,
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("prio_num"),
+        F.regexp_replace("o_orderpriority", r"^\d+-", "").alias("prio_name"),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_hot"),
+    )
+
+
 @register("q_union", oracle=f"{_SEG_A} UNION {_SEG_B}")
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _segments(spark, sf_dir)
@@ -583,6 +635,27 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _segments(spark, sf_dir)
     return a.subtract(b)
+
+
+_LI_A = "SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 30"
+_LI_B = "SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity >= 25"
+
+
+@register("q_except_all", oracle=f"{_LI_A} EXCEPT ALL {_LI_B}")
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL — duplicate-preserving set arithmetic."""
+    full = T(spark, sf_dir, "lineitem")
+    a = full.filter(F.col("l_quantity") <= 30).select("l_returnflag", "l_linestatus")
+    b = full.filter(F.col("l_quantity") >= 25).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
+
+
+@register("q_intersect_all", oracle=f"{_LI_A} INTERSECT ALL {_LI_B}")
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = T(spark, sf_dir, "lineitem")
+    a = full.filter(F.col("l_quantity") <= 30).select("l_returnflag", "l_linestatus")
+    b = full.filter(F.col("l_quantity") >= 25).select("l_returnflag", "l_linestatus")
+    return a.intersectAll(b)
 
 
 # --- C19 string functions (A8 url derivation lives here) -------------------
