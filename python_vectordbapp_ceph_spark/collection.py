@@ -65,6 +65,8 @@ class VectorCollection:
     name: str = "collection"
     metric: str = "l2"
     _seq: int = field(default=0, repr=False)
+    _ivf: object = field(default=None, repr=False)
+    _nprobe: int = field(default=4, repr=False)
 
     # --- DDL -------------------------------------------------------
     def ensure_exists(self) -> "VectorCollection":
@@ -93,6 +95,7 @@ class VectorCollection:
 
     def _append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
+        self._ivf = None  # any mutation invalidates the ANN index
 
     def _next_seq(self) -> int:
         """Monotone writer sequence, persistent across process restarts:
@@ -199,6 +202,20 @@ class VectorCollection:
         )
         return resolved.filter(F.col("op") != "delete").drop("op", "seq")
 
+    def create_index(self, nlist: int = 16, nprobe: int = 4) -> "VectorCollection":
+        """Build the IVF coarse quantizer over the current snapshot —
+        the reference's create_index(IVF_FLAT, nlist)+load_collection
+        (milvus-app/pythonvectordbceph_milvus.py:100-106). Any mutation
+        invalidates it (rebuild is the caller's compaction-cadence
+        decision)."""
+        from .operators.ivf import build_ivf
+
+        self._ivf = build_ivf(
+            self.snapshot(), nlist=nlist, vec_col="embedding", id_col="key"
+        )
+        self._nprobe = nprobe
+        return self
+
     def compact(self) -> None:
         """Rewrite the log as its resolved snapshot (all seq collapsed
         to a fresh base). Reads amortize: the last-writer-wins window
@@ -228,9 +245,22 @@ class VectorCollection:
         return df
 
     def search(self, qvec: list[float], k: int = 2,
-               filter: str = "", output_fields: list[str] | None = None) -> DataFrame:
+               filter: str = "", output_fields: list[str] | None = None,
+               approx: bool = False) -> DataFrame:
         """Top-k ANN search, optionally filtered (filter-then-rank in
-        one Catalyst plan). Default k=2 mirrors the reference CLIs."""
+        one Catalyst plan). Default k=2 mirrors the reference CLIs.
+
+        ``approx=True`` probes the IVF index (create_index first):
+        nprobe/nlist of the clusters are scanned instead of the full
+        collection — the reference's IVF_FLAT search path."""
+        if approx:
+            if self._ivf is None:
+                raise ValueError("no index: call create_index() first "
+                                 "(stale after mutations)")
+            if filter:
+                raise ValueError("approx search does not support filters; "
+                                 "use exact search for filtered queries")
+            return self._ivf.search(qvec, k, nprobe=self._nprobe)
         snap = self.snapshot()
         base = snap.filter(filter_expr.translate(filter, snap))
         return knn.knn_topk(

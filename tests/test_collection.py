@@ -110,6 +110,26 @@ def test_compact_preserves_snapshot(spark, coll):
     assert coll.snapshot().count() == 0
 
 
+def test_create_index_and_approx_search(spark, coll):
+    """IVF index over the collection: full-probe equals exact search;
+    mutations invalidate the index."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(f"k{i}", [float(x) for x in rng.uniform(-1, 1, 4)], None)
+            for i in range(50)]
+    coll.upsert(make_rows(spark, rows))
+    coll.create_index(nlist=4, nprobe=4)  # full probe → exact
+    q = [0.5, 0.5, -0.5, 0.5]
+    exact = [r.key for r in coll.search(q, k=5, output_fields=["key"]).collect()]
+    approx = [r.key for r in coll.search(q, k=5, approx=True).collect()]
+    assert approx == exact
+
+    coll.upsert(make_rows(spark, [("fresh", [0.0, 0.0, 0.0, 0.0], None)]))
+    with pytest.raises(ValueError, match="no index"):
+        coll.search(q, k=5, approx=True)
+
+
 def test_apply_change_log_cdc(spark):
     """Batch CDC resolve: base ∪ log, last-writer-wins, deletes drop —
     the webhook Put/Copy-vs-Delete branch as one set operation."""
