@@ -79,9 +79,15 @@ def l2_normalize(v: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """dot(a,b) / (|a||b|) — on pre-normalized vectors this equals dot."""
+    """dot(a,b) / (|a||b|) — on pre-normalized vectors this equals dot.
+
+    NULL (not an error) when either vector has zero norm: under Spark
+    4's default ANSI mode a bare division raises DIVIDE_BY_ZERO and
+    would kill the whole job on one degenerate row (hypothesis-found).
+    """
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:
