@@ -222,6 +222,22 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A1 event feed as a first-class Spark 4 Python DataSource --------------
+
+@register("q_event_source")
+def q_event_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom DataSource ("s3events"): the notification feed consumed
+    as spark.read.format(...), partition-parallel. Synthetic generator
+    stands in for RGW — rows-only (sha256-derived, no SQL mirror)."""
+    from ..sources.event_source import register as register_source
+
+    register_source(spark)
+    ev = spark.read.format("s3events").option("n", 500).option("seed", 42).load()
+    return ev.groupBy("bucket", "event_name").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 # --- A2/A3 object fetch + type dispatch (stub models → rows-only) ----------
 
 @register("q_type_dispatch")

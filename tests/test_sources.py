@@ -77,6 +77,22 @@ def test_media_table_from_binary_files(spark, tmp_path):
     assert r.media_id.endswith("x.img") and r.tags == {}
 
 
+def test_s3events_python_datasource(spark):
+    """Spark 4 Python DataSource: partition-parallel, deterministic,
+    schema-stable custom connector for the notification feed."""
+    from python_vectordbapp_ceph_spark.sources.event_source import register
+
+    register(spark)
+    df = spark.read.format("s3events").option("n", 120).option("numPartitions", 3).load()
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 120
+    assert set(df.columns) == {"bucket", "key", "event_name", "event_ts", "tags"}
+    ops = {r.event_name for r in df.select("event_name").distinct().collect()}
+    assert ops <= {"ObjectCreated:Put", "ObjectCreated:Copy", "ObjectRemoved:Delete"}
+    again = spark.read.format("s3events").option("n", 120).option("numPartitions", 3).load()
+    assert sorted(map(str, df.collect())) == sorted(map(str, again.collect()))
+
+
 def test_orc_roundtrip(spark, tmp_path):
     from python_vectordbapp_ceph_spark.io import load_table
     from python_vectordbapp_ceph_spark.sources.readers import read_orc
