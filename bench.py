@@ -55,14 +55,16 @@ def main() -> None:
     # charged to whichever query happens to run first
     QUERIES["q_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from python_vectordbapp_ceph_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        # warm the input file listing etc. out of the first measurement
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_caches()  # LSH/shingle intermediates don't accumulate
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -104,8 +104,13 @@ class VectorCollection:
         writes ABOVE the existing log, or deletes/upserts silently lose
         to history)."""
         if self._seq == 0:
-            row = self._log().agg(F.max("seq").alias("m")).collect()[0]
-            self._seq = int(row.m or 0)
+            try:
+                row = self._log().agg(F.max("seq").alias("m")).collect()[0]
+                self._seq = int(row.m or 0)
+            except Exception:
+                # first write to a not-yet-existing path: the append
+                # itself creates the log (the old contract)
+                self._seq = 0
         self._seq += 1
         return self._seq
 
@@ -158,6 +163,8 @@ class VectorCollection:
     def _append_tombstones(self, key_rows: DataFrame) -> None:
         """Append delete markers for a DataFrame of keys — fully
         distributed; the matching key set never visits the driver."""
+        if key_rows.isEmpty():
+            return  # no empty files / wasted seq for 0-match deletes
         seq = self._next_seq()
         tomb = (
             key_rows.select(F.col("key").cast("string"))
@@ -231,6 +238,13 @@ class VectorCollection:
         compacted = self.spark.read.schema(collection_schema(self.dim)).parquet(tmp)
         compacted.write.mode("overwrite").parquet(self.path)
         self._seq = 0  # re-derive from the rewritten log on next write
+        self._ivf = None  # index plans reference the replaced files
+        hpath = self.spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = self.spark._jvm.org.apache.hadoop.fs.FileSystem.get(  # noqa: SLF001
+            self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        fs.delete(hpath(tmp), True)
+        self.spark.catalog.refreshByPath(self.path)
 
     def query(self, filter: str = "", limit: int | None = None,
               output_fields: list[str] | None = None) -> DataFrame:

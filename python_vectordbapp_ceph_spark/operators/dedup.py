@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalize_for_fingerprint, fingerprint
 
+# Persisted intermediates (LSH banded tables, shingle sets) — kept so
+# self-joins don't recompute their pipeline per side. Tracked here and
+# releasable: a long-lived session (driver gate, bench loop) calls
+# release_caches() to drop them instead of accumulating.
+_PERSISTED: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate this module has cached."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure CPU-bound per-row compute (shingling, hashing) runs at
@@ -145,7 +165,8 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band_idx", "band_hash"),
-    ).persist()
+    )
+    banded = _tracked_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -185,11 +206,12 @@ def jaccard_pairs(
     base = _spread(df, id_col).select(
         F.col(id_col), F.col(block_col).alias("_blk"),
         shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).persist()
+    ).withColumn("n_sh", F.size("sh"))
+    base = _tracked_persist(base)
     a, b = base.alias("a"), base.alias("b")
     size_prune = (
         F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
-        >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        >= F.lit(max(threshold - 1e-6, 0.0)) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
     )
     # The intersect is computed in the join's own projection — pair
     # rows (with their shingle sets) are never materialized through a
@@ -272,7 +294,8 @@ def simhash_candidates(
                 for i in range(bands)
             ])
         ).alias("band_idx", "band_val"),
-    ).persist()  # avoid recomputing the simhash aggregate per join side
+    )
+    banded = _tracked_persist(banded)  # avoid recomputing the simhash per join side
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

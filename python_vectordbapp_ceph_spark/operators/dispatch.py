@@ -40,7 +40,7 @@ def route_modalities(
     images = df.filter(m == "image").withColumn(
         "embedding", image_embed_udf(F.col(content_col))
     ).withColumn("status", F.lit("ok"))
-    other = df.filter(~m.isin("text", "image")).withColumn(
+    other = df.filter(m.isNull() | ~m.isin("text", "image")).withColumn(
         "embedding", F.lit(None).cast("array<float>")
     ).withColumn("status", F.lit("unsupported_type"))
     return texts.unionByName(images).unionByName(other)

@@ -44,12 +44,13 @@ def asof_join(
         F.col(payload_order).alias("_ord"),
         *[F.col(c) for c in payload_cols],
     )
-    r = right.select(
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         payload.alias("_p"),
-    )
+    )  # NULL right_ts can never satisfy right_ts <= left_ts; without
+    # this filter NULLS-FIRST ordering would attach it as a match
     l = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_t"),

@@ -49,9 +49,12 @@ def knn_topk(
     dist = F.round(V.distance(F.col(vec_col), _query_vec_literal(qvec), metric), 6)
     out = df.withColumn("distance", dist)
     cols = output_cols or [id_col]
+    # nulls LAST: cosine distance is NULL for zero-norm vectors, and
+    # plain asc() is NULLS FIRST — degenerate rows must not outrank
+    # every real neighbor
     return (
         out.select(*cols, "distance")
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -74,7 +77,7 @@ def knn_topk_batch(
     joined = df.crossJoin(F.broadcast(queries))
     dist = F.round(V.distance(F.col(vec_col), F.col(q_vec_col), metric), 6)
     w = Window.partitionBy(q_id_col).orderBy(
-        F.col("distance").asc(), F.col(id_col).asc()
+        F.col("distance").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         joined.withColumn("distance", dist)
@@ -98,6 +101,6 @@ def similarity_topk(
     return (
         df.withColumn("similarity", sim)
         .select(id_col, "similarity")
-        .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        .orderBy(F.col("similarity").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )

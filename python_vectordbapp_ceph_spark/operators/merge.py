@@ -67,11 +67,15 @@ def merge_into(
     # explicit priority, not op-name ordering
     ch_aligned = ch.select(*base_cols, F.col(op_col)).withColumn("_prio", F.lit(1))
     base_log = base.withColumn(op_col, F.lit("upsert")).withColumn("_prio", F.lit(0))
+    # tiebreak chain: change beats base (_prio), and within one change
+    # set an upsert beats a delete at the same ts ('upsert' > 'delete'
+    # descending) — fully deterministic even for conflicting same-key
+    # same-ts change rows
     merged = upsert_last_writer(
         base_log.unionByName(ch_aligned),
         [key_col],
         ts_col,
-        tiebreak_cols=["_prio"],
+        tiebreak_cols=["_prio", op_col],
     )
     result = merged.filter(F.col(op_col) != delete_op).drop(op_col, "_prio")
     # materialize BEFORE overwriting the path we just read (truncates

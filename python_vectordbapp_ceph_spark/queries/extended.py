@@ -4,6 +4,7 @@ A18, C2, C22, C32)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,9 +148,14 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     status, read it back, aggregate — proves the write path preserves
     rows and the partition layout prunes on read. At scale partitionBy
     is the layout that turns status filters into directory pruning."""
-    out_dir = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    # fixed per-SF path, overwritten each call: repeated driver/test
+    # invocations must not accumulate temp copies of the table
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sink_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     o = T(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out_dir)
+    spark.catalog.refreshByPath(out_dir)
     back = spark.read.parquet(out_dir)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
 
@@ -180,8 +186,12 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("val"),
         F.lit(0).cast("long").alias("ts"),
     )
-    path = tempfile.mkdtemp(prefix="merge_q_") + "/base"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"merge_q_{os.path.basename(sf_dir.rstrip('/'))}", "base",
+    )
     write_bucketed_base(base, path, "o_orderkey", n_buckets=16)
+    spark.catalog.refreshByPath(path)
 
     updates = (
         o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 0))

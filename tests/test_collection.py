@@ -128,6 +128,21 @@ def test_create_index_and_approx_search(spark, coll):
     coll.upsert(make_rows(spark, [("fresh", [0.0, 0.0, 0.0, 0.0], None)]))
     with pytest.raises(ValueError, match="no index"):
         coll.search(q, k=5, approx=True)
+    # compaction also invalidates (the index references replaced files)
+    coll.create_index(nlist=4, nprobe=4)
+    coll.compact()
+    with pytest.raises(ValueError, match="no index"):
+        coll.search(q, k=5, approx=True)
+    import os
+    assert not os.path.exists(coll.path + "._compact")
+
+
+def test_first_upsert_on_fresh_path(spark, tmp_path):
+    """Regression: _next_seq read the log before the first append —
+    a fresh collection without ensure_exists() crashed on upsert."""
+    c = VectorCollection(spark=spark, path=str(tmp_path / "fresh"), dim=DIM)
+    c.upsert(make_rows(spark, [("k", [1.0, 0.0, 0.0, 0.0], None)]))
+    assert c.snapshot().count() == 1
 
 
 def test_apply_change_log_cdc(spark):

@@ -168,6 +168,19 @@ def test_route_modalities_dispatch(spark):
     assert out["a1"].embedding is None and out["a1"].status == "unsupported_type"
 
 
+def test_route_modalities_null_modality_not_dropped(spark):
+    """Regression: a NULL modality failed every filter (three-valued
+    logic) and the row vanished from the union."""
+    from python_vectordbapp_ceph_spark.operators.dispatch import route_modalities
+
+    df = spark.createDataFrame(
+        [("n1", None, "text here", bytearray(b""))],
+        "id string, modality string, text string, content binary",
+    )
+    out = route_modalities(df).collect()
+    assert len(out) == 1 and out[0].status == "unsupported_type"
+
+
 def test_catalog_ops(spark, tmp_path):
     from python_vectordbapp_ceph_spark import catalog
 

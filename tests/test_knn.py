@@ -53,6 +53,19 @@ def test_knn_batch_matches_per_query(spark, vec_df):
         assert by_q[q] == brute_topk(VECS[q].tolist(), 5)
 
 
+def test_zero_vector_does_not_outrank_real_neighbors(spark):
+    """Regression: cosine distance is NULL for zero-norm vectors and
+    plain asc() sorted NULLS FIRST — the degenerate row used to be the
+    #1 hit of every search."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    hits = knn_topk(df, [1.0, 0.0], k=2, metric="cosine").collect()
+    assert [h.vec_id for h in hits] == [1, 2]
+    assert all(h.distance is not None for h in hits)
+
+
 def test_ivf_full_probe_equals_exact(vec_df):
     index = build_ivf(vec_df, nlist=4)
     got = [r.vec_id for r in index.search(QUERY, k=K, nprobe=4).collect()]
