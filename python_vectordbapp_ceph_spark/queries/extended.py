@@ -232,6 +232,63 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B3 Milvus filter-expression grammar (driver-checked) ------------------
+
+@register(
+    "q_filter_expr_grammar",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'error')
+      AND value > 100.0
+      AND json_extract_string(props, '$.k') = '12'
+    """,
+)
+def q_filter_expr_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's boolean filter grammar (client.query/delete
+    filter=..., milvus-app/pythonvectordbceph_milvus.py:109) compiled
+    to a Catalyst Column by operators/filter_expr.py — including JSON
+    field access on a string column."""
+    from ..operators.filter_expr import translate
+
+    e = T(spark, sf_dir, "events")
+    cond = translate(
+        'event_type in ("click", "error") and value > 100.0 and props["k"] == "12"',
+        e,
+    )
+    return e.filter(cond).select("event_id", "event_type", "value")
+
+
+# --- C27 multimodal decode pipeline (stub kernels → rows-only) -------------
+
+@register("q_multimodal_pipeline")
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media → mapInPandas decode (deterministic fake kernels;
+    real PIL/ffmpeg bodies are drop-in) → per-image checksum + feature
+    dim. The Arrow batch plumbing, schemas and partitioning are the
+    real production path."""
+    from ..multimodal.binary import decode_image_batch, extract_image_features
+
+    d = T(spark, sf_dir, "documents").limit(40)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    decoded = decode_image_batch(media, deterministic_fake=True)
+    feats = extract_image_features(media).select(
+        "media_id", F.size("features").alias("feat_dim")
+    )
+    return decoded.join(feats, "media_id").select(
+        "media_id", "height", "width", "channels", "pixel_sum", "feat_dim"
+    )
+
+
 # --- A1 event feed as a first-class Spark 4 Python DataSource --------------
 
 @register("q_event_source")
