@@ -104,12 +104,19 @@ class VectorCollection:
         writes ABOVE the existing log, or deletes/upserts silently lose
         to history)."""
         if self._seq == 0:
+            from pyspark.errors import AnalysisException
+
             try:
                 row = self._log().agg(F.max("seq").alias("m")).collect()[0]
                 self._seq = int(row.m or 0)
-            except Exception:
-                # first write to a not-yet-existing path: the append
-                # itself creates the log (the old contract)
+            except AnalysisException as e:
+                # ONLY the not-yet-existing-path case may fall back to 0
+                # (the append itself creates the log — the old
+                # contract). Any other failure must propagate: silently
+                # restarting at seq=0 on a transient read error would
+                # order new writes BELOW history and no-op deletes.
+                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                    raise
                 self._seq = 0
         self._seq += 1
         return self._seq
@@ -194,10 +201,16 @@ class VectorCollection:
         """Milvus filter-expression delete (client.delete(filter=...),
         pythonvectordbceph_milvus.py:108-113). Tombstones are appended
         straight from the matching DataFrame — no collect(), so a broad
-        predicate can't blow up driver memory."""
+        predicate can't blow up driver memory. The matched key set is
+        persisted so the snapshot window pipeline runs once, not once
+        for the emptiness probe and again for the append."""
         snap = self.snapshot()
         cond = filter_expr.translate(expr, snap)
-        self._append_tombstones(snap.filter(cond).select("key"))
+        keys = snap.filter(cond).select("key").persist()
+        try:
+            self._append_tombstones(keys)
+        finally:
+            keys.unpersist()
 
     # --- reads ------------------------------------------------------
     def snapshot(self) -> DataFrame:
@@ -217,6 +230,12 @@ class VectorCollection:
         decision)."""
         from .operators.ivf import build_ivf
 
+        if self.metric not in ("l2", "euclidean"):
+            raise ValueError(
+                f"IVF index supports the L2 metric only (collection metric "
+                f"{self.metric!r}); mirror of the reference's IVF_FLAT/L2 — "
+                "use exact search for other metrics"
+            )
         self._ivf = build_ivf(
             self.snapshot(), nlist=nlist, vec_col="embedding", id_col="key"
         )
@@ -240,7 +259,8 @@ class VectorCollection:
         self._seq = 0  # re-derive from the rewritten log on next write
         self._ivf = None  # index plans reference the replaced files
         hpath = self.spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-        fs = self.spark._jvm.org.apache.hadoop.fs.FileSystem.get(  # noqa: SLF001
+        # path-resolved FS, not the cluster default (they can differ)
+        fs = hpath(tmp).getFileSystem(  # noqa: SLF001
             self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
         fs.delete(hpath(tmp), True)
@@ -266,7 +286,9 @@ class VectorCollection:
 
         ``approx=True`` probes the IVF index (create_index first):
         nprobe/nlist of the clusters are scanned instead of the full
-        collection — the reference's IVF_FLAT search path."""
+        collection — the reference's IVF_FLAT search path (L2 only;
+        create_index rejects other metrics). Approx results are
+        (key, cluster_id, distance)."""
         if approx:
             if self._ivf is None:
                 raise ValueError("no index: call create_index() first "

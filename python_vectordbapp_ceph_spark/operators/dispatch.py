@@ -33,6 +33,9 @@ def route_modalities(
     """
     from ..embed.embedders import image_embed_udf, text_embed_udf
 
+    # the three branch filters each re-read the input; persist so an
+    # expensive upstream (decode UDFs, joins) is paid once per action
+    df = df.persist()
     m = F.lower(F.col(modality_col))
     texts = df.filter(m == "text").withColumn(
         "embedding", text_embed_udf(F.col(text_col))

@@ -175,11 +175,16 @@ class _Parser:
                 # is not JSON). JSON-string columns need the opposite.
                 # With no schema available, assume MapType (the
                 # collection schema's tags/props are maps).
-                if dtype.startswith("map<") or not dtype:
+                if dtype.startswith("map<"):
+                    col = F.try_element_at(col, F.lit(key_s))
+                    # nested access continues with the map's VALUE type
+                    m = re.match(r"map<[^,]+,(.+)>$", dtype)
+                    dtype = m.group(1).strip() if m else ""
+                elif not dtype:
                     col = F.try_element_at(col, F.lit(key_s))
                 else:
                     col = F.get_json_object(col.cast("string"), f"$.{key_s}")
-                dtype = ""
+                    dtype = "string"  # JSON extraction yields a string
             return col
         raise FilterExprError(f"unexpected token {k}")
 

@@ -91,7 +91,9 @@ def build_ivf(
     from pyspark.ml.functions import array_to_vector
 
     feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    n = feats.count()
+    # count BEFORE the projection: over parquet this resolves from row-
+    # group statistics (no data scan), so sizing the sample is ~free
+    n = df.count()
     if n > fit_sample_rows:
         fit_df = feats.sample(fraction=min(1.0, fit_sample_rows / n * 1.1), seed=seed)
     else:

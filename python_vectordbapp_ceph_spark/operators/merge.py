@@ -96,9 +96,9 @@ def merge_into(
     # dynamic overwrite leaves its stale files — drop those dirs
     survivors = {r._kb for r in result.select("_kb").distinct().collect()}
     hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    fs = spark._jvm.org.apache.hadoop.fs.FileSystem.get(  # noqa: SLF001
-        spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    )
+    # resolve the filesystem FROM the path (s3a://, hdfs://, file://),
+    # not the cluster default FS — they routinely differ
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     for b in set(buckets) - survivors:
         fs.delete(hpath(f"{path}/_kb={b}"), True)
     # the session caches the path's file listing; later reads must see

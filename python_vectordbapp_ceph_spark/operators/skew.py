@@ -25,14 +25,27 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join on ``on`` with the left (large/skewed) side salted and
     the right side replicated ``salt``×. Same rows as left.join(right,
-    on, how); supports inner and left joins."""
+    on, how); supports inner and left joins.
+
+    The salt derives from ``salt_cols`` (default: every hashable left
+    column — xxhash64 rejects MapType, so map columns are skipped).
+    The salt must vary WITHIN a hot key: if the key is the only
+    hashable column, pass explicit discriminator columns."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
+    if salt_cols is None:
+        salt_cols = [c for c, t in left.dtypes if not t.startswith("map<")]
+    if not salt_cols or salt_cols == [on]:
+        raise ValueError(
+            "no salt discriminator: every non-map left column equals the "
+            "join key — pass salt_cols with columns that vary within a key"
+        )
     lsalt = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
     )
     rsalt = right.crossJoin(
         F.broadcast(

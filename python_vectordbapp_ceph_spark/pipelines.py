@@ -50,16 +50,23 @@ def near_dup_drop_list(
     # shingle sets back by id (blocking key = the candidate pair itself)
     from .operators.dedup import shingles
 
-    sh = docs.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sh = docs.select(
+        F.col(id_col),
+        shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.col("n_sh").alias("n_b"))
+    # same single-intersect |A∪B| = |A|+|B|-|A∩B| formulation as
+    # dedup.jaccard_pairs (codegen CSEs the repeated inter subtree)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / (F.size("sh_a") + F.size("sh_b")
-               - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double"),
+            inter.cast("double")
+            / (F.col("n_a") + F.col("n_b") - inter).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )

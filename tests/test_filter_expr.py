@@ -78,6 +78,34 @@ def test_json_string_access(df):
     assert keys(df, 'props["k"] == "1"') == {"a"}
 
 
+def test_nested_json_access(spark):
+    """Regression: the second level of col["a"]["b"] compiled to
+    try_element_at on a string and raised AnalysisException."""
+    df = spark.createDataFrame(
+        [("x", '{"a": {"b": "1"}}'), ("y", '{"a": {"b": "2"}}')],
+        "key string, props string",
+    )
+    got = {r.key for r in df.filter(
+        translate('props["a"]["b"] == "2"', df)).collect()}
+    assert got == {"y"}
+
+
+def test_nested_map_access(spark):
+    from pyspark.sql import types as TT
+
+    schema = TT.StructType([
+        TT.StructField("key", TT.StringType()),
+        TT.StructField("m", TT.MapType(
+            TT.StringType(),
+            TT.MapType(TT.StringType(), TT.StringType()))),
+    ])
+    df = spark.createDataFrame(
+        [("x", {"a": {"b": "1"}}), ("y", {"a": {"b": "2"}})], schema
+    )
+    got = {r.key for r in df.filter(translate('m["a"]["b"] == "2"', df)).collect()}
+    assert got == {"y"}
+
+
 def test_empty_expr_matches_all(df):
     assert keys(df, "") == {"a", "b", "c"}
     assert keys(df, "   ") == {"a", "b", "c"}

@@ -22,21 +22,7 @@ def oracle_con():
     con.close()
 
 
-def _norm(v):
-    if isinstance(v, float):
-        return "NaN" if v != v else v + 0.0
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
-
-
-def _canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(
-        (tuple(_norm(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple((x is None, str(type(x)), x) for x in t),
-    )
-    return [cols[i] for i in order], out
+from python_vectordbapp_ceph_spark.queries._compare import canon as _canon
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

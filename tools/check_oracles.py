@@ -19,27 +19,10 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from python_vectordbapp_ceph_spark.io import TABLES  # noqa: E402
+from python_vectordbapp_ceph_spark.queries._compare import canon as df_rows  # noqa: E402
 from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-
-
-def norm_cell(v):
-    if isinstance(v, float):
-        # exact comparison is the point; only normalize -0.0 and NaN repr
-        if v != v:
-            return "NaN"
-        return v + 0.0
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
-    return v
-
-
-def df_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
-    return [cols[i] for i in order], out
 
 
 def main() -> int:
