@@ -216,6 +216,31 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_base(spark, path).select("o_orderkey", "val")
 
 
+# --- deterministic train/valid/test split ----------------------------------
+
+@register(
+    "q_train_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs FROM (
+        SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents)
+    GROUP BY split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable 80/10/10 split: membership is a pure function of
+    doc_id (randomSplit shifts rows when the partitioning changes —
+    unusable for reproducible training corpora)."""
+    from ..operators.split import deterministic_split
+
+    d = T(spark, sf_dir, "documents")
+    return deterministic_split(d, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # --- LLM training-data pipeline (composed plan, rows-only) -----------------
 
 @register("q_training_pipeline")

@@ -41,6 +41,24 @@ def test_prepare_training_corpus(spark):
     assert abs(norm - 1.0) < 1e-6
 
 
+def test_deterministic_split_stable_under_repartition(spark):
+    """Membership is a pure function of the id: repartitioning (which
+    shifts randomSplit) changes nothing."""
+    from python_vectordbapp_ceph_spark.operators.split import deterministic_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.split) for r in deterministic_split(df, "doc_id").collect()}
+    b = {(r.doc_id, r.split)
+         for r in deterministic_split(df.repartition(17), "doc_id").collect()}
+    assert a == b
+    frac = {}
+    for _, s in a:
+        frac[s] = frac.get(s, 0) + 1
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.05 < frac["valid"] / 2000 < 0.15
+    assert 0.05 < frac["test"] / 2000 < 0.15
+
+
 def test_quality_and_lang_filters_reduce(spark):
     loose = prepare_training_corpus(spark, SF_DIR, min_quality=0.0, lang=None).count()
     strict = prepare_training_corpus(spark, SF_DIR, min_quality=0.5, lang="en").count()
