@@ -216,6 +216,23 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_base(spark, path).select("o_orderkey", "val")
 
 
+# --- sequence packing (token-budget bin packing) ---------------------------
+
+@register("q_pack_sequences")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing via applyInPandas over stable hash
+    buckets (deterministic, but stateful-per-bucket → no SQL oracle;
+    invariants are pytest-verified). Output: pack-level fill stats."""
+    from ..functions.text import token_count_ws
+    from ..operators.packing import pack_sequences, pack_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    packed = pack_sequences(d, budget=256, n_buckets=8)
+    return pack_stats(packed, budget=256)
+
+
 # --- deterministic train/valid/test split ----------------------------------
 
 @register(

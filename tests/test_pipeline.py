@@ -59,6 +59,41 @@ def test_deterministic_split_stable_under_repartition(spark):
     assert 0.05 < frac["test"] / 2000 < 0.15
 
 
+def test_pack_sequences_invariants(spark):
+    """Every doc packed exactly once; no pack over budget unless a
+    single oversized doc; deterministic across repartitionings."""
+    from python_vectordbapp_ceph_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    rows = [(i, 10 + (i * 37) % 300) for i in range(500)]  # some > budget
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    budget = 256
+    packed = pack_sequences(df, budget=budget, n_buckets=8).collect()
+    assert len(packed) == 500
+    assert len({r.doc_id for r in packed}) == 500
+
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pack in by_pack.values():
+        total = sum(r.n_tokens for r in pack)
+        if total > budget:
+            assert len(pack) == 1  # only an oversized solo doc may exceed
+
+    again = pack_sequences(df.repartition(13), budget=budget, n_buckets=8).collect()
+    assert {(r.doc_id, r.pack_id) for r in again} == {
+        (r.doc_id, r.pack_id) for r in packed
+    }
+
+    stats = pack_stats(
+        pack_sequences(df, budget=budget, n_buckets=8), budget=budget
+    ).collect()
+    assert all(s.n_docs >= 1 for s in stats)
+    assert sum(s.n_docs for s in stats) == 500
+
+
 def test_quality_and_lang_filters_reduce(spark):
     loose = prepare_training_corpus(spark, SF_DIR, min_quality=0.0, lang=None).count()
     strict = prepare_training_corpus(spark, SF_DIR, min_quality=0.5, lang="en").count()
