@@ -73,6 +73,69 @@ def near_dup_drop_list(
     return verified.select(F.col("id_b").alias(id_col)).distinct()
 
 
+def decontaminate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    eval_splits: tuple[str, ...] = ("valid", "test"),
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop TRAIN documents that are
+    near-duplicates of any eval-split document (train→eval leakage
+    silently inflates evaluation scores).
+
+    Same LSH-candidates → exact-Jaccard-verify funnel as near-dup
+    removal, but only CROSS-split pairs matter and only the train side
+    is dropped — eval rows are never touched. Returns the input minus
+    contaminated train rows.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+
+    from .operators.dedup import shingles
+
+    sh = docs.select(
+        F.col(id_col), F.col(split_col),
+        shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a"),
+                  F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b"),
+                  F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (
+        cands.join(a, "id_a").join(b, "id_b")
+        # only train↔eval pairs are contamination
+        .filter(
+            ((F.col("split_a") == "train") & F.col("split_b").isin(*eval_splits))
+            | ((F.col("split_b") == "train") & F.col("split_a").isin(*eval_splits))
+        )
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    dirty_train = (
+        pairs.select(
+            F.when(F.col("split_a") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
+    )
+    # anti-join is conditioned on split=='train' so an eval row sharing
+    # an id (impossible here, but cheap insurance) is never dropped
+    return docs.join(
+        F.broadcast(dirty_train.withColumnRenamed(id_col, "_dirty_id")),
+        (F.col(id_col) == F.col("_dirty_id")) & (F.col(split_col) == "train"),
+        "left_anti",
+    )
+
+
 def prepare_training_corpus(
     spark: SparkSession,
     sf_dir: str,

@@ -216,6 +216,21 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_base(spark, path).select("o_orderkey", "val")
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+@register("q_decontaminate")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the corpus, then drop train docs near-duplicating eval
+    docs (train→eval leakage). LSH stage → rows-only; the drop logic
+    is pytest-verified on a constructed contamination case."""
+    from ..operators.split import deterministic_split
+    from ..pipelines import decontaminate
+
+    d = deterministic_split(T(spark, sf_dir, "documents"), "doc_id")
+    clean = decontaminate(d, jaccard_threshold=0.8)
+    return clean.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # --- sequence packing (token-budget bin packing) ---------------------------
 
 @register("q_pack_sequences")

@@ -59,6 +59,24 @@ def test_deterministic_split_stable_under_repartition(spark):
     assert 0.05 < frac["test"] / 2000 < 0.15
 
 
+def test_decontaminate_drops_only_dirty_train(spark):
+    """A train doc near-duplicating a test doc is dropped; the test doc
+    and clean train docs survive."""
+    from python_vectordbapp_ceph_spark.pipelines import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    rows = [
+        (1, base, "train"),                              # contaminated
+        (2, base.replace("dog", "cat"), "test"),          # near-dup of 1
+        (3, "completely unrelated text about spark engines", "train"),
+        (4, base.replace("day", "night"), "valid"),       # near-dup of 1 too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {(r.doc_id, r.split) for r in
+           decontaminate(docs, jaccard_threshold=0.5).collect()}
+    assert out == {(2, "test"), (3, "train"), (4, "valid")}
+
+
 def test_pack_sequences_invariants(spark):
     """Every doc packed exactly once; no pack over budget unless a
     single oversized doc; deterministic across repartitionings."""
