@@ -178,6 +178,73 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(d, bands=4)
 
 
+@register(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(range(len(t) - 1),
+                          i -> t[i+1] || ' ' || t[i+2])) AS bg
+            FROM toks WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg)
+    SELECT doc_id,
+           round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher/RefinedWeb-style): fraction of
+    the document occupied by its most frequent bigram. High values mark
+    boilerplate/spam. explode → two-level hash aggregate, all JVM-side."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i + 1),
+                              F.element_at(F.col("t"), i + 2)),
+    )
+    exploded = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    cnt = exploded.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+
+
+@register(
+    "q_vocab_topk",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_LOWER}) AS tok FROM documents)
+    SELECT tok, COUNT(*) AS freq
+    FROM toks GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top 50 — the
+    tokenizer-training input. explode → hash aggregate →
+    TakeOrderedAndProject; at 100 TB the aggregate partial-combines
+    map-side so the shuffle carries (token, count), not tokens."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(50)
+    )
+
+
 @register("q_dedup_near_mllib")
 def q_dedup_near_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stock-Spark variant: MLlib MinHashLSH.approxSimilarityJoin over
