@@ -32,24 +32,9 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_for_fingerprint, fingerprint
 
 # Persisted intermediates (LSH banded tables, shingle sets) — kept so
-# self-joins don't recompute their pipeline per side. Tracked here and
-# releasable: a long-lived session (driver gate, bench loop) calls
-# release_caches() to drop them instead of accumulating.
-_PERSISTED: list[DataFrame] = []
-
-
-def _tracked_persist(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df.persist())
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every intermediate this module has cached."""
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+# self-joins don't recompute their pipeline per side; tracked in the
+# shared registry so long-lived sessions can release them.
+from ..cache import release_caches, tracked_persist as _tracked_persist  # noqa: E402,F401
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:

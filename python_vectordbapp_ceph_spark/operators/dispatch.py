@@ -31,11 +31,13 @@ def route_modalities(
     Returns the input plus ``embedding`` (384-d text / 512-d image /
     null) and ``status`` ('ok' | 'unsupported_type').
     """
+    from ..cache import tracked_persist
     from ..embed.embedders import image_embed_udf, text_embed_udf
 
     # the three branch filters each re-read the input; persist so an
     # expensive upstream (decode UDFs, joins) is paid once per action
-    df = df.persist()
+    # (tracked: cache.release_caches() frees it in long-lived sessions)
+    df = tracked_persist(df)
     m = F.lower(F.col(modality_col))
     texts = df.filter(m == "text").withColumn(
         "embedding", text_embed_udf(F.col(text_col))

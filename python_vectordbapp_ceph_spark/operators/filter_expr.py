@@ -174,17 +174,25 @@ class _Parser:
                 # stringified map silently returns NULL (map<...>'s cast
                 # is not JSON). JSON-string columns need the opposite.
                 # With no schema available, assume MapType (the
-                # collection schema's tags/props are maps).
+                # collection schema's tags/props are maps). STRING
+                # values are treated as JSON documents on further
+                # access (NULL when not JSON); access inside any other
+                # primitive value is rejected loudly at translate time
+                # (a silent always-NULL predicate would make filtered
+                # deletes no-op).
                 if dtype.startswith("map<"):
                     col = F.try_element_at(col, F.lit(key_s))
-                    # nested access continues with the map's VALUE type
-                    m = re.match(r"map<[^,]+,(.+)>$", dtype)
-                    dtype = m.group(1).strip() if m else ""
-                elif not dtype:
-                    col = F.try_element_at(col, F.lit(key_s))
+                    dtype = _map_value_type(dtype)
+                elif not dtype or dtype == "string":
+                    # JSON path: string columns (and string map values)
+                    # are treated as JSON documents
+                    col = F.get_json_object(col.cast("string"), f"$.{key_s}") \
+                        if dtype == "string" else F.try_element_at(col, F.lit(key_s))
+                    dtype = "string" if dtype == "string" else ""
                 else:
-                    col = F.get_json_object(col.cast("string"), f"$.{key_s}")
-                    dtype = "string"  # JSON extraction yields a string
+                    raise FilterExprError(
+                        f"cannot access key {key_s!r} inside a {dtype} value"
+                    )
             return col
         raise FilterExprError(f"unexpected token {k}")
 
@@ -201,6 +209,21 @@ class _Parser:
         if kind == "null":
             return None
         raise FilterExprError(f"expected literal, got {kind} {v!r}")
+
+
+def _map_value_type(dtype: str) -> str:
+    """Value type of a map<K,V> simpleString — splits on the top-level
+    comma so key types containing commas (decimal(10,2)) parse right."""
+    inner = dtype[4:-1]
+    depth = 0
+    for i, ch in enumerate(inner):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return inner[i + 1:].strip()
+    return ""
 
 
 def _unquote(s: str) -> str:

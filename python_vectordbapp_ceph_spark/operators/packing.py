@@ -42,6 +42,11 @@ def pack_sequences(
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        if pdf["_bkt"].isna().any():
+            raise ValueError(
+                f"pack_sequences: null/non-integer {id_col} — every row "
+                "needs a valid integer id for stable bucketing"
+            )
         bucket = int(pdf["_bkt"].iloc[0])
         pack_local, used = 0, 0
         packs = []

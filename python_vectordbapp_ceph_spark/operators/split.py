@@ -18,9 +18,16 @@ KNUTH = 2654435761  # 2^32 / golden ratio, the classic multiplicative hash
 
 
 def split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
-    """Stable bucket in [0, n_buckets) from an integer id."""
+    """Stable bucket in [0, n_buckets) from an integer id.
+
+    Defined for the FULL signed-64-bit id range: the id is first folded
+    to 31 bits with pmod (non-negative, so sign-preserving SQL ``%``
+    oracles reproduce it via ((x % m) + m) % m), and the 31-bit × 33-bit
+    product stays under 2^63 — no overflow under ANSI mode.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(F.pmod(c.cast("long") * F.lit(KNUTH), F.lit(1 << 32)), F.lit(n_buckets))
+    folded = F.pmod(c.cast("long"), F.lit(1 << 31))
+    return F.pmod(F.pmod(folded * F.lit(KNUTH), F.lit(1 << 32)), F.lit(n_buckets))
 
 
 def deterministic_split(

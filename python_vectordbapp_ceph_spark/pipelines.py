@@ -98,22 +98,33 @@ def decontaminate(
 
     from .operators.dedup import shingles
 
-    sh = docs.select(
-        F.col(id_col), F.col(split_col),
-        shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a"),
-                  F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b"),
-                  F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    pairs = (
-        cands.join(a, "id_a").join(b, "id_b")
-        # only train↔eval pairs are contamination
+    # Attach the CHEAP (id, split) columns first and reduce to
+    # cross-split pairs, THEN join the heavy shingle arrays onto the
+    # survivors only. With 80/10/10 splits ~65% of candidate pairs are
+    # train-train/eval-eval — joining shingles before the split filter
+    # would shuffle the widest column in the pipeline for pairs that
+    # can never be contamination.
+    splits = docs.select(F.col(id_col), F.col(split_col))
+    cross = (
+        cands.join(splits.select(F.col(id_col).alias("id_a"),
+                                 F.col(split_col).alias("split_a")), "id_a")
+        .join(splits.select(F.col(id_col).alias("id_b"),
+                            F.col(split_col).alias("split_b")), "id_b")
         .filter(
             ((F.col("split_a") == "train") & F.col("split_b").isin(*eval_splits))
             | ((F.col("split_b") == "train") & F.col("split_a").isin(*eval_splits))
         )
+    )
+    sh = docs.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (
+        cross.join(a, "id_a").join(b, "id_b")
         .withColumn(
             "jaccard",
             inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double"),

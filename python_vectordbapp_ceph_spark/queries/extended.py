@@ -254,10 +254,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_train_split",
     oracle="""
     SELECT split, COUNT(*) AS n_docs FROM (
-        SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
+        SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
                     ELSE 'test' END AS split
-        FROM documents)
+        FROM (SELECT ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                      * 2654435761) % 4294967296 % 100 AS b
+              FROM documents))
     GROUP BY split
     """,
 )
