@@ -42,6 +42,10 @@ HEADLINE = [
     "q_vector_distance",   # 3-metric distance scan
     "q_tpch_q3_shape",     # selective join chain + agg + top-k
     "q_tpch_q5_shape",     # 6-way join
+    "q_vocab_topk",        # explode + global aggregate + top-k
+    "q_repetition_stats",  # two-level aggregate per doc
+    "q_train_split",       # deterministic split hash
+    "q_merge_into",        # partition-pruned MERGE end-to-end
 ]
 
 

@@ -242,6 +242,19 @@ class VectorCollection:
         self._nprobe = nprobe
         return self
 
+    def maybe_compact(self, max_log_ratio: float = 3.0) -> bool:
+        """Compaction policy: rewrite when the change log has grown past
+        ``max_log_ratio``× the live row count (reads pay the
+        last-writer-wins window over the whole log, so unbounded
+        history degrades every query). Returns True if compacted —
+        the maintenance-cadence hook a scheduler calls after ingest."""
+        log_rows = self._log().count()
+        live_rows = self.snapshot().count()
+        if live_rows == 0 or log_rows <= max_log_ratio * live_rows:
+            return False
+        self.compact()
+        return True
+
     def compact(self) -> None:
         """Rewrite the log as its resolved snapshot (all seq collapsed
         to a fresh base). Reads amortize: the last-writer-wins window

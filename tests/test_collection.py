@@ -145,6 +145,16 @@ def test_first_upsert_on_fresh_path(spark, tmp_path):
     assert c.snapshot().count() == 1
 
 
+def test_maybe_compact_policy(spark, coll):
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
+    assert coll.maybe_compact(max_log_ratio=3.0) is False  # 1 log / 1 live
+    for v in range(4):  # churn the same key → log 5, live 1
+        coll.upsert(make_rows(spark, [("k1", [float(v), 0.0, 0.0, 0.0], None)]))
+    assert coll.maybe_compact(max_log_ratio=3.0) is True
+    assert coll._log().count() == 1
+    assert coll.snapshot().first().embedding == [3.0, 0.0, 0.0, 0.0]
+
+
 def test_apply_change_log_cdc(spark):
     """Batch CDC resolve: base ∪ log, last-writer-wins, deletes drop —
     the webhook Put/Copy-vs-Delete branch as one set operation."""
