@@ -219,6 +219,55 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lexical_diversity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+    SELECT doc_id,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS unique_ratio,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + mean word length: the cheap lexical-diversity
+    quality signals (low TTR = repetitive boilerplate)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    total_len = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return t.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"), 6,
+        ).alias("unique_ratio"),
+        F.round(total_len.cast("double") / F.size("toks").cast("double"), 6).alias(
+            "mean_word_len"
+        ),
+    )
+
+
+@register("q_freq_items")  # approximate sketch → rows-only
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameStatFunctions.freqItems: approximate heavy hitters in
+    one pass (the scale path where exact top-k by count would group
+    the full column)."""
+    o = T(spark, sf_dir, "orders")
+    freq = o.stat.freqItems(["o_orderpriority"], support=0.1)
+    return freq.select(
+        F.explode("o_orderpriority_freqItems").alias("frequent_priority")
+    )
+
+
+@register(
     "q_vocab_topk",
     oracle=f"""
     WITH toks AS (SELECT unnest({_TOKS_LOWER}) AS tok FROM documents)
