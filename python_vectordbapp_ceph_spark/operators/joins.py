@@ -27,15 +27,44 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     payload_order: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the payload of the
-    right row with the greatest ``right_ts <= left_ts`` for the same key
-    (ties on right_ts break by greatest ``payload_order``).
+    """As-of join: for each left row, attach the payload of the right
+    row with the greatest ``right_ts <= left_ts`` (direction
+    'backward', the default) or the smallest ``right_ts >= left_ts``
+    ('forward' — "next event after") for the same key. Ties on
+    right_ts break deterministically by ``payload_order``.
 
     Returns all left columns plus ``payload_cols`` (null if no match).
     One shuffle on the key; deterministic, so it has an exact SQL oracle
     (row_number over the range join — same result, different plan).
+
+    The forward direction is the same union-sort machinery run on
+    NEGATED timestamps: min(right_ts >= t) ≡ max(-right_ts <= -t).
     """
+    if direction == "forward":
+        orig_type = dict(left.dtypes)[left_ts]
+
+        def neg(df, ts):
+            # parquet timestamps read as TIMESTAMP_NTZ; unix_micros
+            # needs TIMESTAMP — cast through it (session TZ is pinned
+            # UTC by the loaders, so the round-trip is lossless)
+            return df.withColumn(
+                ts, -F.unix_micros(F.col(ts).cast("timestamp"))
+            )
+
+        out = asof_join(
+            neg(left, left_ts).withColumnRenamed(left_ts, "_negts"),
+            neg(right, right_ts).withColumnRenamed(right_ts, "_negts_r"),
+            left_key, right_key, "_negts", "_negts_r",
+            payload_cols, payload_order,
+        )
+        restored = out.withColumn(
+            left_ts, F.timestamp_micros(-F.col("_negts")).cast(orig_type)
+        ).drop("_negts")
+        return restored.select(*left.columns, *payload_cols)
+    if direction != "backward":
+        raise ValueError("direction must be 'backward' or 'forward'")
     left_cols = left.columns
     # The payload struct leads with (ts, order) so struct ordering gives
     # the deterministic "latest right row" under the running last().

@@ -254,6 +254,42 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
 
 
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT o.o_orderkey, x.event_id AS next_event
+    FROM orders o
+    LEFT JOIN (
+        SELECT o2.o_orderkey AS okey, e.event_id,
+               row_number() OVER (
+                   PARTITION BY o2.o_orderkey
+                   ORDER BY e.ts ASC, e.event_id DESC) AS rn
+        FROM orders o2
+        JOIN events e ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+    ) x ON x.okey = o.o_orderkey AND x.rn = 1
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the EARLIEST event at-or-after each order — the
+    union-sort machinery on negated timestamps (no row explosion).
+    Orders whose customer never produced an event exercise the null
+    path; the rest match their user's first event."""
+    e = T(spark, sf_dir, "events")
+    o = T(spark, sf_dir, "orders")
+    out = asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        e,
+        left_key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload_cols=["event_id"],
+        payload_order="event_id",
+        direction="forward",
+    )
+    return out.select("o_orderkey", F.col("event_id").alias("next_event"))
+
+
 # --- C11 hash aggregate (TPC-H Q1 shape) ----------------------------------
 
 @register(

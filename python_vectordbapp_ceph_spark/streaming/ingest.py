@@ -95,11 +95,17 @@ def ingest_stream(
     endpoint: str = "http://rgw",
     checkpoint_dir: str | None = None,
     object_text: DataFrame | None = None,
+    compact_log_ratio: float | None = None,
 ):
     """Wire a parsed event stream into a VectorCollection via
     foreachBatch. ``object_text`` (key → text) stands in for the S3
     get_object fetch in hermetic tests; on a real deployment this is a
     binaryFile/text read against s3a://.
+
+    ``compact_log_ratio`` enables post-batch auto-compaction: when the
+    change log outgrows that multiple of the live rows, the batch hook
+    rewrites it (maintenance amortized into ingest, so read latency
+    doesn't degrade with stream lifetime).
 
     Returns the StreamingQuery (caller awaits/stops).
     """
@@ -137,6 +143,8 @@ def ingest_stream(
                 # tombstones appended straight from the DataFrame — the
                 # delete key set never visits the driver
                 collection.delete_keys_df(dels.select("key").distinct())
+            if compact_log_ratio is not None:
+                collection.maybe_compact(max_log_ratio=compact_log_ratio)
         finally:
             batch_df.unpersist()
 

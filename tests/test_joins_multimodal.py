@@ -30,6 +30,25 @@ def test_asof_join_small_case(spark):
     assert got == {1: "z", 2: "b", 3: None, 4: None}
 
 
+def test_date_partitioned_scan_prunes(spark, tmp_path):
+    """Year-partitioned layout: a year filter becomes PartitionFilters
+    — the scan never opens the other years' files."""
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    o.write.partitionBy("o_year").parquet(path)
+    table = spark.read.parquet(path)
+    pruned = table.filter(F.col("o_year") == 1996)
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    want = o.filter(F.col("o_year") == 1996).count()
+    assert pruned.count() == want > 0
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key pre-shuffles at WRITE time:
     the join plan shows no Exchange — at 100 TB this converts every
