@@ -568,7 +568,9 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings)
     SELECT vec_id,
            round(v[1], 6) AS first_el,
-           list_transform(v[1:4], x -> round(x, 6)) AS head4,
+           round(v[2], 6) AS h2,
+           round(v[3], 6) AS h3,
+           round(v[4], 6) AS h4,
            round(list_max(v), 6) AS vmax,
            round(list_min(v), 6) AS vmin,
            len(v) AS n,
@@ -584,7 +586,13 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.round(F.element_at(v, 1), 6).alias("first_el"),
-        F.transform(F.slice(v, 1, 4), lambda x: F.round(x, 6)).alias("head4"),
+        # Scalar columns, not array<double>: the driver's pandas canonicalizer
+        # sorts values before hashing and cannot sort list cells (round-3 red
+        # row). round(x,6) double parity with DuckDB is proven; string
+        # formatting parity is not, so scalars beat concat_ws here.
+        F.round(F.element_at(v, 2), 6).alias("h2"),
+        F.round(F.element_at(v, 3), 6).alias("h3"),
+        F.round(F.element_at(v, 4), 6).alias("h4"),
         F.round(F.array_max(v), 6).alias("vmax"),
         F.round(F.array_min(v), 6).alias("vmin"),
         F.size(v).cast("long").alias("n"),

@@ -38,6 +38,25 @@ def test_query_matches_oracle(spark, oracle_con, name):
     assert srows == orows
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_query_output_is_hashable(spark, name):
+    """The driver's pandas canonicalizer sorts cell values before hashing
+    and cannot handle array/map/struct cells (round-3 `q_array_funcs`
+    red row). Every oracle-checked query must emit scalar columns only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, SF_DIR).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} returns non-scalar columns {complex_cols}; the driver "
+        "hasher cannot sort them — project to scalars or drop the oracle"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
