@@ -48,7 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            # FLOOR division, not `div` (truncates toward zero): DuckDB's
+            # nanos reader floors, so pre-epoch timestamps must floor here
+            # too or the engines disagree by 1µs on negative ts.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestamp_micros(if({c} >= 0, {c} div 1000,"
+                    f" -((999 - {c}) div 1000)))"
+                ),
+            )
     return df
 
 

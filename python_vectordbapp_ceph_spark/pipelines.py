@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache import tracked_persist
 from .functions import text as X
 from .functions import vector as V
 from .io import load_table
@@ -50,10 +51,15 @@ def near_dup_drop_list(
     # shingle sets back by id (blocking key = the candidate pair itself)
     from .operators.dedup import shingles
 
-    sh = docs.select(
-        F.col(id_col),
-        shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    # persisted: `sh` feeds BOTH sides of the verify join, and without a
+    # materialization barrier the normalize→split→shingle pipeline —
+    # the dominant cost of this stage — computes twice
+    sh = tracked_persist(
+        docs.select(
+            F.col(id_col),
+            shingles(text_col, shingle_n).alias("sh"),
+        ).withColumn("n_sh", F.size("sh"))
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
                   F.col("n_sh").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
@@ -115,9 +121,12 @@ def decontaminate(
             | ((F.col("split_b") == "train") & F.col("split_a").isin(*eval_splits))
         )
     )
-    sh = docs.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    # persisted for the same two-sided-join reason as near_dup_drop_list
+    sh = tracked_persist(
+        docs.select(
+            F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+        ).withColumn("n_sh", F.size("sh"))
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
                   F.col("n_sh").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),

@@ -143,6 +143,72 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_right",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.o_orderkey, -1) AS okey,
+           coalesce(CAST(o.o_totalprice AS DOUBLE), 0.0) AS total,
+           o.o_orderkey IS NULL AS no_order
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 2000
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 right outer join: preserved customer side keeps customers with
+    no orders; null side coalesced to sentinels so every output cell is
+    deterministic and driver-hashable. Same physical plan as the left
+    join with sides swapped — one shuffle on the join key."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .where(F.col("c_custkey") <= 2000)
+        .select(
+            "c_custkey",
+            F.coalesce("o_orderkey", F.lit(-1)).alias("okey"),
+            F.coalesce(F.col("o_totalprice").cast("double"), F.lit(0.0)).alias(
+                "total"
+            ),
+            F.col("o_orderkey").isNull().alias("no_order"),
+        )
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH a AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+               FROM customer WHERE c_custkey <= 1000),
+         b AS (SELECT c_custkey AS k, c_mktsegment AS seg
+               FROM customer WHERE c_custkey BETWEEN 500 AND 1500)
+    SELECT coalesce(a.k, b.k) AS k,
+           coalesce(a.bal, -1.0) AS bal,
+           coalesce(b.seg, 'NONE') AS seg,
+           a.k IS NULL AS only_b,
+           b.k IS NULL AS only_a
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 full outer join over two overlapping key ranges, so both sides
+    contribute unmatched rows; keys coalesced for deterministic output."""
+    c = T(spark, sf_dir, "customer")
+    a = c.where(F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("ak"), F.col("c_acctbal").cast("double").alias("bal")
+    )
+    b = c.where(F.col("c_custkey").between(500, 1500)).select(
+        F.col("c_custkey").alias("bk"), F.col("c_mktsegment").alias("seg")
+    )
+    return a.join(b, a.ak == b.bk, "full").select(
+        F.coalesce("ak", "bk").alias("k"),
+        F.coalesce("bal", F.lit(-1.0)).alias("bal"),
+        F.coalesce("seg", F.lit("NONE")).alias("seg"),
+        F.col("ak").isNull().alias("only_b"),
+        F.col("bk").isNull().alias("only_a"),
+    )
+
+
+@register(
     "q_join_broadcast",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_customers
@@ -812,6 +878,54 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    WITH m AS (SELECT event_id, event_type AS et,
+                      json_extract_string(props, '$.k') AS kv
+               FROM events)
+    SELECT event_id,
+           'etype,k' AS keys_csv,
+           et || ',' || kv AS vals_csv,
+           '{"etype":"' || et || '","k":"' || kv || '"}' AS as_json,
+           et AS etype_val,
+           CAST(kv AS BIGINT) AS k_from_map,
+           CAST(2 AS BIGINT) AS n_entries,
+           '{"k":"' || kv || '"}' AS only_k_json,
+           '{"etype":"' || upper(et) || '","k":"' || kv || '"}' AS upper_json
+    FROM m
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 map-function bundle over the collection's tags/props shape
+    (MapType mirrors Milvus JSON tags, reference
+    milvus-app/pythonvectordbceph_milvus.py:96): create_map, map_keys,
+    map_values, element_at, size, map_filter, transform_values, to_json.
+    Keys sorted / creation-ordered so every string output is deterministic;
+    the oracle reconstructs the same JSON literally. All JVM-side Catalyst
+    expressions — zero Python."""
+    e = T(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return e.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("vals_csv"),
+        F.to_json(m).alias("as_json"),
+        F.element_at(m, "etype").alias("etype_val"),
+        F.element_at(F.from_json("props", "map<string,bigint>"), "k").alias(
+            "k_from_map"
+        ),
+        F.size(m).cast("long").alias("n_entries"),
+        F.to_json(F.map_filter(m, lambda k, v: k == "k")).alias("only_k_json"),
+        F.to_json(F.transform_values(m, lambda k, v: F.upper(v))).alias(
+            "upper_json"
+        ),
     )
 
 

@@ -109,7 +109,7 @@ def ingest_stream(
 
     Returns the StreamingQuery (caller awaits/stops).
     """
-    from ..collection import object_url
+    from ..collection import object_url_col
     from ..embed import text_embed_udf
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -130,8 +130,8 @@ def ingest_stream(
             if not ups.isEmpty():
                 rows = ups.select(
                     F.col("key"),
-                    F.concat(
-                        F.lit(endpoint + "/"), F.col("bucket"), F.lit("/"), F.col("key")
+                    object_url_col(
+                        endpoint, F.col("bucket"), F.col("key")
                     ).alias("url"),
                     text_embed_udf(F.col("text")).alias("embedding"),
                     F.col("tags"),

@@ -155,6 +155,22 @@ def test_maybe_compact_policy(spark, coll):
     assert coll.snapshot().first().embedding == [3.0, 0.0, 0.0, 0.0]
 
 
+def test_maybe_compact_cheap_gate(spark, coll, monkeypatch):
+    """Per-batch policy calls must not pay the full snapshot resolve:
+    an unchanged log short-circuits on the footer count alone, and a
+    below-threshold log reuses the cached live count."""
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
+    assert coll.maybe_compact(max_log_ratio=3.0) is False  # primes the cache
+    monkeypatch.setattr(
+        coll, "snapshot",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("expensive resolve ran")),
+    )
+    assert coll.maybe_compact(max_log_ratio=3.0) is False  # unchanged log
+    coll.upsert(make_rows(spark, [("k2", [2.0, 0.0, 0.0, 0.0], None)]))
+    # log=2, cached live=1, 2 <= 3.0*1 → still no snapshot resolve
+    assert coll.maybe_compact(max_log_ratio=3.0) is False
+
+
 def test_apply_change_log_cdc(spark):
     """Batch CDC resolve: base ∪ log, last-writer-wins, deletes drop —
     the webhook Put/Copy-vs-Delete branch as one set operation."""

@@ -25,6 +25,28 @@ def test_near_dup_drop_list(spark):
     assert drops == {2}  # larger id of the verified pair drops
 
 
+def test_verify_funnel_shingles_computed_once(spark):
+    """The shingle side feeds BOTH halves of the verify self-join; it
+    must come from the persisted intermediate (InMemoryTableScan per
+    side), not recompute the normalize→split→shingle pipeline twice."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.pipelines import decontaminate
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared shingle words", "train")
+         for i in range(6)],
+        "doc_id long, text string, split string",
+    )
+    try:
+        plan = explain_str(near_dup_drop_list(docs), "simple")
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        plan2 = explain_str(decontaminate(docs), "simple")
+        assert plan2.count("InMemoryTableScan") >= 2, plan2
+    finally:
+        release_caches()
+
+
 def test_prepare_training_corpus(spark):
     out = prepare_training_corpus(spark, SF_DIR, min_quality=0.0, lang=None)
     rows = out.collect()

@@ -39,6 +39,8 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    from python_vectordbapp_ceph_spark.cache import release_caches
+
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -52,6 +54,10 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        finally:
+            # a ~90-query sweep would otherwise accumulate every
+            # operator's tracked persist for the whole session
+            release_caches()
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
