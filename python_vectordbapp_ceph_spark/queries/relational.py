@@ -500,16 +500,83 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stats_moments")  # float accumulation order → rows-only
+@register(
+    "q_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_discount AS DECIMAL(9,2))
+                      * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_discount AS DECIMAL(9,2))
+                      * CAST(l_discount AS DECIMAL(9,2))
+                      * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sddd
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round(sqrt((spp - sp * sp / n) / (n - 1.0)), 2) AS price_sd,
+           round((n * sqp - sq * sp)
+                 / sqrt(n * sqq - sq * sq)
+                 / sqrt(n * spp - sp * sp), 4) AS qty_price_corr,
+           round((sddd / n - 3.0 * (sd / n) * (sdd / n)
+                  + 2.0 * (sd / n) * (sd / n) * (sd / n))
+                 / ((sdd / n - (sd / n) * (sd / n))
+                    * sqrt(sdd / n - (sd / n) * (sd / n))), 4) AS disc_skew
+    FROM s
+    """,
+)
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution statistics (stddev/corr/skewness): single-pass
-    mergeable moment aggregates — scale-safe, but their double
-    accumulation is partition-order-dependent, so rows-only."""
+    """Distribution statistics (stddev/corr/skewness) from exact raw
+    moments: the decimal sums are order-insensitive (all inputs are
+    2dp), so partial+final aggregation at any parallelism yields the
+    identical value; the moment formulas then run as scalar double
+    expressions — the same IEEE ops in both engines, hence exact
+    oracle parity (promoted from rows-only in round 4). A pytest pins
+    these to Spark's builtin stddev_samp/corr/skewness within 1e-9
+    so the semantics stay the builtins' semantics."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.skewness("l_discount"), 4).alias("disc_skew"),
+    p, q = dec2("l_extendedprice"), dec2("l_quantity")
+    # narrow decimal for the cube: (18,2)^3 would overflow 38-digit
+    # precision; discount ∈ [0,1] with 2dp fits (9,2) and its cube (29,6)
+    d = F.col("l_discount").cast("decimal(9,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum((d * d) * d).cast("double").alias("sddd"),
+    )
+    n, sp, spp = F.col("n"), F.col("sp"), F.col("spp")
+    sq, sqq, sqp = F.col("sq"), F.col("sqq"), F.col("sqp")
+    sd, sdd, sddd = F.col("sd"), F.col("sdd"), F.col("sddd")
+    mu = sd / n
+    m2 = sdd / n - mu * mu
+    return s.select(
+        "l_returnflag",
+        F.round(F.sqrt((spp - sp * sp / n) / (n - F.lit(1.0))), 2).alias("price_sd"),
+        F.round(
+            (n * sqp - sq * sp)
+            / F.sqrt(n * sqq - sq * sq)
+            / F.sqrt(n * spp - sp * sp),
+            4,
+        ).alias("qty_price_corr"),
+        F.round(
+            (sddd / n - F.lit(3.0) * mu * (sdd / n) + F.lit(2.0) * mu * mu * mu)
+            / (m2 * F.sqrt(m2)),
+            4,
+        ).alias("disc_skew"),
     )
 
 

@@ -63,6 +63,33 @@ def test_rows_only_query_runs(spark, name):
     assert df.count() >= 0
 
 
+def test_stats_moments_match_builtin_aggregates(spark):
+    """q_stats_moments computes stddev/corr/skewness from exact raw
+    moments (for oracle parity); its values must stay the builtins'
+    semantics — pin them to stddev_samp/corr/skewness within fp noise."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.queries.relational import q_stats_moments
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    builtin = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("price_sd"),
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.skewness("l_discount").alias("disc_skew"),
+        )
+        .collect()
+    }
+    for r in q_stats_moments(spark, SF_DIR).collect():
+        b = builtin[r["l_returnflag"]]
+        assert abs(r["price_sd"] - b["price_sd"]) < 5e-3
+        assert abs(r["qty_price_corr"] - b["qty_price_corr"]) < 5e-5
+        assert abs(r["disc_skew"] - b["disc_skew"]) < 5e-5
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as m
 
