@@ -1,0 +1,362 @@
+"""Deeper analytics surface: classic TPC-H query shapes over the
+driver tables plus the SQL-subquery and conditional-aggregate forms
+(the query capability the reference delegates wholesale to its
+backend — milvus-app/describe.py:26-31 exposes filter/query over
+collections; a user replacing that backend needs the full relational
+question set, not just point filters).
+
+Every query here follows the registry's determinism rules
+(queries/__init__.py): decimal-exact money aggregation, identical
+scalar double math in both engines, unique-key tiebreaks on any
+top-k, and scalar (driver-hashable) output columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ._common import T, dec2
+
+def _disc_price():
+    """Revenue term shared by the TPC-H shapes: price * (1 - discount)
+    in exact decimal — order-insensitive at any parallelism. Built
+    lazily (Column construction needs an active SparkContext)."""
+    return dec2("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - dec2("l_discount")
+    )
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate.
+    All four predicates push to the parquet scan; the aggregate is a
+    single partial+final pair with no grouping key — the cheapest
+    possible 100 TB query, bounded by scan bandwidth alone."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): selective fact filters →
+    join chain → aggregate → top-20 (TakeOrderedAndProject, tie-broken
+    on the unique custkey). nation broadcasts; the orders date filter
+    prunes before the lineitem join."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    n = T(spark, sf_dir, "nation")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority split; linestatus stands in
+    for the shipmode column the test tables omit): join + pivot-style
+    conditional counts, integer-exact in both engines."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN {_DISC_PRICE_SQL} ELSE 0 END) AS DOUBLE)
+                / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional revenue ratio. Both
+    sums are exact decimals; the single 100*promo/total division runs
+    as the same double ops in both engines. part broadcasts (dim)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            )
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS total,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY total DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered aggregate
+    feeding a semi-join back into the detail — the classic two-pass
+    fact-self-reference. The `big` key set is tiny after HAVING →
+    broadcast semi-join; quantities aggregate in exact decimal."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            F.broadcast(big).withColumnRenamed("l_orderkey", "_big_key"),
+            F.col("o_orderkey") == F.col("_big_key"),
+            "left_semi",
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(dec2("l_quantity")).cast("double").alias("qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total"),
+            "qty",
+        )
+        .orderBy(F.col("total").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface —
+    Catalyst decorrelates both into a left-semi + left-anti join pair
+    (one shuffle each on the correlation key; no per-row subquery
+    execution, which is what makes the form survive 100 TB)."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_an_customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_an_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _an_customer c
+        WHERE EXISTS (SELECT 1 FROM _an_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM _an_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders above 2× the mean price). The mean is
+    an exact decimal sum over a double count — both engines compute
+    the identical threshold, so the filtered set matches exactly.
+    Catalyst evaluates the subquery once and broadcasts the scalar."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_an_orders_sc")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+        FROM _an_orders_sc
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM _an_orders_sc)
+        """
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total,
+           arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+           arg_min(o_orderpriority, o_orderkey) AS first_priority
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if / filtered decimal sum /
+    max_by-min_by. The max_by/min_by ordering value is the UNIQUE
+    orderkey, so the arg extremes are total-ordered and deterministic
+    (an arg over a tied column would be engine-dependent)."""
+    o = T(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(urgent).alias("n_urgent"),
+        F.sum(
+            F.when(urgent, dec2("o_totalprice")).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("urgent_total"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("latest_priority"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+    )
+
+
+@register(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS mixed,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (mask/shift/popcount) — integer-exact in
+    any engine; used by bucketing and fingerprint code paths."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ user_id").alias("mixed"),
+        F.shiftleft("event_id", 2).alias("shl"),
+        F.shiftright("event_id", 3).alias("shr"),
+        F.bit_count("event_id").alias("popcount"),
+    )

@@ -5,7 +5,16 @@ oracle, compares row count, column names, and order-insensitive values
 (columns sorted by name, rows sorted, exact equality). Rows-only
 queries are just executed and row-counted.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--hostile] [--twice] [sf_dir] [query ...]
+
+--hostile: run under a driver-like SparkSession — ANSI on, non-UTC
+  timezone, prime shuffle-partition count, none of get_spark()'s
+  friendly confs. This is the probe that caught round 2's timezone and
+  overflow failures; queries/_common.py::T() pins runtime confs and
+  must keep every query green here.
+--twice: execute each query twice in one session (catches
+  order-dependence and cache-interaction bugs the driver's sweep
+  would surface).
 """
 
 from __future__ import annotations
@@ -26,10 +35,28 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    twice = "--twice" in args
+    args = [a for a in args if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    if hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("hostile-gate")
+            .master("local[4]")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -46,6 +73,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            if twice:
+                fn(spark, sf_dir).collect()
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
