@@ -360,3 +360,36 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("event_id", 3).alias("shr"),
         F.bit_count("event_id").alias("popcount"),
     )
+
+
+@register("q_zorder_pruning")  # layout rewrite + footer-stats audit → rows-only
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout demo (write path): rewrite events clustered on
+    (event_id, user_id), then report file-level stats pruning for a
+    selective user_id range under both a 1-D sorted layout and the
+    Morton layout. Returns one row per layout — the z-order row must
+    show fewer matching files. Rows-only: the output includes write-
+    side file counts, not a SQL-expressible value."""
+    import tempfile
+
+    from ..operators.zorder import file_stats_pruning, zorder_write
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="zorder_q_")
+    linear, zpath = f"{base}/linear", f"{base}/zorder"
+    (
+        e.repartitionByRange(8, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zorder_write(e, ["event_id", "user_id"], zpath, bits=10, num_files=8)
+    uid_max = e.agg(F.max("user_id")).collect()[0][0]
+    pred = {"user_id": (0, max(0, uid_max // 8))}
+    rows = [
+        ("linear_event_id", *file_stats_pruning(linear, pred)),
+        ("zorder_event_user", *file_stats_pruning(zpath, pred)),
+    ]
+    return spark.createDataFrame(
+        rows, "layout string, files_total long, files_matching long"
+    )
