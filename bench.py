@@ -42,6 +42,10 @@ HEADLINE = [
     "q_vector_distance",   # 3-metric distance scan
     "q_tpch_q3_shape",     # selective join chain + agg + top-k
     "q_tpch_q5_shape",     # 6-way join
+    "q_tpch_q6",           # pure scan-filter-agg (scan-bandwidth floor)
+    "q_tpch_q10",          # filtered join chain + agg + top-20
+    "q_tpch_q18",          # HAVING semi-join back into the detail
+    "q_stats_moments",     # exact decimal raw-moment aggregate
     "q_vocab_topk",        # explode + global aggregate + top-k
     "q_repetition_stats",  # two-level aggregate per doc
     "q_train_split",       # deterministic split hash

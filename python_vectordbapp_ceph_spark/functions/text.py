@@ -111,3 +111,65 @@ def fingerprint(text: Column | str) -> Column:
     """128-bit content fingerprint: md5 of the normalized text.
     md5 (not murmur `hash()`) so DuckDB produces identical values."""
     return F.md5(normalize_for_fingerprint(text))
+
+
+# PII scrub patterns, applied in order (email before phone so the
+# digits in a mailbox name can't half-match the phone pattern; IP
+# before phone so dotted octets never feed the phone matcher). Kept
+# RE2-compatible — no backrefs/lookaround — so the identical pattern
+# strings run in Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails / SSN-shaped ids / IPv4s / phone numbers — the
+    standard pre-training privacy pass, as chained JVM regexp_replace
+    (one projection, codegen'd; no Python in the hot path)."""
+    out = _c(text)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def chunk_starts(n_words: Column, stride: int) -> Column:
+    """[0, stride, 2*stride, ...) covering n_words words (empty when
+    the document has no words)."""
+    return F.when(
+        n_words > 0,
+        F.sequence(F.lit(0), n_words - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def chunk_text(df, text_col: str, size: int = 32, stride: int = 16):
+    """Fixed-size word-window chunking with overlap (stride < size) —
+    the sequence-packing precursor every training pipeline runs.
+    One row per (doc, chunk): explode of a per-row start list; all
+    array ops, no UDF. Overlapping chunks deliberately duplicate
+    words — that is the semantics of striding."""
+    words = tokens(text_col)
+    with_words = df.withColumn("_words", words).withColumn(
+        "_n", F.size("_words")
+    )
+    exploded = with_words.select(
+        "*",
+        F.explode(chunk_starts(F.col("_n"), stride)).alias("_start"),
+    )
+    return (
+        exploded.withColumn(
+            "chunk_id", (F.col("_start") / stride).cast("long")
+        )
+        .withColumn(
+            "chunk",
+            F.array_join(F.slice("_words", F.col("_start") + 1, size), " "),
+        )
+        .withColumn(
+            "chunk_words",
+            F.least(F.lit(size), F.col("_n") - F.col("_start")).cast("long"),
+        )
+        .drop("_words", "_n", "_start")
+    )

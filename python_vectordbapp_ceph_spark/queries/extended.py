@@ -388,3 +388,32 @@ def q_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "modality", "status",
         F.coalesce(F.size("embedding"), F.lit(-1)).alias("emb_dim"),
     )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+              * 2654435761) % 4294967296 % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, source
+    FROM b
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified DETERMINISTIC sampling: per-language keep rates
+    (50% en, 10% otherwise — the downsample-the-tail move every corpus
+    mix applies) via the same Knuth-hash bucket as the train split.
+    Membership is a pure function of doc_id — stable across runs,
+    partitionings, and engines; df.sample() can guarantee none of
+    that. Pure scan + filter: the predicate pushes to the scan."""
+    from ..operators.split import split_bucket
+
+    d = T(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(10))
+    return d.filter(split_bucket("doc_id") < rate).select(
+        "doc_id", "lang", "source"
+    )

@@ -303,3 +303,73 @@ def q_dedup_near_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return minhash_lsh_mllib(d, threshold=0.4, num_hash_tables=8)
+
+
+# --- privacy scrub + chunking (training-pipeline text ops) -----------------
+
+@register(
+    "q_pii_scrub",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or 555-867-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.7 ssn 123-45-6789' AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+               '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+    FROM synth
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / SSN-shaped ids / IPv4 / phones) — the
+    pre-training privacy pass. The synthetic corpus contains no PII,
+    so the query plants deterministic PII derived from doc_id in BOTH
+    engines and verifies the scrubbed output hash-exactly. Chained
+    JVM regexp_replace, identical RE2-compatible patterns in the
+    oracle (functions/text.py::PII_PATTERNS)."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-"),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        F.pmod("doc_id", F.lit(256)).cast("string"),
+        F.lit(".7 ssn 123-45-6789"),
+    )
+    return d.select("doc_id", X.scrub_pii(raw).alias("scrubbed"))
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_TOKS} AS words FROM documents),
+         s AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0)
+    SELECT doc_id,
+           CAST(start / 16 AS BIGINT) AS chunk_id,
+           array_to_string(words[start + 1 : start + 32], ' ') AS chunk,
+           CAST(least(32, n - start) AS BIGINT) AS chunk_words
+    FROM s, UNNEST(range(0, n, 16)) AS t(start)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (size 32, stride 16) — the
+    context-window precursor to sequence packing. One explode over a
+    per-row start list; slicing/joining is all JVM array ops
+    (functions/text.py::chunk_text). Scales as a narrow map + explode:
+    no shuffle at all."""
+    d = T(spark, sf_dir, "documents")
+    return X.chunk_text(d, "text", size=32, stride=16).select(
+        "doc_id", "chunk_id", "chunk", "chunk_words"
+    )

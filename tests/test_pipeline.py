@@ -138,3 +138,51 @@ def test_quality_and_lang_filters_reduce(spark):
     loose = prepare_training_corpus(spark, SF_DIR, min_quality=0.0, lang=None).count()
     strict = prepare_training_corpus(spark, SF_DIR, min_quality=0.5, lang="en").count()
     assert strict <= loose
+
+
+def test_scrub_pii_redacts_all_kinds(spark):
+    from python_vectordbapp_ceph_spark.functions.text import scrub_pii
+
+    rows = spark.createDataFrame(
+        [
+            ("mail a.b+c@sub.example.org now", "mail <EMAIL> now"),
+            ("call 555-867-5309 or +1 nothing", "call <PHONE> or +1 nothing"),
+            ("host 192.168.001.1 down", "host <IP> down"),
+            ("ssn 078-05-1120 leaked", "ssn <ID> leaked"),
+            ("clean text stays clean", "clean text stays clean"),
+            # phone-vs-ip overlap: dotted octets must become IP, not PHONE
+            ("a 10.0.3.7 b 555 867 5309 c", "a <IP> b <PHONE> c"),
+        ],
+        "raw string, want string",
+    )
+    from pyspark.sql import functions as F
+
+    bad = rows.withColumn("got", scrub_pii("raw")).filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_chunk_text_windows_and_edges(spark):
+    from python_vectordbapp_ceph_spark.functions.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # 5 words, size 3 stride 2 -> starts 0,2,4
+            (2, "solo"),        # 1 word -> one short chunk
+            (3, ""),            # empty -> no chunks
+            (4, "   "),         # whitespace only -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_text(docs, "text", size=3, stride=2)
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk, r.chunk_words)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("c d e", 3),
+        (1, 2): ("e", 1),
+        (2, 0): ("solo", 1),
+    }
