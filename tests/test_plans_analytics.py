@@ -1,0 +1,47 @@
+"""Plan hygiene for the round-4 analytics queries: the predicates must
+reach the parquet scans and the dimension sides must broadcast — the
+properties that make these shapes survive a 100× scale-up."""
+
+from python_vectordbapp_ceph_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+)
+from python_vectordbapp_ceph_spark.queries.analytics import (
+    q_exists_subquery,
+    q_tpch_q6,
+    q_tpch_q10,
+    q_tpch_q14,
+    q_tpch_q18,
+)
+
+from conftest import SF_DIR
+
+
+def test_q6_predicates_push_to_scan(spark):
+    pushed = pushed_filters(q_tpch_q6(spark, SF_DIR))
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "l_discount" in joined and "l_quantity" in joined
+
+
+def test_q10_filters_push_and_nation_broadcasts(spark):
+    q = q_tpch_q10(spark, SF_DIR)
+    joined = " ".join(pushed_filters(q))
+    assert "o_orderdate" in joined and "l_returnflag" in joined
+    assert has_broadcast_join(q)
+
+
+def test_q14_part_broadcasts(spark):
+    assert has_broadcast_join(q_tpch_q14(spark, SF_DIR))
+
+
+def test_q18_semi_join_broadcasts(spark):
+    plan = explain_str(q_tpch_q18(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_exists_subquery_decorrelates_to_joins(spark):
+    """EXISTS/NOT EXISTS must compile to semi/anti joins, not a per-row
+    subquery plan."""
+    plan = explain_str(q_exists_subquery(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
