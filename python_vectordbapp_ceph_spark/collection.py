@@ -222,14 +222,31 @@ class VectorCollection:
             keys.unpersist()
 
     # --- reads ------------------------------------------------------
-    def snapshot(self) -> DataFrame:
+    def snapshot(self, as_of_seq: int | None = None) -> DataFrame:
         """Strong-consistency read: resolve last-writer-wins, drop
         deleted keys (batch snapshot ≡ the reference's
-        consistency_level='Strong', milvus-app/search.py:18)."""
+        consistency_level='Strong', milvus-app/search.py:18).
+
+        ``as_of_seq`` is a time-travel read: resolve the log AS OF that
+        writer sequence — every later upsert/delete is invisible. The
+        change-log layout makes this free (one pushable ``seq <=`` scan
+        filter); compaction collapses history, so travel reaches back
+        only to the last compact — the retention trade every log-
+        structured table makes."""
+        log = self._log()
+        if as_of_seq is not None:
+            log = log.filter(F.col("seq") <= as_of_seq)
         resolved = mutation.upsert_last_writer(
-            self._log(), ["key"], "seq", tiebreak_cols=["ingest_ts"]
+            log, ["key"], "seq", tiebreak_cols=["ingest_ts"]
         )
         return resolved.filter(F.col("op") != "delete").drop("op", "seq")
+
+    @property
+    def current_seq(self) -> int:
+        """The latest writer sequence in the log — the token a caller
+        captures for later ``snapshot(as_of_seq=...)`` reads."""
+        row = self._log().agg(F.max("seq").alias("m")).collect()[0]
+        return int(row.m or 0)
 
     def create_index(self, nlist: int = 16, nprobe: int = 4) -> "VectorCollection":
         """Build the IVF coarse quantizer over the current snapshot —

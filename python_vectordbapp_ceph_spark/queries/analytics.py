@@ -393,3 +393,51 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, files_total long, files_matching long"
     )
+
+
+@register(
+    "q_window_navigation",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           coalesce(CAST(lag(o_totalprice) OVER w AS DOUBLE), -1.0) AS prev_total,
+           coalesce(CAST(lead(o_totalprice) OVER w AS DOUBLE), -1.0) AS next_total,
+           CAST(first_value(o_totalprice) OVER w2 AS DOUBLE) AS first_total,
+           CAST(last_value(o_totalprice) OVER w2 AS DOUBLE) AS last_total,
+           coalesce(CAST(nth_value(o_totalprice, 2) OVER w2 AS DOUBLE), -1.0)
+             AS second_total,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation surface (C15/C16 completion): lag/lead,
+    first/last/nth value over the full-partition frame, ntile,
+    percent_rank, cume_dist — all ordered by the UNIQUE orderkey so
+    every value is total-ordered and engine-independent. One shuffle
+    on the partition key serves all ten expressions (same window)."""
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.col("o_totalprice").cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.lag(total).over(w), F.lit(-1.0)).alias("prev_total"),
+        F.coalesce(F.lead(total).over(w), F.lit(-1.0)).alias("next_total"),
+        F.first(total).over(w2).alias("first_total"),
+        F.last(total).over(w2).alias("last_total"),
+        F.coalesce(F.nth_value(total, 2).over(w2), F.lit(-1.0)).alias(
+            "second_total"
+        ),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

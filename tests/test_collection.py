@@ -196,3 +196,21 @@ def test_describe(spark, coll):
     coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
     d = coll.describe()
     assert d["dim"] == DIM and d["live_rows"] == 1
+
+
+def test_time_travel_snapshot(spark, coll):
+    """snapshot(as_of_seq=...) sees the collection as it was at that
+    writer sequence: later upserts and deletes are invisible."""
+    coll.upsert(make_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
+    coll.upsert(make_rows(spark, [("k2", [0.0, 1.0, 0.0, 0.0], None)]))
+    seq_before = coll.current_seq
+    coll.upsert(make_rows(spark, [("k1", [9.0, 9.0, 9.0, 9.0], None)]))
+    coll.delete_keys(["k2"])
+
+    now = {r.key: r.embedding for r in coll.snapshot().collect()}
+    assert set(now) == {"k1"} and now["k1"] == [9.0, 9.0, 9.0, 9.0]
+
+    then = {r.key: r.embedding for r in
+            coll.snapshot(as_of_seq=seq_before).collect()}
+    assert set(then) == {"k1", "k2"}
+    assert then["k1"] == [1.0, 0.0, 0.0, 0.0]
