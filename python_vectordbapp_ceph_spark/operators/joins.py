@@ -63,8 +63,49 @@ def asof_join(
             left_ts, F.timestamp_micros(-F.col("_negts")).cast(orig_type)
         ).drop("_negts")
         return restored.select(*left.columns, *payload_cols)
+    if direction == "nearest":
+        # Run the backward and forward passes with direction-prefixed
+        # payloads (each pass is the one-shuffle union form; nearest
+        # costs two), then pick per row by absolute time delta —
+        # equal deltas break to the BACKWARD match (the pandas
+        # merge_asof convention a feature pipeline expects).
+        def prefixed(prefix: str) -> tuple[DataFrame, list[str], str]:
+            pc = [f"{prefix}{c}" for c in payload_cols] + [f"{prefix}_rts"]
+            rr = right.select(
+                F.col(right_key),
+                F.col(right_ts),
+                F.col(right_ts).alias(f"{prefix}_rts"),
+                *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+            )
+            return rr, pc, f"{prefix}{payload_order}"
+
+        rb, pcb, ob = prefixed("_b_")
+        rf, pcf, of = prefixed("_f_")
+        step = asof_join(
+            left, rb, left_key, right_key, left_ts, right_ts, pcb, ob,
+            "backward",
+        )
+        step = asof_join(
+            step, rf, left_key, right_key, left_ts, right_ts, pcf, of,
+            "forward",
+        )
+        lts = F.unix_micros(F.col(left_ts).cast("timestamp"))
+        delta_b = lts - F.unix_micros(F.col("_b__rts").cast("timestamp"))
+        delta_f = F.unix_micros(F.col("_f__rts").cast("timestamp")) - lts
+        use_b = F.col("_b__rts").isNotNull() & (
+            F.col("_f__rts").isNull() | (delta_b <= delta_f)
+        )
+        return step.select(
+            *left.columns,
+            *[
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(c)
+                for c in payload_cols
+            ],
+        )
     if direction != "backward":
-        raise ValueError("direction must be 'backward' or 'forward'")
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     left_cols = left.columns
     # The payload struct leads with (ts, order) so struct ordering gives
     # the deterministic "latest right row" under the running last().

@@ -356,6 +356,45 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", F.col("event_id").alias("next_event"))
 
 
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT e.event_id, x.o_orderkey AS near_orderkey
+    FROM events e
+    LEFT JOIN (
+        SELECT e2.event_id AS eid, o.o_orderkey,
+               row_number() OVER (
+                   PARTITION BY e2.event_id
+                   ORDER BY abs(epoch_us(e2.ts) - epoch_us(o.o_orderdate)) ASC,
+                            CASE WHEN o.o_orderdate <= e2.ts THEN 0 ELSE 1 END ASC,
+                            o.o_orderkey DESC) AS rn
+        FROM events e2
+        JOIN orders o ON o.o_custkey = e2.user_id
+    ) x ON x.eid = e.event_id AND x.rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (completes the C9 family): the order
+    closest in time to each event, either side. Two union-form passes
+    (backward + forward), per-row pick by absolute delta; equal deltas
+    take the backward match, equal timestamps within a direction take
+    the max orderkey — fully total-ordered, hence the exact oracle."""
+    e = T(spark, sf_dir, "events")
+    o = T(spark, sf_dir, "orders")
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        payload_order="o_orderkey",
+        direction="nearest",
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("near_orderkey"))
+
+
 # --- C11 hash aggregate (TPC-H Q1 shape) ----------------------------------
 
 @register(

@@ -30,6 +30,28 @@ def test_asof_join_small_case(spark):
     assert got == {1: "z", 2: "b", 3: None, 4: None}
 
 
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 60), (3, 10, 300), (4, 99, 100)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, "early"), (10, 110, "late")],
+        "k long, t long, payload string",
+    )
+    out = asof_join(
+        left, right,
+        left_key="k", right_key="k", left_ts="t", right_ts="t",
+        payload_cols=["payload"], payload_order="payload",
+        direction="nearest",
+    )
+    got = {r.eid: r.payload for r in out.collect()}
+    # eid=1: |100-90| == |110-100| -> tie -> backward match wins.
+    # eid=2: only forward candidates -> early. eid=3: only backward -> late.
+    # eid=4: no key match at all -> null.
+    assert got == {1: "early", 2: "early", 3: "late", 4: None}
+
+
 def test_date_partitioned_scan_prunes(spark, tmp_path):
     """Year-partitioned layout: a year filter becomes PartitionFilters
     — the scan never opens the other years' files."""
