@@ -26,7 +26,7 @@ dedup, Jaccard verify) carry full SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_for_fingerprint, fingerprint
@@ -348,4 +348,105 @@ def minhash_lsh_mllib(
         .select(F.col(f"datasetA.{id_col}").alias("id_a"),
                 F.col(f"datasetB.{id_col}").alias("id_b"),
                 F.round("jaccard_dist", 6).alias("jaccard_dist"))
+    )
+
+
+def srp_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection (SRP / hyperplane-LSH) band signatures
+    for cosine similarity — the vector-space analog of the text
+    SimHash above. Each bit is sign(v · h_i) for a seeded Gaussian
+    hyperplane h_i; collision probability per bit is 1 − θ/π, so
+    near-parallel vectors collide on whole bands.
+
+    The hyperplanes are driver-generated constants (seeded numpy →
+    array literals): n_bits × dim doubles ride the plan, the dot
+    products run as codegen'd zip_with/aggregate folds — no UDF, no
+    shuffle until the band grouping. Returns (id, band, band_value).
+    """
+    import numpy as np
+
+    if n_bits % bands:
+        raise ValueError("n_bits must divide evenly into bands")
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for i in range(n_bits):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(v, h, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((dot >= 0).cast("int"))
+    rows_per_band = n_bits // bands
+    band_cols = []
+    for b in range(bands):
+        expr: Column = F.lit(0)
+        for j in range(rows_per_band):
+            expr = F.shiftleft(expr, 1).bitwiseOR(bits[b * rows_per_band + j])
+        band_cols.append(expr.alias(f"_band{b}"))
+    sigs = df.select(F.col(id_col), *band_cols)
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"_band{b}").alias("val")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bv"),
+    ).select(F.col(id_col), F.col("_bv.band").alias("band"), F.col("_bv.val").alias("val"))
+
+
+def srp_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs WITHOUT a blocking label: SRP band
+    buckets propose candidates (equi-join on (band, value) — no n²),
+    exact cosine verifies. The scale path when no natural block key
+    exists; with one, prefer embedding_near_dups' co-located join."""
+    from ..functions import vector as V
+
+    # persisted: the band table feeds BOTH sides of the bucket
+    # self-join — without the barrier the 16 dot-product folds run
+    # twice over the corpus (the self-join double-eval trap)
+    sigs = _tracked_persist(
+        srp_signatures(df, vec_col, id_col, dim, n_bits, bands, seed)
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "val")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "val")
+    cands = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    base = df.select(F.col(id_col), F.col(vec_col))
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(V.cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

@@ -283,3 +283,16 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
     )
+
+
+@register("q_srp_near_dup")  # hyperplane-LSH buckets → approximate → rows-only
+def q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup pairs over the embeddings
+    table — the no-blocking-key scale path for embedding-cosine dedup
+    (candidates from band-bucket equi-joins, exact cosine verify; no
+    n² stage anywhere). Approximate by construction → rows-only;
+    recall pinned in tests/test_dedup.py on planted clusters."""
+    from ..operators.dedup import srp_near_dups
+
+    e = T(spark, sf_dir, "embeddings")
+    return srp_near_dups(e, dim=64, threshold=0.3, n_bits=16, bands=8)

@@ -88,3 +88,54 @@ def test_jaccard_values_exact(spark):
     # tokens {a,b,c,d} vs {a,b,c,e}: 3/5
     assert out[(1, 2)] == 0.6
     assert out[(1, 3)] == 0.0
+
+
+def test_srp_near_dup_recall_on_planted_clusters(spark):
+    """Hyperplane-LSH (SRP) must recover planted near-duplicate pairs:
+    clusters of tiny perturbations around random centers, plus noise
+    vectors. Recall of cosine>=0.95 ground truth must be high and no
+    reported pair may be below the verify threshold (precision = 1 by
+    construction)."""
+    import numpy as np
+
+    from python_vectordbapp_ceph_spark.operators.dedup import srp_near_dups
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    rows = []
+    vid = 0
+    for c in range(10):  # 10 clusters x 3 members = planted dups
+        center = rng.standard_normal(dim)
+        for _ in range(3):
+            v = center + rng.standard_normal(dim) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(100):  # noise
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in srp_near_dups(
+            df, dim=dim, threshold=0.95, n_bits=16, bands=8
+        ).collect()
+    }
+    planted = {
+        (c * 3 + i, c * 3 + j)
+        for c in range(10)
+        for i in range(3)
+        for j in range(i + 1, 3)
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    # every reported pair really is a near-dup (exact verify stage)
+    import math
+
+    by_id = {r_[0]: r_[1] for r_ in rows}
+    for ia, ib in got:
+        va, vb = by_id[ia], by_id[ib]
+        cos = sum(x * y for x, y in zip(va, vb)) / (
+            math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(x * x for x in vb))
+        )
+        assert cos >= 0.95 - 1e-6
