@@ -441,3 +441,44 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "q_array_set_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             range(o_orderkey % 5, o_orderkey % 5 + 4) AS a,
+             range(o_orderkey % 3, o_orderkey % 3 + 4) AS b
+      FROM orders)
+    SELECT o_orderkey,
+           array_to_string(list_sort(list_distinct(a || b)), ',') AS union_csv,
+           coalesce(array_to_string(list_sort(list_filter(a,
+                      x -> list_contains(b, x))), ','), '') AS intersect_csv,
+           coalesce(array_to_string(list_sort(list_filter(a,
+                      x -> NOT list_contains(b, x))), ','), '') AS except_csv,
+           CAST(list_position(a, (o_orderkey % 5) + 2) AS INTEGER) AS pos_of_third,
+           list_contains(b, 3) AS has_three
+    FROM t
+    """,
+)
+def q_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (C22 completion): union/intersect/except,
+    position, contains — over integer sequences derived from the key
+    (deterministic). Set results are sorted then joined to strings so
+    the output is scalar and order-canonical in both engines."""
+    o = T(spark, sf_dir, "orders")
+    a = F.sequence(F.pmod("o_orderkey", F.lit(5)), F.pmod("o_orderkey", F.lit(5)) + 3)
+    b = F.sequence(F.pmod("o_orderkey", F.lit(3)), F.pmod("o_orderkey", F.lit(3)) + 3)
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(",", F.array_sort(F.array_union(a, b))).alias("union_csv"),
+        F.concat_ws(",", F.array_sort(F.array_intersect(a, b))).alias(
+            "intersect_csv"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except(a, b))).alias("except_csv"),
+        F.array_position(a, F.pmod("o_orderkey", F.lit(5)) + 2)
+        .cast("int")
+        .alias("pos_of_third"),
+        F.array_contains(b, 3).alias("has_three"),
+    )
