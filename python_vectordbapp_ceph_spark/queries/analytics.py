@@ -482,3 +482,84 @@ def q_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos_of_third"),
         F.array_contains(b, 3).alias("has_three"),
     )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted skew join (operators/skew.py): the probe side
+    gets a deterministic xxhash64 salt, the build side replicates
+    salt×, the hot key spreads over salt partitions — and the RESULT
+    is row-identical to the plain equi-join, which is exactly what the
+    oracle states. Registered so the skew path sits in the driver
+    gate, not only in pytest."""
+    from ..operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    out = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        salt=4,
+        salt_cols=["l_linenumber"],
+    )
+    return out.select(
+        F.col("k").alias("l_orderkey"), "l_linenumber", "o_orderstatus"
+    )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+             o_orderkey % 3 + 1 AS seq,
+             o_orderpriority AS val
+      FROM orders WHERE o_orderkey % 2 = 0),
+    base AS (
+      SELECT o_orderkey AS key, 'upsert' AS op, 0 AS seq,
+             o_orderstatus AS val
+      FROM orders),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM log),
+    ranked AS (
+      SELECT key, op, val,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM unioned)
+    SELECT key, val FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC resolve (operators/mutation.py::apply_change_log):
+    base ∪ change-log, last-writer-wins per key, final-delete keys
+    drop — the webhook Put/Copy-vs-Delete branch as one set operation.
+    The log here is derived deterministically from orders (even keys
+    mutate; every 10th deletes) so the oracle can state the same
+    resolve with a window."""
+    from ..operators.mutation import apply_change_log
+
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(0).cast("long").alias("seq"),
+        F.col("o_orderstatus").alias("val"),
+    )
+    log = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 10 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        (F.pmod("o_orderkey", F.lit(3)) + 1).cast("long").alias("seq"),
+        F.col("o_orderpriority").alias("val"),
+    )
+    return apply_change_log(base, log, key_cols=["key"], ts_col="seq").select(
+        "key", "val"
+    )
