@@ -563,3 +563,33 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_change_log(base, log, key_cols=["key"], ts_col="seq").select(
         "key", "val"
     )
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN []
+                  ELSE range(0, o_orderkey % 4 + 1) END AS items
+      FROM orders),
+    e AS (
+      SELECT t.o_orderkey, u.item
+      FROM t LEFT JOIN LATERAL (SELECT unnest(items) AS item) u ON true)
+    SELECT o_orderkey,
+           coalesce(CAST(item AS BIGINT), -1) AS item
+    FROM e
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (explode_outer): rows with an empty
+    array survive with a sentinel instead of disappearing — the
+    semantics a fact-expansion join needs when absence is data. The
+    oracle states it as a left lateral unnest."""
+    o = T(spark, sf_dir, "orders")
+    items = F.when(
+        F.pmod("o_orderkey", F.lit(7)) == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.sequence(F.lit(0).cast("bigint"), F.pmod("o_orderkey", F.lit(4))))
+    return o.select("o_orderkey", F.explode_outer(items).alias("item")).select(
+        "o_orderkey", F.coalesce("item", F.lit(-1)).alias("item")
+    )
