@@ -148,10 +148,13 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     status, read it back, aggregate — proves the write path preserves
     rows and the partition layout prunes on read. At scale partitionBy
     is the layout that turns status filters into directory pruning."""
-    # fixed per-SF path, overwritten each call: repeated driver/test
-    # invocations must not accumulate temp copies of the table
+    # per-(SF, process) path, overwritten each call: repeated calls in
+    # one session don't accumulate copies, and CONCURRENT gate
+    # processes (driver + local soak) can't overwrite each other's
+    # files mid-read — a fixed path was a real observed flake
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"sink_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"sink_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     o = T(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out_dir)
@@ -186,9 +189,11 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("val"),
         F.lit(0).cast("long").alias("ts"),
     )
+    # per-process scratch for the same concurrent-gate reason as
+    # q_sink_roundtrip above
     path = os.path.join(
         tempfile.gettempdir(),
-        f"merge_q_{os.path.basename(sf_dir.rstrip('/'))}", "base",
+        f"merge_q_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}", "base",
     )
     write_bucketed_base(base, path, "o_orderkey", n_buckets=16)
     spark.catalog.refreshByPath(path)
