@@ -110,3 +110,56 @@ def write_partitioned(index: IVFIndex, path: str) -> None:
     """Persist the inverted-file layout: parquet partitioned by
     cluster_id, so probes become partition-pruned scans."""
     index.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def search_batch(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    q_vec_col: str = "q_embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Batch IVF probe: top-k per query for MANY queries in one plan.
+
+    Per query the nprobe nearest centroids resolve driver-side (the
+    centroid table is tiny), producing a (q_id, cluster_id) probe
+    list. The index joins that list on cluster_id — so each query
+    only meets the rows of its own probed inverted lists (an equi-join,
+    NOT the crossJoin of the exact batch path) — and a per-query
+    window takes the k nearest survivors.
+
+    At scale: the probe list broadcasts, the join is partition-pruned
+    to the union of probed clusters, and the shuffle for the window
+    carries only candidate rows — nprobe/nlist of the data."""
+    from pyspark.sql import Window
+
+    from ..functions import vector as V
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    # driver-side centroid ranking per query: |Q| × nlist × dim flops
+    probe_rows = [
+        (row[q_id_col], cid, [float(x) for x in row[q_vec_col]])
+        for row in qrows
+        for cid in index.probe_clusters([float(x) for x in row[q_vec_col]], nprobe)
+    ]
+    spark = queries.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"{q_id_col} long, cluster_id int, _qv array<double>"
+    )
+    cand = index.assigned.join(
+        F.broadcast(probes),
+        index.assigned["cluster_id"] == probes["cluster_id"],
+    ).drop(probes["cluster_id"])
+    dist = F.round(
+        V.l2_distance(F.col(index.vec_col).cast("array<double>"), F.col("_qv")), 6
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(index.id_col).asc()
+    )
+    return (
+        cand.withColumn("distance", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id_col, index.id_col, "cluster_id", "distance")
+    )

@@ -296,3 +296,21 @@ def q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     return srp_near_dups(e, dim=64, threshold=0.3, n_bits=16, bands=8)
+
+
+@register("q_ivf_batch_search")  # approximate (pruned probe) → rows-only
+def q_ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF probe: 20 query vectors × pruned inverted lists in a
+    single plan (broadcast probe list → cluster equi-join → per-query
+    window). The batch-ANN scale path; equivalence to the single-query
+    probe and to exact brute force at full probe is pytest-pinned
+    (test_knn.py::test_ivf_search_batch_matches_single_probe)."""
+    from ..operators.ivf import build_ivf, search_batch
+
+    e = T(spark, sf_dir, "embeddings")
+    index = build_ivf(e, nlist=8)
+    queries = e.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_embedding"),
+    )
+    return search_batch(index, queries, k=5, nprobe=2)

@@ -100,3 +100,33 @@ def test_ivf_pruned_probe_recall(vec_df):
     probes = index.probe_clusters(QUERY, 2)
     n_cand = index.assigned.filter(F.col("cluster_id").isin(probes)).count()
     assert n_cand < N
+
+
+def test_ivf_search_batch_matches_single_probe(vec_df, spark):
+    """Batch IVF probe must return, per query, exactly what the
+    single-query probe returns at the same nprobe; full probe must
+    equal exact brute force."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.operators.ivf import build_ivf, search_batch
+    from python_vectordbapp_ceph_spark.operators.knn import knn_topk_batch
+
+    index = build_ivf(vec_df, nlist=4)
+    queries = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding])
+         for r in vec_df.orderBy("vec_id").limit(5).collect()],
+        "q_id long, q_embedding array<double>",
+    )
+    batch = search_batch(index, queries, k=3, nprobe=2)
+    got = {(r.q_id, r.vec_id) for r in batch.collect()}
+    for q in queries.collect():
+        single = index.search(q.q_embedding, k=3, nprobe=2)
+        want = {(q.q_id, r[index.id_col]) for r in single.collect()}
+        assert {(a, b) for a, b in got if a == q.q_id} == want
+
+    # full probe == exact brute force
+    full = search_batch(index, queries, k=3, nprobe=4)
+    exact = knn_topk_batch(vec_df, queries, k=3)
+    assert {(r.q_id, r.vec_id) for r in full.collect()} == {
+        (r.q_id, r.vec_id) for r in exact.collect()
+    }
