@@ -98,3 +98,34 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
     )
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+    SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id
+    FROM events s
+    JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN s.ts - INTERVAL 1 HOUR AND s.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join run on batch inputs (the
+    watermark is a no-op there — streaming/windows.py::
+    stream_stream_join; stream ≡ batch is pytest-pinned). Signups
+    joined to same-user purchases within ±1 hour; state eviction at
+    scale is bounded by watermark + interval."""
+    from ..streaming.windows import stream_stream_join
+
+    e = T(spark, sf_dir, "events")
+    signup = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")
+    )
+    purchase = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    return stream_stream_join(
+        signup, purchase, key="user_id", left_ts="s_ts", right_ts="p_ts"
+    ).select("user_id", "s_id", "p_id")

@@ -164,3 +164,32 @@ def stateful_running_count(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join bounded to ±``within``.
+
+    Both inputs carry watermarks and the join condition carries the
+    time bound, so the state store provably evicts rows older than
+    watermark+within — without the bound a stream-stream join buffers
+    forever. Works identically on batch DataFrames (the watermark is
+    a no-op there), which is how the test proves stream ≡ batch.
+
+    ``left_ts``/``right_ts`` must be distinct column names; both are
+    kept in the output for downstream delta computations."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])

@@ -206,3 +206,42 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     assert len(snap["k2"].embedding) == 384
     assert snap["k2"].tags == {"color": "red"}
     assert snap["k2"].url == "http://rgw/b1/k2"
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked interval join of two event streams (signups ↔
+    purchases per user within ±1 hour) produces exactly the batch
+    join's rows."""
+    from python_vectordbapp_ceph_spark.streaming.windows import stream_stream_join
+
+    events = load_table(spark, SF_DIR, "events")
+    signup = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")
+    )
+    purchase = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    spath, ppath = str(tmp_path / "s"), str(tmp_path / "p")
+    signup.write.parquet(spath)
+    purchase.write.parquet(ppath)
+
+    s_stream = spark.readStream.schema(signup.schema).parquet(spath)
+    p_stream = spark.readStream.schema(purchase.schema).parquet(ppath)
+    joined = stream_stream_join(
+        s_stream, p_stream, key="user_id", left_ts="s_ts", right_ts="p_ts"
+    ).select("user_id", "s_id", "p_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssjoin_test")
+
+    want = stream_stream_join(
+        signup, purchase, key="user_id", left_ts="s_ts", right_ts="p_ts"
+    ).select("user_id", "s_id", "p_id")
+    assert rows_set(got) == rows_set(want)
+    assert want.count() > 0
