@@ -64,3 +64,49 @@ def test_upsert_last_writer_max_ts_wins(spark, rows):
         if key not in want or (ts, val) > want[key]:
             want[key] = (ts, val)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_key_bounds_and_determinism(spark, pts):
+    """Morton keys stay within 2*bits bits, are deterministic, and
+    preserve equality of cells."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    z = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], 10).alias("z")
+    )
+    rows = z.collect()
+    for r in rows:
+        assert 0 <= r.z < (1 << 20)
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault((r.x, r.y), set()).add(r.z)
+    assert all(len(v) == 1 for v in by_cell.values())
+    # distinct cells -> distinct keys (Morton is a bijection)
+    zs = [next(iter(v)) for v in by_cell.values()]
+    assert len(set(zs)) == len(by_cell)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=30, deadline=None)
+def test_scrub_pii_idempotent(spark, text):
+    """scrub(scrub(x)) == scrub(x): redaction tokens never re-match."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([(text,)], "raw string")
+    row = df.select(
+        scrub_pii("raw").alias("once"),
+        scrub_pii(scrub_pii("raw")).alias("twice"),
+    ).collect()[0]
+    assert row.once == row.twice
