@@ -593,3 +593,112 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", F.explode_outer(items).alias("item")).select(
         "o_orderkey", F.coalesce("item", F.lit(-1)).alias("item")
     )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority != '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): left join with an ON-
+    clause filter (kept customers with zero orders count as c_count=0)
+    feeding a second aggregation over the first — the histogram-of-
+    aggregates shape. Two shuffles, both on shrinking data."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): aggregate-then-join-back-on-max — the
+    argmax-via-scalar-subquery shape. The revenue aggregate computes
+    once into the plan twice (Catalyst reuses the exchange); revenue
+    is decimal-exact so the max comparison is deterministic."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.2 * a.aq
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-group average decorrelated into an aggregate-and-rejoin —
+    the standard rewrite that replaces a per-row subquery with one
+    extra shuffle. The mean is an exact decimal sum over a count, so
+    the 0.2×avg threshold compares identically in both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("_pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
