@@ -702,3 +702,121 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking; late-shipment stands in
+    for the commit/receipt columns the test tables omit): correlated
+    EXISTS with an inequality on both sides' columns → left-semi join,
+    then a tiny aggregate."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        filtered.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    OR-of-ANDs filter spans both join sides, so it evaluates post-join
+    while the per-side conjuncts Catalyst can derive (brand/size sets)
+    still push down. part broadcasts."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0.0))
+    SELECT r.c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(r.bal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = r.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY r.c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity; mktsegment stands in
+    for the phone country code): scalar-subquery threshold (exact
+    decimal mean) + anti join against orders + aggregate. The anti
+    join is the scale piece — never materializes the complement."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    mean = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("m"))
+    )
+    rich = c.join(F.broadcast(mean), F.col("c_acctbal") > F.col("m")).select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    return (
+        rich.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec2("bal")).cast("double").alias("totacctbal"),
+        )
+    )
