@@ -643,12 +643,17 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): aggregate-then-join-back-on-max — the
-    argmax-via-scalar-subquery shape. The revenue aggregate computes
-    once into the plan twice (Catalyst reuses the exchange); revenue
-    is decimal-exact so the max comparison is deterministic."""
+    argmax-via-scalar-subquery shape. The revenue aggregate feeds BOTH
+    the max and the join, so it is persisted (one row per supplier —
+    tiny); without the barrier the lineitem scan+shuffle — the
+    dominant cost at scale — executes twice (verified in the physical
+    plan). Revenue is decimal-exact so the max comparison is
+    deterministic."""
+    from ..cache import tracked_persist
+
     li = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
-    revenue = (
+    revenue = tracked_persist(
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
