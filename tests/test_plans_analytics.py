@@ -45,3 +45,17 @@ def test_exists_subquery_decorrelates_to_joins(spark):
     subquery plan."""
     plan = explain_str(q_exists_subquery(spark, SF_DIR), "simple")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q15_revenue_materializes_once(spark):
+    """The revenue aggregate feeds both the max and the join-back; it
+    must come from the persisted intermediate, not re-run the lineitem
+    scan+shuffle per consumer."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.queries.analytics import q_tpch_q15
+
+    try:
+        plan = explain_str(q_tpch_q15(spark, SF_DIR), "simple")
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        release_caches()
