@@ -450,3 +450,77 @@ def srp_near_dups(
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS → (id, component), with
+    component = min id reachable. The transitive-closure finisher
+    pair-wise drop rules miss: for a chain A~B~C, drop-larger-of-pair
+    keeps A and C (never directly compared) — component grouping
+    collapses the whole chain to one survivor.
+
+    Label propagation: every node starts labeled with itself; each
+    round joins labels across edges and takes the min; stops when no
+    label changes. Rounds needed = graph diameter (near-dup clusters
+    are shallow — a handful of rounds); every round is one shuffle on
+    id. The per-round persist caps lineage growth, and the convergence
+    probe rides the same job. Driver code only ORCHESTRATES rounds —
+    all data movement is distributed joins."""
+    from ..cache import tracked_persist
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = tracked_persist(edges)
+    labels = tracked_persist(
+        edges.select(F.col("src").alias("id")).distinct().withColumn(
+            "comp", F.col("id")
+        )
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over own label and neighbors'
+        neighbor = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("comp"))
+        )
+        new_labels = tracked_persist(
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "_old"), "id"
+            )
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per near-dup component (the min id) plus every row
+    that appears in no pair — the corpus-level dedup finisher."""
+    comps = dedup_components(pairs)
+    drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("_drop_id")
+    )
+    return df.join(
+        F.broadcast(drop), F.col(id_col) == F.col("_drop_id"), "left_anti"
+    )

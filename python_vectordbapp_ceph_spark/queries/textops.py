@@ -373,3 +373,31 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_text(d, "text", size=32, stride=16).select(
         "doc_id", "chunk_id", "chunk", "chunk_words"
     )
+
+
+@register("q_dedup_components")  # iterative label propagation → rows-only
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup: LSH candidate pairs → exact-Jaccard
+    verify → connected components (iterative min-label propagation,
+    operators/dedup.py::dedup_components) → one survivor per
+    component. Pair-wise drop rules under-merge chains A~B~C; the
+    component form is what corpus dedup actually ships. Iterative →
+    non-SQL-expressible → rows-only; chain semantics pytest-pinned."""
+    from ..operators.dedup import dedup_components
+    from ..pipelines import near_dup_drop_list
+
+    d = T(spark, sf_dir, "documents")
+    # reuse the verified-pairs funnel, but keep the PAIRS (not drops)
+    from ..operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+
+    sigs = minhash_signatures(d, "text", "doc_id", 16, 3)
+    cands = minhash_lsh_candidates(sigs, "doc_id", 8)
+    comps = dedup_components(cands)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )

@@ -139,3 +139,30 @@ def test_srp_near_dup_recall_on_planted_clusters(spark):
             math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(x * x for x in vb))
         )
         assert cos >= 0.95 - 1e-6
+
+
+def test_dedup_components_collapse_chains(spark):
+    """A~B, B~C, plus an isolated pair D~E: components must be
+    {A,B,C} -> A and {D,E} -> D; survivors keep exactly one per
+    component plus untouched rows."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.operators.dedup import (
+        dedup_components,
+        dedup_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    try:
+        comps = {r.id: r.comp for r in dedup_components(pairs).collect()}
+        assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+        assert kept == {1, 10, 99}
+    finally:
+        release_caches()
