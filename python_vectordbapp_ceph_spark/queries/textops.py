@@ -383,18 +383,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component. Pair-wise drop rules under-merge chains A~B~C; the
     component form is what corpus dedup actually ships. Iterative →
     non-SQL-expressible → rows-only; chain semantics pytest-pinned."""
-    from ..operators.dedup import dedup_components
-    from ..pipelines import near_dup_drop_list
-
-    d = T(spark, sf_dir, "documents")
-    # reuse the verified-pairs funnel, but keep the PAIRS (not drops)
     from ..operators.dedup import (
-        jaccard_pairs,
+        dedup_components,
         minhash_lsh_candidates,
         minhash_signatures,
-        shingles,
     )
 
+    d = T(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, "text", "doc_id", 16, 3)
     cands = minhash_lsh_candidates(sigs, "doc_id", 8)
     comps = dedup_components(cands)
