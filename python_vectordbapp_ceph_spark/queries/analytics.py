@@ -825,3 +825,245 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("bal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_region, cust_region, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               {_DISC_PRICE_SQL} AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN region r1  ON n1.n_regionkey = r1.r_regionkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r2  ON n2.n_regionkey = r2.r_regionkey
+        WHERE ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+            OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_region, cust_region, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two trading partners, by
+    year; region stands in for nation so the pair is populated at
+    every test scale — the two-sided disjunctive pair filter and the
+    year rollup are Q7's shape). Dims broadcast; the pair filter
+    lands on the joined row before aggregation, and the date filter
+    pushes to the lineitem scan. At 100 TB this is broadcast joins
+    plus the unavoidable orders<->lineitem shuffle — nothing else."""
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    n_r = n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", F.col("r_name")
+    )
+    n1 = F.broadcast(n_r.select(F.col("n_nationkey").alias("sk"), F.col("r_name").alias("supp_region")))
+    n2 = F.broadcast(n_r.select(F.col("n_nationkey").alias("ck"), F.col("r_name").alias("cust_region")))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("sk") == F.col("s_nationkey"))
+        .join(n2, F.col("ck") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_region") == "AMERICA") & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "AMERICA"))
+        )
+        .groupBy("supp_region", "cust_region", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_DISC_PRICE_SQL} AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share within a region for a part
+    type). Ratio of two decimal-exact sums, divided as doubles and
+    rounded — identical IEEE ops in both engines. The part-type
+    filter prunes lineitem early via the broadcast part join; region
+    and nation dims broadcast."""
+    p = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
+    n2 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation"))
+    asia = F.broadcast(
+        n1.join(r.filter(F.col("r_name") == "ASIA"), F.col("crk") == F.col("r_regionkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(asia, F.col("ck") == F.col("c_nationkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("sk") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _disc_price().alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_DISC_PRICE_SQL} AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; the
+    test tables carry no partsupp, so profit is the discounted price
+    — the join/aggregate skeleton is Q9's). The p_name LIKE filter
+    rides the broadcast part join, pruning lineitem before the orders
+    shuffle."""
+    p = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; "late" is
+    shipdate > orderdate + 90 days since the test lineitem has no
+    commit/receipt dates). The EXISTS / NOT EXISTS pair is rewritten
+    as per-order aggregates — one pass over lineitem computes
+    distinct-supplier counts, one pass over the late lines computes
+    distinct-late-supplier counts, and the filter `nsupp > 1 AND
+    nlate = 1` reproduces the correlated semantics without any
+    per-row subquery. The late join output is persisted so the l1
+    side and the nlate aggregate share a single orders<->lineitem
+    shuffle."""
+    from ..cache import tracked_persist
+
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    late = tracked_persist(
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    nsupp = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("nsupp")
+    ).filter(F.col("nsupp") > 1).select(F.col("l_orderkey").alias("ok_multi"))
+    nlate = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("nlate")
+    ).filter(F.col("nlate") == 1).select(F.col("l_orderkey").alias("ok_solo"))
+    return (
+        late.join(nsupp, F.col("ok_multi") == F.col("l_orderkey"))
+        .join(nlate, F.col("ok_solo") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )

@@ -59,3 +59,33 @@ def test_q15_revenue_materializes_once(spark):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         release_caches()
+
+def test_q7_date_filter_pushes_and_dims_broadcast(spark):
+    from python_vectordbapp_ceph_spark.queries.analytics import q_tpch_q7
+
+    q = q_tpch_q7(spark, SF_DIR)
+    assert "l_shipdate" in " ".join(pushed_filters(q))
+    assert has_broadcast_join(q)
+
+
+def test_q8_part_type_prunes_before_orders_shuffle(spark):
+    from python_vectordbapp_ceph_spark.queries.analytics import q_tpch_q8
+
+    q = q_tpch_q8(spark, SF_DIR)
+    joined = " ".join(pushed_filters(q))
+    assert "p_type" in joined and "o_orderdate" in joined
+    assert has_broadcast_join(q)
+
+
+def test_q21_late_lines_materialize_once(spark):
+    """The late orders<->lineitem join feeds both the l1 side and the
+    per-order late-supplier aggregate; the persisted intermediate must
+    serve both consumers instead of re-running the shuffle."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.queries.analytics import q_tpch_q21
+
+    try:
+        plan = explain_str(q_tpch_q21(spark, SF_DIR), "simple")
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        release_caches()
