@@ -1263,3 +1263,33 @@ def q_pandas_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInPandas(
         agg_fn, schema="source string, n_docs long, avg_chars double"
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native unpivot (SQL UNPIVOT /
+    melt). Narrow, shuffle-free map — each input row emits one row
+    per measure column inside the same task, so the operator scales
+    as a pure scan regardless of table size. Measures are cast to a
+    common double type first (unpivot requires a shared value
+    type)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -396,3 +396,48 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+@register(
+    "q_graph_components",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, source,
+                 list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+          FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                >= 0.5),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(id, lab) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e2.src, r.lab FROM e e2 JOIN reach r ON e2.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT-Jaccard similarity graph —
+    the hash-verified twin of q_dedup_components (whose LSH edge set
+    is approximate by design). Both engines walk the same edges:
+    Spark via iterative min-label propagation (one shuffle per round,
+    rounds = graph diameter), DuckDB via a recursive-CTE transitive
+    closure. Min-reachable-id labels are algorithm-independent, so
+    the results hash-match exactly. At 100 TB the closure form is
+    infeasible (quadratic frontier) while label propagation stays
+    one bounded shuffle per round — that asymmetry is the point of
+    implementing it as an operator rather than SQL."""
+    from ..operators.dedup import dedup_components
+
+    d = T(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, block_col="source", shingle_n=1, threshold=0.5
+    ).select("id_a", "id_b")
+    comps = dedup_components(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
