@@ -468,9 +468,13 @@ def dedup_components(
     round joins labels across edges and takes the min; stops when no
     label changes. Rounds needed = graph diameter (near-dup clusters
     are shallow — a handful of rounds); every round is one shuffle on
-    id. The per-round persist caps lineage growth, and the convergence
-    probe rides the same job. Driver code only ORCHESTRATES rounds —
-    all data movement is distributed joins."""
+    id. The per-round persist caps lineage growth. Convergence is
+    detected by comparing sum(comp) across rounds: labels are
+    monotonically non-increasing, so the decimal-exact sum is stable
+    iff no label moved — one aggregate job per round (which also
+    materializes the persist) instead of a labels-vs-labels join.
+    Driver code only ORCHESTRATES rounds — all data movement is
+    distributed joins."""
     from ..cache import tracked_persist
 
     edges = (
@@ -484,6 +488,13 @@ def dedup_components(
             "comp", F.col("id")
         )
     )
+    def label_sum(df: DataFrame) -> object:
+        # decimal(38,0): exact at any id magnitude/count, ANSI-safe
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # candidate label per node: min over own label and neighbors'
         neighbor = (
@@ -495,18 +506,12 @@ def dedup_components(
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("comp", "_old"), "id"
-            )
-            .filter(F.col("comp") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
