@@ -441,3 +441,72 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+@register(
+    "q_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+        FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, df, round(score, 6) AS tfidf_raw,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf_raw, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by TF-IDF — the corpus keyword /
+    relevance primitive. idf is the RAW N/df ratio: log is monotone,
+    so the per-doc ranking is identical to log-idf, and the ratio of
+    exact integers (tf*N ≤ 2^53, one IEEE divide) hash-matches across
+    engines where `ln` (not correctly rounded) might not.
+
+    Scale shape: explode → (doc,term) partial-combined count → term df
+    aggregate (shuffle carries distinct terms only) → term-keyed join
+    back → doc-keyed window top-5. The corpus size N rides a broadcast
+    scalar; nothing driver-side."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from ..cache import tracked_persist
+
+    tf = tracked_persist(tf)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * F.col("n_docs")
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            score.cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round("score", 6).alias("tfidf_raw"), "rn",
+        )
+    )

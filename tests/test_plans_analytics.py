@@ -89,3 +89,20 @@ def test_q21_late_lines_materialize_once(spark):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         release_caches()
+
+
+def test_tfidf_tf_materializes_once(spark):
+    """The (doc,term) tf aggregate feeds three consumers (df, N, join);
+    the persisted intermediate must serve all of them instead of
+    re-running the explode+shuffle per consumer."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.queries.textops import q_tfidf_topk
+
+    try:
+        plan = explain_str(q_tfidf_topk(spark, SF_DIR), "simple")
+        # tf's three consumers (df agg, N agg, score join) must all read
+        # the cache; the explode lines inside each InMemoryTableScan are
+        # the cached relation's description, not re-execution
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        release_caches()
