@@ -50,6 +50,11 @@ HEADLINE = [
     "q_repetition_stats",  # two-level aggregate per doc
     "q_train_split",       # deterministic split hash
     "q_merge_into",        # partition-pruned MERGE end-to-end
+    "q_tpch_q7",           # two-sided trade-pair join (r4)
+    "q_tpch_q9",           # profit rollup, broadcast-dim chain (r4)
+    "q_tpch_q21",          # decorrelated EXISTS/NOT-EXISTS (r4)
+    "q_tfidf_topk",        # tf/df aggregates + per-doc top-5 window (r4)
+    "q_graph_components",  # iterative min-label propagation (r4)
 ]
 
 
