@@ -314,3 +314,20 @@ def q_ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("q_embedding"),
     )
     return search_batch(index, queries, k=5, nprobe=2)
+
+
+@register("q_sq8_search")
+def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (Milvus IVF_SQ8's compression tier,
+    milvus-app/pythonvectordbceph_milvus.py:100-102): per-dimension
+    8-bit codes scanned with asymmetric reconstructed distance, exact
+    re-rank of the top k*refine candidates. The code column is ~4×
+    smaller than the float vectors and stage 1 reads ONLY it (pruning
+    pytest-proven). Approximate by construction → rows-only; recall
+    and the error bound are pytest-verified."""
+    from ..operators.sq import fit_sq8, sq8_encode, sq8_search
+
+    e = T(spark, sf_dir, "embeddings")
+    params = fit_sq8(e, "embedding", 64)
+    enc = sq8_encode(e, params, "embedding")
+    return sq8_search(enc, e, params, QVEC, k=5, refine_factor=4)
