@@ -1067,3 +1067,49 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship counts; the test
+    tables carry no partsupp, so the DISTINCT (l_partkey, l_suppkey)
+    pairs observed in lineitem stand in for it, and negative account
+    balance stands in for the complaints subquery). Supplier
+    exclusion decorrelates to an anti join; the part filters ride the
+    broadcast join; the final count-distinct aggregates the already-
+    distinct pair set — one partial+final pair per grouping."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    s = T(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & ~F.col("p_type").like("PROMO%")
+                    & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

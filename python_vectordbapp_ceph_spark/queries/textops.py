@@ -510,3 +510,49 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf_raw"), "rn",
         )
     )
+
+
+@register(
+    "q_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join — entity-resolution tier of the
+    dedup family, for near-identical NAMES where token Jaccard is too
+    coarse. Blocked on p_type so the n² stays per-block, exactly as
+    jaccard_pairs blocks on source; levenshtein evaluates inside the
+    join condition (JVM codegen) so non-matches never materialize.
+    Classic DP levenshtein is engine-identical → exact integer
+    oracle. At scale, the blocking key bounds the pair count and the
+    join is one equi-join shuffle on the block."""
+    p = T(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("_ta"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("_tb"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("_ta") == F.col("_tb"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (dist <= 2),
+        )
+        .select(
+            "id_a", "id_b", "name_a", "name_b",
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

@@ -129,3 +129,111 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_join(
         signup, purchase, key="user_id", left_ts="s_ts", right_ts="p_ts"
     ).select("user_id", "s_id", "p_id")
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    SELECT user_id, event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us
+    FROM events
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction: a change log becomes validity
+    ranges [valid_from, valid_to) via lead() per key — the open
+    current row carries NULL valid_to. One shuffle on the dimension
+    key; the window's sort is total (ts, event_id tiebreak) so the
+    intervals are deterministic under any parallelism. This is how a
+    mutable dimension is tracked in an append-only lake — the batch
+    mirror of the collection's last-writer-wins upsert."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
+@register(
+    "q_gapfill",
+    oracle="""
+    WITH grid AS (
+        SELECT u.user_id, unnest(generate_series(
+                 TIMESTAMP '2024-01-01 00:00:00',
+                 TIMESTAMP '2024-01-01 23:00:00', INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0) u),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+        FROM events
+        WHERE user_id % 10 = 0
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY 1, 2)
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           last_value(hr.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+           hr.v IS NULL AS filled
+    FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill (the hypertable
+    `time_bucket_gapfill` / `locf` shape): a dense per-key hour grid
+    (sequence+explode — generated, never shuffled), left join of the
+    sparse hourly aggregate, then last-non-null carry-forward via a
+    ROWS window. At scale the grid is generated per key inside the
+    task and both join sides arrive hash-partitioned on user_id; the
+    window reuses that partitioning — one shuffle total."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    day = e.filter(
+        (F.col("user_id") % 10 == 0)
+        & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    )
+    hourly = (
+        day.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("v")
+        )
+    )
+    users = (
+        e.filter(F.col("user_id") % 10 == 0).select("user_id").distinct()
+    )
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-01 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    return joined.select(
+        "user_id",
+        ts_str("h").alias("hour_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ff"),
+        F.col("v").isNull().alias("filled"),
+    )
