@@ -422,3 +422,69 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(split_bucket("doc_id") < rate).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "q_decontaminate_exact",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS sh,
+               CASE WHEN ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                          * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                    WHEN ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                          * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.split AS sp_a, b.split AS sp_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                     6) AS jaccard
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT CASE WHEN sp_a = 'train' THEN id_a ELSE id_b END AS train_id,
+           CASE WHEN sp_a = 'train' THEN id_b ELSE id_a END AS eval_id,
+           jaccard
+    FROM p
+    WHERE jaccard >= 0.6
+      AND ((sp_a = 'train' AND sp_b = 'test') OR (sp_a = 'test' AND sp_b = 'train'))
+    """,
+)
+def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, exact tier — the hash-verified twin
+    of q_decontaminate (whose LSH candidate stage is approximate by
+    design): train docs whose exact token-set Jaccard vs an eval-split
+    doc crosses the leakage threshold, with the (train, eval, score)
+    evidence pairs as output. Same funnel order as the LSH path:
+    split labels are tiny (id, split) columns joined onto the verified
+    pairs — the heavy shingle arrays never meet the split join."""
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.split import deterministic_split
+
+    d = deterministic_split(T(spark, sf_dir, "documents"), "doc_id")
+    pairs = jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.6)
+    splits = d.select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("_ia"), F.col("split").alias("sp_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("_ib"), F.col("split").alias("sp_b")
+    )
+    joined = (
+        pairs.join(sa, pairs["id_a"] == sa["_ia"])
+        .join(sb, pairs["id_b"] == sb["_ib"])
+        .filter(
+            ((F.col("sp_a") == "train") & (F.col("sp_b") == "test"))
+            | ((F.col("sp_a") == "test") & (F.col("sp_b") == "train"))
+        )
+    )
+    return joined.select(
+        F.when(F.col("sp_a") == "train", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("train_id"),
+        F.when(F.col("sp_a") == "train", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("eval_id"),
+        "jaccard",
+    )
