@@ -331,3 +331,20 @@ def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = fit_sq8(e, "embedding", 64)
     enc = sq8_encode(e, params, "embedding")
     return sq8_search(enc, e, params, QVEC, k=5, refine_factor=4)
+
+
+@register("q_pq_search")
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Milvus IVF_PQ's compression tier,
+    milvus-app/pythonvectordbceph_milvus.py:100-102): per-subspace
+    codebooks fit on a bounded sample, Arrow-batched int8 encode
+    (32× smaller codes at d=64, m=8), ADC scan via a literal
+    lookup-table — pure codegen, no Python on the scan path — then
+    exact re-rank of top k·refine. Approximate → rows-only; recall
+    and JVM-only-scan are pytest-verified."""
+    from ..operators.pq import fit_pq, pq_encode, pq_search
+
+    e = T(spark, sf_dir, "embeddings")
+    books = fit_pq(e, "embedding", 64, m=8, k=16)
+    enc = pq_encode(e, books, "embedding")
+    return pq_search(enc, e, books, QVEC, k=5, refine_factor=8)

@@ -191,3 +191,54 @@ def test_sq8_code_scan_prunes_vector_column(vec_df, tmp_path, spark):
     for b in blocks:
         schema_line = next(l for l in b.split("\n") if "ReadSchema" in l)
         assert "embedding" not in schema_line, b
+
+
+# --- PQ product quantization ------------------------------------------------
+
+def test_pq_codes_in_range_and_deterministic(vec_df):
+    from python_vectordbapp_ceph_spark.operators.pq import fit_pq, pq_encode
+
+    books = fit_pq(vec_df, "embedding", DIM, m=4, k=16)
+    enc1 = {r.vec_id: list(r.pq_code) for r in pq_encode(vec_df, books, "embedding").collect()}
+    enc2 = {r.vec_id: list(r.pq_code) for r in pq_encode(vec_df, books, "embedding").collect()}
+    assert enc1 == enc2
+    for codes in enc1.values():
+        assert len(codes) == 4
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_search_recall_vs_brute_force(vec_df):
+    """PQ is lossier than SQ8; with an 8x refine re-rank it must still
+    recover most of the exact top-k on this data."""
+    from python_vectordbapp_ceph_spark.operators.pq import (
+        fit_pq,
+        pq_encode,
+        pq_search,
+    )
+
+    books = fit_pq(vec_df, "embedding", DIM, m=4, k=16)
+    enc = pq_encode(vec_df, books, "embedding")
+    got = [r.vec_id for r in pq_search(enc, vec_df, books, QUERY, K).collect()]
+    expected = brute_topk(QUERY, K)
+    assert len(set(got) & set(expected)) >= int(K * 0.7)
+    common = [g for g in got if g in expected]
+    assert common == [e for e in expected if e in common]
+
+
+def test_pq_adc_scan_stays_jvm_side(vec_df):
+    """The ADC candidate stage must be pure Catalyst expressions —
+    no Python UDF (BatchEvalPython/ArrowEvalPython) in the scan plan.
+    The pandas encode UDF is upstream of the checkpointed codes and
+    must not appear either once codes are materialized."""
+    from python_vectordbapp_ceph_spark.operators.pq import (
+        fit_pq,
+        pq_encode,
+        pq_search,
+    )
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    books = fit_pq(vec_df, "embedding", DIM, m=4, k=16)
+    enc = pq_encode(vec_df, books, "embedding").localCheckpoint()
+    plan = explain_str(pq_search(enc, vec_df, books, QUERY, K), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
