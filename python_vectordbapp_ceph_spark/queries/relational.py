@@ -1293,3 +1293,148 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_window_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS types_seen
+    FROM events
+    """,
+)
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per key — Spark has no windowed
+    count-distinct, so the set itself runs through the frame
+    (collect_set, then size): identical semantics, one shuffle on the
+    key. State per row is bounded by the type cardinality, so the
+    frame stays small at any scale."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("types_seen"),
+    )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (row/null/distinct/min/max per
+    column) — the stats pass every ingest pipeline runs before
+    training. One aggregate job per profiled column over the same
+    scan; each is a partial+final pair whose shuffle carries a single
+    row. At scale the count-distincts dominate — swap to
+    approx_count_distinct when exactness isn't required (that variant
+    is q_approx_distinct)."""
+    o = T(spark, sf_dir, "orders")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias("min_val"),
+            (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias("max_val"),
+        ]
+        return o.agg(*aggs).select(F.lit(col).alias("col"), "*")
+
+    return (
+        prof("o_custkey", True)
+        .unionByName(prof("o_totalprice", True))
+        .unionByName(prof("o_orderstatus", False))
+    )
+
+
+@register(
+    "q_cogroup_udf",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS custkey, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+         o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+    """,
+)
+def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (SURVEY C32's fourth Python surface
+    beside scalar/grouped-agg/UDTF): both sides arrive grouped on the
+    key in one Arrow batch each — the custom-merge shape (as-of
+    resolution, conflict merge) that a join + UDF can't express as
+    directly. Integer counts only, so the Python path stays exact."""
+    import pandas as pd
+
+    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+
+    def merge(key, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"custkey": [key[0]], "n_cust": [len(left)], "n_orders": [len(right)]}
+        )
+
+    return (
+        c.groupBy("custkey")
+        .cogroup(o.groupBy("custkey"))
+        .applyInPandas(merge, schema="custkey long, n_cust long, n_orders long")
+    )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           strftime(t.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 3) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 recent orders per customer)
+    through Spark SQL — the per-row dependent-rows shape. Catalyst
+    decorrelates it to a join + per-key window (no per-row execution);
+    the filter on the outer side prunes before the join."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               date_format(t.o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS order_date
+        FROM _lat_customer c, LATERAL (
+            SELECT o_orderkey, o_orderdate FROM _lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
