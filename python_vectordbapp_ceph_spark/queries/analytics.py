@@ -1113,3 +1113,181 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH price AS (
+        SELECT l.l_partkey, s.s_suppkey, s.s_name, n.n_name,
+               round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1, 2, 3, 4)
+    SELECT p.p_partkey, p.p_name, pr.s_name, pr.n_name, pr.unit_cost
+    FROM part p
+    JOIN price pr ON pr.l_partkey = p.p_partkey
+    WHERE p.p_size = 9
+      AND pr.unit_cost = (SELECT MIN(pr2.unit_cost) FROM price pr2
+                          WHERE pr2.l_partkey = p.p_partkey)
+      AND pr.s_suppkey = (SELECT MIN(pr3.s_suppkey) FROM price pr3
+                          WHERE pr3.l_partkey = p.p_partkey
+                            AND pr3.unit_cost = pr.unit_cost)
+    ORDER BY p.p_partkey
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part in a region; the
+    test tables carry no partsupp, so observed unit price — decimal
+    revenue over decimal quantity per (part, supplier) — stands in
+    for ps_supplycost). The correlated MIN subquery decorrelates to a
+    per-part window: rank suppliers by (unit_cost, s_suppkey) inside
+    each part and keep rank 1 — one shuffle on partkey instead of a
+    per-row subquery; the suppkey tiebreak makes the pick total. At
+    100 TB the region filter prunes the supplier side before the
+    lineitem join, and the window reuses the aggregate's partitioning."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    p = T(spark, sf_dir, "part")
+    eu_supp = F.broadcast(
+        s.join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r.filter(F.col("r_name") == "EUROPE"), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    price = (
+        li.join(eu_supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(dec2("l_extendedprice")).cast("double")
+                / F.sum(dec2("l_quantity")).cast("double"),
+                6,
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
+    )
+    best = (
+        price.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") == 9)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY l_partkey)
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: parts whose value within one
+    region exceeds a fraction of the regional total; lineitem revenue
+    stands in for partsupp value, and region scope keeps the supplier
+    side populated at every test scale). The scalar-subquery
+    threshold is a broadcast single-row cross join over the SAME
+    persisted aggregate — the lineitem scan+shuffle runs once,
+    mirroring the Q15 fix."""
+    from ..cache import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    nat_supp = F.broadcast(
+        s.join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            r.filter(F.col("r_name") == "ASIA"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = tracked_persist(
+        li.join(nat_supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice")).alias("part_value"))
+    )
+    # decimal*decimal keeps the threshold exact in both engines
+    thresh = val.agg(
+        (F.sum("part_value") * F.lit("0.001").cast("decimal(6,4)")).alias("_t")
+    )
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("_t"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH red_qty AS (
+        SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM red_qty WHERE qty > 50)
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with meaningful flow of a part
+    family in a year; shipped quantity stands in for partsupp
+    availability). A chain of semi joins: part-name filter → lineitem
+    aggregate → threshold → semi join into supplier. Nothing wider
+    than (suppkey, qty) ever shuffles; the part filter broadcasts."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    red = F.broadcast(p.filter(F.col("p_name").like("red%")).select("p_partkey"))
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(red, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qty), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
