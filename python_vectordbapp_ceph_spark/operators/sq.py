@@ -139,3 +139,35 @@ def sq8_search(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_sq8_search(
+    index,
+    params: SQ8Params,
+    qvec: list[float],
+    k: int,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    code_col: str = "code",
+) -> DataFrame:
+    """The composed IVF_SQ8 path (the exact index the reference
+    configures in Milvus): coarse cluster pruning cuts the scan to
+    nprobe/nlist of the rows, the SQ8 code column cuts the bytes per
+    scanned row ~4×, and the exact re-rank restores full precision
+    for the k·refine survivors. ``index`` is an ivf.IVFIndex whose
+    ``assigned`` table already carries the SQ8 ``code`` column
+    (encode once at build time, after cluster assignment)."""
+    probes = index.probe_clusters(qvec, nprobe)
+    cand = index.assigned.filter(F.col("cluster_id").isin(probes))
+    original = index.assigned.select(index.id_col, index.vec_col)
+    return sq8_search(
+        cand,
+        original,
+        params,
+        qvec,
+        k,
+        refine_factor=refine_factor,
+        vec_col=index.vec_col,
+        id_col=index.id_col,
+        code_col=code_col,
+    )

@@ -348,3 +348,21 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = fit_pq(e, "embedding", 64, m=8, k=16)
     enc = pq_encode(e, books, "embedding")
     return pq_search(enc, e, books, QVEC, k=5, refine_factor=8)
+
+
+@register("q_ivf_sq8_search")
+def q_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF_SQ8 index — literally the reference's Milvus
+    configuration (milvus-app/pythonvectordbceph_milvus.py:100-102):
+    KMeans cluster pruning (reads nprobe/nlist of the rows) over SQ8
+    codes (reads ~1/4 the bytes per row), exact re-rank on the
+    survivors. Approximate → rows-only; full-probe == brute-force and
+    pruned recall are pytest-pinned."""
+    from ..operators.ivf import build_ivf
+    from ..operators.sq import fit_sq8, ivf_sq8_search, sq8_encode
+
+    e = T(spark, sf_dir, "embeddings")
+    index = build_ivf(e, nlist=8)
+    params = fit_sq8(e, "embedding", 64)
+    index.assigned = sq8_encode(index.assigned, params, "embedding")
+    return ivf_sq8_search(index, params, QVEC, k=5, nprobe=3)

@@ -242,3 +242,24 @@ def test_pq_adc_scan_stays_jvm_side(vec_df):
     plan = explain_str(pq_search(enc, vec_df, books, QUERY, K), "simple")
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_sq8_composed_search_recall(vec_df):
+    """IVF pruning + SQ8 codes + exact re-rank: full-probe must equal
+    exact brute force; pruned probe must keep most of the top-k."""
+    from python_vectordbapp_ceph_spark.operators.ivf import build_ivf
+    from python_vectordbapp_ceph_spark.operators.sq import (
+        fit_sq8,
+        ivf_sq8_search,
+        sq8_encode,
+    )
+
+    index = build_ivf(vec_df, nlist=4)
+    params = fit_sq8(vec_df, "embedding", DIM)
+    index.assigned = sq8_encode(index.assigned, params, "embedding")
+
+    full = [r.vec_id for r in ivf_sq8_search(index, params, QUERY, K, nprobe=4).collect()]
+    assert full == brute_topk(QUERY, K)
+
+    pruned = {r.vec_id for r in ivf_sq8_search(index, params, QUERY, K, nprobe=2).collect()}
+    assert len(pruned & set(brute_topk(QUERY, K))) / K >= 0.6
