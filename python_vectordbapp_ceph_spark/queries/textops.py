@@ -556,3 +556,78 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "q_bigram_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(len(t) - 1),
+                                        i -> t[i + 1] || ' ' || t[i + 2])) AS bigram
+           FROM toks WHERE len(t) >= 2),
+    ref AS (SELECT bigram FROM (
+                SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+                ORDER BY c DESC, bigram LIMIT 1000)),
+    per_doc AS (
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               SUM(CASE WHEN ref.bigram IS NOT NULL THEN 1 ELSE 0 END) AS n_covered
+        FROM bg LEFT JOIN ref ON bg.bigram = ref.bigram
+        GROUP BY bg.doc_id)
+    SELECT doc_id, n_bigrams, n_covered,
+           round(CAST(n_covered AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS coverage
+    FROM per_doc
+    """,
+)
+def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-flavored fluency heuristic: the fraction of a
+    document's bigram occurrences that appear in the corpus's top-1000
+    bigram vocabulary — low coverage flags boilerplate/gibberish the
+    unigram quality score misses. Integer counts and one rounded
+    divide → exact across engines (a log-prob variant would hit
+    non-correctly-rounded `ln`).
+
+    Scale shape: the bigram explode is persisted and feeds BOTH the
+    reference top-k (partial-combined count, tiny shuffle) and the
+    per-doc aggregate; the reference vocabulary (1000 rows) broadcasts
+    into the coverage join, so the only full-size shuffle is the
+    per-doc groupBy."""
+    from ..cache import tracked_persist
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    withT = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = tracked_persist(
+        withT.select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    ref = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(1000)
+        .select(F.col("bigram").alias("_ref"))
+    )
+    return (
+        bg.join(F.broadcast(ref), bg["bigram"] == F.col("_ref"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_ref").isNotNull(), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_bigrams").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
