@@ -245,3 +245,45 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     ).select("user_id", "s_id", "p_id")
     assert rows_set(got) == rows_set(want)
     assert want.count() > 0
+
+
+def test_ingest_stream_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Exactly-once across restarts: a second start() on the SAME
+    checkpoint must pick up only NEW files — the first batch's rows
+    must not be appended to the change log twice."""
+    from python_vectordbapp_ceph_spark.collection import VectorCollection
+    from python_vectordbapp_ceph_spark.streaming.ingest import (
+        ingest_stream,
+        parse_s3_events,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    (events_dir / "e1.json").write_text(json.dumps(_event_json("k1")))
+
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "coll"), dim=384, name="b1"
+    ).ensure_exists()
+    object_text = spark.createDataFrame(
+        [("k1", "hello one"), ("k3", "hello three")], "key string, text string"
+    )
+
+    def run_once():
+        raw = spark.readStream.text(str(events_dir))
+        q = ingest_stream(
+            parse_s3_events(raw, json_col="value"), coll,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            object_text=object_text,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    log_rows_1 = coll._log().count()
+    assert log_rows_1 == 1  # k1 upsert
+
+    # restart with one NEW file; the old file must be skipped
+    (events_dir / "e2.json").write_text(json.dumps(_event_json("k3")))
+    run_once()
+    log_rows_2 = coll._log().count()
+    assert log_rows_2 == 2, "restart reprocessed the first batch"
+    assert {r.key for r in coll.snapshot().collect()} == {"k1", "k3"}
