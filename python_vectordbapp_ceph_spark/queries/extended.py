@@ -488,3 +488,38 @@ def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("eval_id"),
         "jaccard",
     )
+
+
+@register(
+    "q_group_sample_n",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+              * 2654435761) % 4294967296 AS h
+      FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+          FROM b)
+    SELECT doc_id, lang, rn FROM r WHERE rn <= 5
+    """,
+)
+def q_group_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-N deterministic sample per class (exactly 5 docs per
+    language): rank by the Knuth multiplicative hash inside each
+    group and keep the first 5 — reproducible across runs, layouts,
+    and cluster sizes, unlike sample()/reservoir approaches. The
+    window rides one shuffle on the class key; WindowGroupLimit
+    prunes per-partition before the final sort at scale."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    h = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )

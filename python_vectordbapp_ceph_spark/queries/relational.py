@@ -1438,3 +1438,52 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@register(
+    "q_corr_groups",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def q_corr_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, exactly: decimal raw moments
+    (order-insensitive under any parallelism) then the SAME
+    double-precision formula left-to-right in both engines — the
+    q_stats_moments trick extended to a bivariate statistic. Spark's
+    built-in corr() uses a streaming co-moment accumulation whose
+    float error differs run-to-run at scale; the raw-moment form is
+    both exact and one aggregate pass."""
+    li = T(spark, sf_dir, "lineitem")
+    qd, pd_ = dec2("l_quantity"), dec2("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", F.round(corr, 6).alias("corr_qty_price")
+    )
