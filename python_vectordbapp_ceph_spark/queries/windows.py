@@ -237,3 +237,93 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_ff"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH stage AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           (t_signup IS NOT NULL) AS did_signup,
+           (t_signup IS NOT NULL AND t_view > t_signup) AS did_view_after,
+           (t_signup IS NOT NULL AND t_view > t_signup
+            AND t_purchase > t_view) AS did_purchase_after
+    FROM stage
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase, strictly in order):
+    conditional-MIN firsts per stage in ONE hash aggregate over the
+    events — no self-joins, no window — then pure boolean stage
+    logic. The classic CEP sequence question collapsed to a single
+    shuffle on user_id; NULL comparisons are three-valued in both
+    engines so the strict-order predicates agree exactly."""
+    e = T(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stage = e.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_view"),
+        first("purchase").alias("t_purchase"),
+    )
+    did_signup = F.col("t_signup").isNotNull()
+    did_view = did_signup & (F.col("t_view") > F.col("t_signup"))
+    did_purch = did_view & (F.col("t_purchase") > F.col("t_view"))
+    return stage.select(
+        "user_id",
+        did_signup.alias("did_signup"),
+        F.coalesce(did_view, F.lit(False)).alias("did_view_after"),
+        F.coalesce(did_purch, F.lit(False)).alias("did_purchase_after"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(datediff('week', f.cohort_week,
+                             date_trunc('week', e.ts)) AS BIGINT) AS week_n
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+           week_n, COUNT(*) AS active_users
+    FROM activity GROUP BY cohort_week, week_n
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted once per (cohort, weeks-since) cell. Two shuffles on
+    user_id (first-seen aggregate + activity join — co-partitioned,
+    so AQE elides the second exchange) then the cell count. The
+    DISTINCT before counting is what keeps a user with 50 events in
+    a week a single retained unit."""
+    e = T(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("bigint").alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("active_users")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+        "week_n",
+        "active_users",
+    )
