@@ -631,3 +631,76 @@ def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "q_keyword_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    q AS (SELECT unnest(['query', 'scan']) AS term),
+    hits AS (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df
+        FROM tf JOIN q USING (term) JOIN df d ON d.term = tf.term),
+    scored AS (
+        SELECT doc_id, COUNT(*) AS terms_hit,
+               round(SUM(CAST(tf * n.n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                   AS score
+        FROM hits CROSS JOIN n
+        GROUP BY doc_id, n.n_docs
+        HAVING COUNT(*) = 2)
+    SELECT doc_id, terms_hit, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search with ratio-idf ranking (the
+    text-search twin of the vector KNN path): docs containing ALL
+    query terms, scored by Σ tf·N/df and top-20'd with a doc_id
+    tiebreak. The query-term filter broadcasts into the (doc,term)
+    aggregate BEFORE df joins — at scale only posting rows for the
+    query's terms ever shuffle, which is exactly what an inverted
+    index does. Sum of per-term ratios is order-insensitive here:
+    each (tf·N)/df is an exact-integer division and the two-term sum
+    is a single IEEE add in both engines."""
+    from ..cache import tracked_persist
+
+    TERMS = ["query", "scan"]
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = tracked_persist(
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    qterms = F.broadcast(
+        d.sparkSession.createDataFrame([(t,) for t in TERMS], "term string")
+    )
+    dfreq = (
+        tf.join(qterms, "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hits = tf.join(qterms, "term").join(F.broadcast(dfreq), "term")
+    return (
+        hits.crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("terms_hit"),
+            F.round(
+                F.sum(
+                    (F.col("tf") * F.col("n_docs")).cast("double")
+                    / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("terms_hit") == len(TERMS))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

@@ -327,3 +327,36 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_n",
         "active_users",
     )
+
+
+@register(
+    "q_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts (the Markov-chain / next-event
+    matrix behind journey analysis): per-user lead() then a global
+    pair count. One shuffle on user_id for the window, one tiny
+    shuffle of (from, to) pairs for the count — the |types|² result
+    is independent of event volume."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
