@@ -485,9 +485,16 @@ def dedup_components(
     distributed joins."""
     from ..cache import tracked_persist
 
-    edges = (
+    # Materialize the pair set ONCE before symmetrizing: the union
+    # references it twice, and an unpersisted upstream funnel (e.g. the
+    # full Jaccard verify) would run twice inside the first checkpoint
+    # (the self-join double-eval trap).
+    p0 = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
+    edges = (
+        p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
