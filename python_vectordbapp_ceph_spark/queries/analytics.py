@@ -1291,3 +1291,229 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# --- Pareto skyline ---------------------------------------------------------
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_size,
+           CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over part (minimize retail price, maximize size):
+    a part survives iff no other part is at least as good in both
+    dimensions and strictly better in one. The naive formulation (the
+    oracle's NOT EXISTS) is an all-pairs theta anti-join — quadratic
+    and infeasible at 100 TB. The Spark plan collapses it to two
+    linear passes: (1) a hash aggregate to max-size-per-price (output
+    bounded by DISTINCT prices, not rows), (2) a running-max window
+    over the price-ordered aggregate — a price level survives iff its
+    best size strictly exceeds every cheaper level's best — then (3) a
+    broadcast join back tags the surviving (price, max-size) rows.
+    The only global sort runs over the aggregated price levels."""
+    from pyspark.sql.window import Window
+
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", dec2("p_retailprice").alias("_price")
+    )
+    levels = p.groupBy("_price").agg(F.max("p_size").alias("_msz"))
+    w = Window.orderBy("_price").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        levels.withColumn("_best_cheaper", F.max("_msz").over(w))
+        .filter(
+            F.col("_best_cheaper").isNull()
+            | (F.col("_msz") > F.col("_best_cheaper"))
+        )
+        .select(F.col("_price").alias("_fp"), F.col("_msz").alias("_fsz"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (F.col("_price") == F.col("_fp")) & (F.col("p_size") == F.col("_fsz")),
+        )
+        .select("p_partkey", "p_size", F.col("_price").cast("double").alias("price"))
+    )
+
+
+# --- RFM customer segmentation ---------------------------------------------
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey,
+               ntile(4) OVER (ORDER BY last_order, custkey) AS r,
+               ntile(4) OVER (ORDER BY freq, custkey) AS f,
+               ntile(4) OVER (ORDER BY monetary, custkey) AS m
+        FROM base
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           COUNT(*) AS n_customers
+    FROM scored GROUP BY segment
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary,
+    each cut into exact quartiles by ntile, concatenated to a segment
+    label and counted. Every ntile ordering carries the custkey
+    tiebreak so ranks are a total order (engine-independent). The
+    windows run over the AGGREGATED per-customer table — orders-scale
+    data never passes through the global sort; at 100 TB the exact
+    ntile would be replaced by approx-quantile cut points, which the
+    segment-count output shape is already compatible with."""
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(dec2("o_totalprice")).alias("monetary"),
+    )
+    scored = base.select(
+        "custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat_ws("-", "r", "f", "m").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- z-score outliers, division-free exact arithmetic ----------------------
+
+@register(
+    "q_outlier_zscore",
+    oracle="""
+    WITH st AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s,
+               SUM(CAST(CAST(value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))
+                   * CAST(CAST(value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS ss
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE (st.n * CAST(CAST(e.value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0)) - st.s)
+          * (st.n * CAST(CAST(e.value * 100 AS DECIMAL(18,0)) AS DECIMAL(38,0)) - st.s)
+          > 4 * (st.n * st.ss - st.s * st.s)
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 2-sigma outliers with DIVISION-FREE exact
+    arithmetic: |x - mean| > 2*stddev is algebraically identical to
+    (n*x - S)^2 > 4*(n*SS - S^2) with S=sum(x), SS=sum(x^2) — every
+    operand an exact integer (cent-scaled values in DECIMAL(38,0)),
+    so the outlier set is bit-identical across engines and partition
+    orders, where a float mean/stddev pipeline would be neither. Two
+    scans of events (one aggregate, one probe) joined by a broadcast
+    of the tiny per-type stats table — no global shuffle of the fact
+    side at any scale."""
+    e = T(spark, sf_dir, "events")
+    cents = (
+        (F.col("value") * 100).cast("decimal(18,0)").cast("decimal(38,0)")
+    )
+    st = (
+        e.select("event_type", cents.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("s"),
+            F.sum(F.col("_c") * F.col("_c")).alias("ss"),
+        )
+    )
+    probe = e.select(
+        "event_id",
+        F.col("event_type").alias("_et"),
+        dec2("value").cast("double").alias("value"),
+        cents.alias("_c"),
+    )
+    dev = F.col("n") * F.col("_c") - F.col("s")
+    spread = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        probe.join(F.broadcast(st), probe["_et"] == st["event_type"])
+        .filter(dev * dev > 4 * spread)
+        .select("event_id", "event_type", "value")
+    )
+
+
+# --- exact per-group median and deterministic mode -------------------------
+
+@register(
+    "q_median_mode",
+    oracle="""
+    WITH cnts AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, COUNT(*) AS c
+        FROM events GROUP BY event_type, v
+    ),
+    md AS (
+        SELECT event_type, MIN(v) AS mode_value
+        FROM cnts q
+        WHERE c = (SELECT MAX(c) FROM cnts q2 WHERE q2.event_type = q.event_type)
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           quantile_cont(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE), 0.5)
+               AS median_value,
+           CAST(ANY_VALUE(md.mode_value) AS DOUBLE) AS mode_value,
+           COUNT(*) AS n
+    FROM events e JOIN md ON e.event_type = md.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (interpolated, Spark `percentile` ==
+    DuckDB `quantile_cont` on 2-decimal values — the midpoint average
+    of exact doubles is itself exact) and a DETERMINISTIC mode: both
+    engines' bare mode() leaves ties unspecified, so the mode is
+    computed explicitly as min(value) among max-count values — a
+    value-level aggregate (bounded by distinct values per group), a
+    per-group max, and a broadcast join. percentile is the one
+    genuinely sort-based term; it runs per-group, partition-parallel."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type", dec2("value").alias("_v")
+    )
+    cnts = e.groupBy("event_type", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    mode = (
+        cnts.groupBy("event_type")
+        .agg(
+            F.min_by(
+                F.struct(F.col("_cnt"), F.col("_v")),
+                F.struct(-F.col("_cnt"), F.col("_v")),
+            ).alias("_top")
+        )
+        .select(
+            F.col("event_type").alias("_et"),
+            F.col("_top._v").cast("double").alias("mode_value"),
+        )
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile(F.col("_v").cast("double"), F.lit(0.5)).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        med.join(F.broadcast(mode), med["event_type"] == mode["_et"])
+        .select("event_type", "median_value", "mode_value", "n")
+    )
