@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from ._common import T
+from ._common import T, dec2
 
 
 # --- C22 explode (posexplode = UDTF-shaped lateral) ------------------------
@@ -522,4 +522,57 @@ def q_group_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
+    )
+
+
+# --- deterministic weighted sampling ---------------------------------------
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     // 5000, 10000) AS thr,
+               ((((o_orderkey % 2147483648) + 2147483648) % 2147483648)
+                * 2654435761) % 4294967296 % 10000 AS b
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_kept,
+           CAST(SUM(price) AS DOUBLE) AS kept_value
+    FROM w WHERE b < thr
+    GROUP BY o_orderstatus
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with DETERMINISTIC membership:
+    keep-probability proportional to order value (price/500k, capped
+    at 1), decided by comparing the row's Knuth hash bucket against an
+    integer threshold derived from exact cent arithmetic — a pure
+    function of the row, so the sample is identical across runs,
+    engines, and partitionings (rand()-based sampling is none of
+    those). This is the importance-sampling primitive for training-
+    data mixes: upweight rare/valuable strata without a shuffle —
+    the filter evaluates scan-side at any scale."""
+    from ..operators.split import split_bucket
+
+    o = T(spark, sf_dir, "orders")
+    price = dec2("o_totalprice")
+    cents = (price * 100).cast("long")
+    thr = F.least(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"), F.lit(10000))
+    return (
+        o.select(
+            "o_orderstatus",
+            price.alias("_price"),
+            split_bucket("o_orderkey", 10000).alias("_b"),
+            thr.alias("_thr"),
+        )
+        .filter(F.col("_b") < F.col("_thr"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("_price").cast("double").alias("kept_value"),
+        )
     )

@@ -704,3 +704,113 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --- nucleus (top-p) vocabulary truncation ---------------------------------
+
+@register(
+    "q_nucleus_vocab",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_LOWER}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    c AS (SELECT tok, freq,
+                 SUM(freq) OVER (ORDER BY freq DESC, tok
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                 SUM(freq) OVER () AS total
+          FROM vocab)
+    SELECT tok, freq, cum
+    FROM c WHERE (cum - freq) * 10 < total * 9
+    """,
+)
+def q_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary truncation: the smallest
+    frequency-ranked prefix of the corpus vocabulary covering >= 90%
+    of total token mass — the tokenizer-budget question. A token is
+    kept iff the mass BEFORE it is still under the threshold, so the
+    crossing token is included; the 90% test multiplies integers
+    ((cum-freq)*10 < total*9) — no float division anywhere. The
+    ranking window runs over the AGGREGATED vocabulary (corpus-scale
+    tokens never sort globally); ties break on the token string for a
+    total order."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        vocab.withColumn("cum", F.sum("freq").over(w))
+        .withColumn("_total", F.sum("freq").over(wt))
+        .filter((F.col("cum") - F.col("freq")) * 10 < F.col("_total") * 9)
+        .select("tok", "freq", "cum")
+    )
+
+
+# --- within-document repeated-token removal --------------------------------
+
+@register(
+    "q_dedup_within_doc",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    pos AS (SELECT doc_id, toks[i] AS word, i
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+    firsts AS (SELECT doc_id, word, MIN(i) AS fp
+               FROM pos GROUP BY doc_id, word),
+    re AS (SELECT doc_id,
+                  COUNT(*) AS n_unique,
+                  string_agg(word, ' ' ORDER BY fp) AS dedup_text
+           FROM firsts GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           re.n_unique,
+           left(re.dedup_text, 80) AS preview
+    FROM t JOIN re ON t.doc_id = re.doc_id
+    """,
+)
+def q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition removal (the C4/Gopher cleanup step):
+    drop every repeated token after its first occurrence and stitch
+    the survivors back in original order. posexplode → min-position
+    per (doc, word) — one shuffle on the composite key with map-side
+    combine — then per-doc reassembly via array_sort of (pos, word)
+    structs; surviving positions are distinct, so the order (and the
+    rebuilt string) is engine-independent. State per doc is bounded
+    by its distinct-token count, never the corpus vocabulary."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    base = d.select("doc_id", toks.alias("_toks"))
+    pos = base.select(
+        "doc_id", F.posexplode("_toks").alias("_i", "word")
+    )
+    firsts = pos.groupBy("doc_id", "word").agg(F.min("_i").alias("_fp"))
+    re = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_fp", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("_dedup_text"),
+    )
+    return (
+        base.join(re, "doc_id")
+        .select(
+            "doc_id",
+            F.size("_toks").alias("n_tokens"),
+            "n_unique",
+            F.substring("_dedup_text", 1, 80).alias("preview"),
+        )
+    )
