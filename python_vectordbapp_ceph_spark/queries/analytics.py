@@ -1517,3 +1517,133 @@ def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.join(F.broadcast(mode), med["event_type"] == mode["_et"])
         .select("event_type", "median_value", "mode_value", "n")
     )
+
+
+# --- grouped least-squares regression --------------------------------------
+
+@register(
+    "q_regression_groups",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(l_quantity) AS sx,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS sy,
+               SUM(l_quantity
+                   * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS sxy,
+               SUM(l_quantity * l_quantity) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6)
+               AS slope,
+           round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+               AS intercept
+    FROM s
+    """,
+)
+def q_regression_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (price-cents vs quantity), the
+    regr_slope/regr_intercept surface — computed from EXACT integer
+    sufficient statistics (sx, sy, sxy, sxx are long sums; quantity
+    <= 50 and cent prices keep every term under 2^63), then one
+    closed-form double evaluation per group with the identical
+    operand order in both engines. The whole fit is a single hash
+    aggregate — sufficient statistics compose map-side, so at 100 TB
+    the shuffle carries 5 longs per group, nothing else."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    x = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(x * cents).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope_raw = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope_raw / F.lit(100.0), 6).alias("slope"),
+        F.round(
+            (syd / nd - slope_raw * sxd / nd) / F.lit(100.0), 6
+        ).alias("intercept"),
+    )
+
+
+# --- contingency table with expected counts --------------------------------
+
+@register(
+    "q_contingency",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS observed
+        FROM orders GROUP BY status, priority
+    ),
+    tot AS (SELECT SUM(observed) AS total FROM obs),
+    rows_ AS (SELECT status, SUM(observed) AS row_total FROM obs GROUP BY status),
+    cols_ AS (SELECT priority, SUM(observed) AS col_total FROM obs GROUP BY priority)
+    SELECT o.status, o.priority, o.observed,
+           round(CAST(r.row_total * c.col_total AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS expected
+    FROM obs o
+    JOIN rows_ r ON o.status = r.status
+    JOIN cols_ c ON o.priority = c.priority
+    CROSS JOIN tot t
+    """,
+)
+def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table with independence-model expected counts (the
+    chi-square input): observed cell counts plus expected =
+    row_total * col_total / grand_total. The fact table aggregates
+    ONCE to the tiny cell grid; margins and the grand total derive
+    from the grid itself (re-aggregation of dozens of rows, not a
+    rescan), and every join back is a broadcast. The per-cell
+    expected value is one double division of exact integers — no
+    cross-partition float accumulation anywhere."""
+    o = T(spark, sf_dir, "orders")
+    obs = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    from ..cache import tracked_persist
+
+    obs = tracked_persist(obs)
+    rows_ = obs.groupBy("status").agg(F.sum("observed").alias("row_total"))
+    cols_ = obs.groupBy("priority").agg(F.sum("observed").alias("col_total"))
+    tot = obs.agg(F.sum("observed").alias("total"))
+    return (
+        obs.join(F.broadcast(rows_), "status")
+        .join(F.broadcast(cols_), "priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "priority",
+            "observed",
+            F.round(
+                (F.col("row_total") * F.col("col_total")).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("expected"),
+        )
+    )

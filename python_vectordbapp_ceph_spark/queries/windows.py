@@ -360,3 +360,73 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- time-weighted average (the hypertable downsampling primitive) ---------
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               lag(epoch_us(ts)) OVER w AS pus,
+               lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+                   AS pcents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(CAST(SUM(CAST(pcents AS DECIMAL(38,0))
+                          * CAST(us - pus AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(MAX(us) - MIN(pus) AS DOUBLE) / 100.0, 6) AS twa,
+           COUNT(*) AS n_intervals
+    FROM o WHERE pus IS NOT NULL
+    GROUP BY user_id
+    HAVING MAX(us) > MIN(pus)
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (left-closed step interpolation,
+    the TimescaleDB `time_weight('LOCF')` primitive): each reading
+    holds until the next one, so the integral is sum(prev_value *
+    dt). Integration runs in exact integers — cent-scaled values times
+    microsecond deltas accumulated in DECIMAL(38,0) — with ONE double
+    division per user at the end (identical operands both engines).
+    One shuffle on user_id for the lag window; the aggregate reuses
+    the same partitioning, so no second exchange."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        cents.alias("cents"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pus"),
+        F.lag(cents).over(w).alias("pcents"),
+    ).filter(F.col("pus").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("pcents").cast("decimal(38,0)")
+                * (F.col("us") - F.col("pus")).cast("decimal(38,0)")
+            ).alias("_area"),
+            F.max("us").alias("_hi"),
+            F.min("pus").alias("_lo"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "user_id",
+            F.round(
+                F.col("_area").cast("double")
+                / (F.col("_hi") - F.col("_lo")).cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("twa"),
+            "n_intervals",
+        )
+    )
