@@ -1647,3 +1647,52 @@ def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected"),
         )
     )
+
+
+# --- first-touch attribution -----------------------------------------------
+
+@register(
+    "q_first_touch",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS fp_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'
+    )
+    SELECT event_type AS first_touch, COUNT(*) AS n_conversions
+    FROM touches WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for every converting user, credit the
+    earliest non-purchase event strictly before their first purchase.
+    The purchase side collapses to (user, min ts) — tiny, broadcast —
+    and the earliest touch is a single min_by struct aggregate (ties
+    broken by event_id), so the fact table is scanned once and
+    shuffled once on user_id; no window materializes per-row ranks."""
+    e = T(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_fp_ts"))
+    )
+    touches = (
+        e.join(F.broadcast(fp), "user_id")
+        .filter((F.col("ts") < F.col("_fp_ts")) & (F.col("event_type") != "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.col("event_type"), F.struct("ts", "event_id")
+            ).alias("first_touch")
+        )
+    )
+    return touches.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )

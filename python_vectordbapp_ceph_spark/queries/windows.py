@@ -430,3 +430,37 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intervals",
         )
     )
+
+
+# --- multi-granularity time rollup (continuous-aggregate shape) ------------
+
+@register(
+    "q_time_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           extract(hour FROM ts) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((day), (day, hour))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups
+    of the event stream in ONE grouping-sets pass — the hourly cells
+    and their daily parents come out of a single shuffle instead of
+    two scans (at 100 TB the scan is the cost; Spark's expand operator
+    doubles rows map-side but partial-aggregates before the exchange,
+    so the shuffle carries one row per live cell). Decimal-exact sums;
+    the NULL hour marks the daily tier, exactly as in the oracle."""
+    T(spark, sf_dir, "events").createOrReplaceTempView("_ev_rollup")
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               extract(hour FROM ts) AS hour,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM _ev_rollup
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        """
+    )

@@ -287,3 +287,38 @@ def test_ingest_stream_checkpoint_restart_no_reprocessing(spark, tmp_path):
     log_rows_2 = coll._log().count()
     assert log_rows_2 == 2, "restart reprocessed the first batch"
     assert {r.key for r in coll.snapshot().collect()} == {"k1", "k3"}
+
+
+def test_stream_static_broadcast_join_equals_batch(spark, tmp_path):
+    """Stream-static join: the static dimension is (re)broadcast per
+    micro-batch, no state store and no watermark needed for inner
+    joins — the enrichment path for streams at any scale."""
+    events = load_table(spark, SF_DIR, "events")
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(4)))
+    )
+    src = str(tmp_path / "ess_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    joined = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_static_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stream_static_test")
+    want = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert rows_set(got) == rows_set(want)
