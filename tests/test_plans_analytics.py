@@ -106,3 +106,99 @@ def test_tfidf_tf_materializes_once(spark):
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         release_caches()
+
+
+def test_skyline_dominance_property(spark):
+    """Every returned part is undominated; every excluded part is
+    dominated by some returned part (2D skyline invariants)."""
+    from python_vectordbapp_ceph_spark.queries.analytics import q_skyline
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    sky = {(r.p_partkey, r.p_size, r.price) for r in q_skyline(spark, SF_DIR).collect()}
+    allp = [
+        (r.p_partkey, r.p_size, round(r.p_retailprice, 2))
+        for r in load_table(spark, SF_DIR, "part").collect()
+    ]
+    def dominates(a, b):
+        return (a[2] <= b[2] and a[1] >= b[1]) and (a[2] < b[2] or a[1] > b[1])
+
+    sky_keys = {k for k, _, _ in sky}
+    for p in allp:
+        dominated = any(dominates(q, p) for q in allp if q[0] != p[0])
+        assert (p[0] in sky_keys) == (not dominated), p
+
+
+def test_outlier_zscore_matches_float_reference(spark):
+    """The division-free integer test selects the same rows as the
+    textbook float z-score (no boundary collisions in this data)."""
+    import math
+    from collections import defaultdict
+    from python_vectordbapp_ceph_spark.queries.analytics import q_outlier_zscore
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    got = {r.event_id for r in q_outlier_zscore(spark, SF_DIR).collect()}
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    want = set()
+    for rs in by_type.values():
+        vals = [r.value for r in rs]
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / n
+        sd = math.sqrt(var)
+        for r in rs:
+            if abs(r.value - mean) > 2 * sd + 1e-9:
+                want.add(r.event_id)
+    assert got == want
+
+
+def test_weighted_sample_is_layout_independent(spark):
+    """Membership is a pure row function: repartitioning the input
+    must not move a single row in or out of the sample."""
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.operators.split import split_bucket
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_DIR, "orders")
+    def kept(df):
+        thr = F.least(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"),
+            F.lit(10000),
+        )
+        return {
+            r.o_orderkey
+            for r in df.filter(split_bucket("o_orderkey", 10000) < thr)
+            .select("o_orderkey").collect()
+        }
+    a = kept(o)
+    b = kept(o.repartition(7, "o_orderstatus"))
+    assert a == b and 0 < len(a) < o.count()
+
+
+def test_dedup_within_doc_preserves_first_occurrence_order(spark):
+    """The rebuilt text is the input's token sequence with repeats
+    dropped — verified per doc against a driver-side reference."""
+    from python_vectordbapp_ceph_spark.queries.textops import q_dedup_within_doc
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_unique, r.preview)
+        for r in q_dedup_within_doc(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for d in docs[:50]:
+        toks = [t for t in d.text.strip().lower().split() if t]
+        seen, out = set(), []
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        n_tokens, n_unique, preview = got[d.doc_id]
+        assert n_tokens == len(toks)
+        assert n_unique == len(out)
+        assert preview == " ".join(out)[:80]
