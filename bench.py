@@ -55,6 +55,11 @@ HEADLINE = [
     "q_tpch_q21",          # decorrelated EXISTS/NOT-EXISTS (r4)
     "q_tfidf_topk",        # tf/df aggregates + per-doc top-5 window (r4)
     "q_graph_components",  # iterative min-label propagation (r4)
+    "q_skyline",           # 2-pass Pareto frontier (r4)
+    "q_time_weighted_avg", # exact LOCF integration, shared shuffle (r4)
+    "q_dedup_within_doc",  # intra-doc repetition removal (r4)
+    "q_time_rollup",       # grouping-sets continuous aggregate (r4)
+    "q_outlier_zscore",    # division-free 2-sigma filter (r4)
 ]
 
 

@@ -1,0 +1,115 @@
+"""Incremental view maintenance for additive aggregates.
+
+A continuously-ingesting pipeline cannot afford to rescan the base
+table to refresh `GROUP BY` rollups — the standard answer is delta
+maintenance (the materialized-view literature's "self-maintainable
+aggregates"): COUNT and SUM (and anything derived from them, e.g.
+AVG) are updatable from the change rows alone, with no access to the
+base data. This module maintains such a view as bucketed parquet,
+mirroring the MERGE layout (merge.py): refresh cost is proportional
+to the DELTA and the buckets it touches, never to the view or the
+base table.
+
+Reference parity: the reference's ingest loop re-derives collection
+stats on every write by re-reading state from the backend
+(milvus-app/pythonvectordbceph_milvus.py upsert path); this is the
+scale-path replacement — stats stay current for the cost of the
+micro-batch.
+
+Delta rows carry a ``sign`` (+1 insert, -1 retraction/delete); an
+UPDATE is a -1/+1 pair. Groups whose maintained count reaches zero
+are physically dropped, so the view equals a full recompute at every
+point — verified by pytest and by the q_incremental_view oracle.
+
+MIN/MAX are deliberately NOT offered here: they are not
+self-maintainable under deletes (a retracted maximum requires the
+base). The collection's snapshot path covers those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import overwrite_touched_buckets
+
+N_BUCKETS_DEFAULT = 64
+
+
+def _bucketed(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
+    # xxhash64 over ALL group keys: stable across Spark versions and
+    # restarts, and multi-key groups land in one deterministic bucket
+    return df.withColumn(
+        "_kb", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    )
+
+
+def _delta_agg(delta: DataFrame, keys: list[str], value_col: str,
+               sign_col: str) -> DataFrame:
+    """Collapse a change set to per-group (d_cnt, d_total). This is the
+    only shuffle in a refresh, and it shuffles the delta, not the view."""
+    sign = F.col(sign_col).cast("long")
+    val = F.col(value_col).cast("decimal(18,2)")
+    return delta.groupBy(*keys).agg(
+        F.sum(sign).alias("cnt"),
+        F.sum(sign.cast("decimal(18,2)") * val).cast("decimal(38,2)").alias("total"),
+    )
+
+
+def init_agg_view(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    path: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> None:
+    """Full (one-time) aggregate of the base, laid out by key bucket."""
+    view = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total"),
+    )
+    _bucketed(view, keys, n_buckets).write.mode("overwrite").partitionBy(
+        "_kb"
+    ).parquet(path)
+
+
+def apply_delta(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sign_col: str = "sign",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> list[int]:
+    """Fold a change set into the view. Returns the rewritten bucket
+    ids (the refresh footprint — ids only ever reach the driver).
+
+    Reads ONLY the touched buckets of the view, merges additively
+    (one union + re-aggregate over view-rows + delta-groups, both
+    tiny), drops zero-count groups, rewrites only those buckets."""
+    d = _bucketed(_delta_agg(delta, keys, value_col, sign_col), keys, n_buckets)
+    buckets = [r._kb for r in d.select("_kb").distinct().collect()]
+    if not buckets:
+        return []
+
+    view = spark.read.parquet(path).filter(F.col("_kb").isin(buckets))
+    merged = (
+        view.unionByName(d)
+        .groupBy("_kb", *keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total").cast("decimal(38,2)").alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+        # materialize before overwriting the files just read
+        .localCheckpoint()
+    )
+    overwrite_touched_buckets(spark, path, merged, buckets)
+    return sorted(buckets)
+
+
+def read_view(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("_kb")

@@ -32,6 +32,33 @@ def _with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
     return df.withColumn("_kb", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
 
 
+def overwrite_touched_buckets(
+    spark: SparkSession, path: str, result: DataFrame, buckets: list[int]
+) -> None:
+    """Dynamic-overwrite the `_kb` partitions present in ``result`` and
+    delete the directories of touched buckets that emptied out (dynamic
+    mode writes no partition for them, leaving stale files). ``result``
+    must already be materialized (checkpointed) if its lineage reads
+    ``path``."""
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy("_kb").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    survivors = {r._kb for r in result.select("_kb").distinct().collect()}
+    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    # resolve the filesystem FROM the path (s3a://, hdfs://, file://),
+    # not the cluster default FS — they routinely differ
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    for b in set(buckets) - survivors:
+        fs.delete(hpath(f"{path}/_kb={b}"), True)
+    # the session caches the path's file listing; later reads must see
+    # the rewritten partitions
+    spark.catalog.refreshByPath(path)
+
+
 def write_bucketed_base(
     df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS_DEFAULT
 ) -> None:
@@ -81,29 +108,7 @@ def merge_into(
     # materialize BEFORE overwriting the path we just read (truncates
     # the lineage back to the files being replaced); eager by default
     result = result.localCheckpoint()
-
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # dynamic mode: only the partitions present in `result` (the
-        # affected buckets) are replaced; the rest of the base is
-        # untouched on disk
-        result.write.mode("overwrite").partitionBy("_kb").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-
-    # a bucket whose keys were ALL deleted writes no partition, so
-    # dynamic overwrite leaves its stale files — drop those dirs
-    survivors = {r._kb for r in result.select("_kb").distinct().collect()}
-    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    # resolve the filesystem FROM the path (s3a://, hdfs://, file://),
-    # not the cluster default FS — they routinely differ
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    for b in set(buckets) - survivors:
-        fs.delete(hpath(f"{path}/_kb={b}"), True)
-    # the session caches the path's file listing; later reads must see
-    # the rewritten partitions
-    spark.catalog.refreshByPath(path)
+    overwrite_touched_buckets(spark, path, result, buckets)
     return sorted(buckets)
 
 

@@ -576,3 +576,59 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_price").cast("double").alias("kept_value"),
         )
     )
+
+
+# --- incremental view maintenance ------------------------------------------
+
+@register(
+    "q_incremental_view",
+    oracle="""
+    WITH contrib AS (
+        SELECT o_custkey, 1 AS sign,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        UNION ALL
+        SELECT o_custkey, 1, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_custkey, -1, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_custkey AS custkey,
+           SUM(sign) AS cnt,
+           CAST(SUM(sign * price) AS DOUBLE) AS total
+    FROM contrib GROUP BY o_custkey HAVING SUM(sign) > 0
+    """,
+)
+def q_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained per-customer rollup end-to-end: materialize
+    the view from orders, fold in an INSERT batch (keys %5, sign +1)
+    and a RETRACTION batch (keys %3, sign -1) WITHOUT rescanning the
+    base, read the result back. The oracle recomputes from scratch —
+    incremental maintenance must be indistinguishable from a full
+    rebuild. Each refresh shuffles only its delta and rewrites only
+    the key buckets that delta touches (operators/incremental.py)."""
+    from ..operators.incremental import apply_delta, init_agg_view, read_view
+
+    o = T(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivm_q_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}", "view",
+    )
+    init_agg_view(
+        o.select(F.col("o_custkey").alias("custkey"), "o_totalprice"),
+        ["custkey"], "o_totalprice", path, n_buckets=16,
+    )
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+        F.lit(1).alias("sign"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+        F.lit(-1).alias("sign"),
+    )
+    apply_delta(spark, path, inserts, ["custkey"], "o_totalprice", n_buckets=16)
+    apply_delta(spark, path, deletes, ["custkey"], "o_totalprice", n_buckets=16)
+    v = read_view(spark, path)
+    return v.select("custkey", "cnt", F.col("total").cast("double").alias("total"))

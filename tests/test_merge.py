@@ -79,3 +79,89 @@ def test_merge_empties_fully_deleted_bucket(spark, tmp_path):
     assert not any(d.startswith("_kb=") for d in os.listdir(path))
     empty = read_base(spark, path, schema="key string, val long, ts long, _kb int")
     assert empty.count() == 0
+
+
+def test_incremental_view_equals_full_recompute(spark, tmp_path):
+    """A sequence of insert/retract batches folded into the view must
+    be indistinguishable from recomputing the aggregate from the
+    surviving base rows."""
+    from pyspark.sql import functions as F
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.operators.incremental import (
+        apply_delta, init_agg_view, read_view,
+    )
+    from conftest import SF_DIR, rows_set
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    path = str(tmp_path / "ivm")
+    init_agg_view(o, ["custkey"], "o_totalprice", path, n_buckets=8)
+
+    live = o
+    for mod, sign in [(4, 1), (3, -1), (5, -1)]:
+        delta = o.filter(F.col("custkey") % mod == 0).withColumn(
+            "sign", F.lit(sign)
+        )
+        apply_delta(spark, path, delta, ["custkey"], "o_totalprice", n_buckets=8)
+        live = live.unionByName(delta.drop("sign")) if sign > 0 else live
+    # expected = base + inserts(%4) - retractions(%3) - retractions(%5),
+    # expressed as signed contributions
+    contrib = (
+        o.withColumn("sign", F.lit(1))
+        .unionByName(o.filter(F.col("custkey") % 4 == 0).withColumn("sign", F.lit(1)))
+        .unionByName(o.filter(F.col("custkey") % 3 == 0).withColumn("sign", F.lit(-1)))
+        .unionByName(o.filter(F.col("custkey") % 5 == 0).withColumn("sign", F.lit(-1)))
+    )
+    want = (
+        contrib.groupBy("custkey")
+        .agg(
+            F.sum("sign").alias("cnt"),
+            F.sum(
+                F.col("sign").cast("decimal(18,2)")
+                * F.col("o_totalprice").cast("decimal(18,2)")
+            ).cast("decimal(38,2)").alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    got = read_view(spark, path)
+    assert rows_set(got) == rows_set(want)
+
+
+def test_incremental_view_footprint_is_delta_buckets(spark, tmp_path):
+    """A single-key delta must rewrite exactly one bucket, and the
+    other buckets' files must be untouched on disk."""
+    import os
+    from pyspark.sql import functions as F
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.operators.incremental import (
+        apply_delta, init_agg_view,
+    )
+    from conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    path = str(tmp_path / "ivm_fp")
+    init_agg_view(o, ["custkey"], "o_totalprice", path, n_buckets=8)
+
+    def bucket_mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("_kb="):
+                full = os.path.join(path, d)
+                out[d] = max(
+                    os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full) if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_mtimes()
+    one_key = o.limit(1).withColumn("sign", F.lit(1))
+    touched = apply_delta(
+        spark, path, one_key, ["custkey"], "o_totalprice", n_buckets=8
+    )
+    assert len(touched) == 1
+    after = bucket_mtimes()
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert changed == {f"_kb={touched[0]}"}
