@@ -322,3 +322,52 @@ def test_stream_static_broadcast_join_equals_batch(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert rows_set(got) == rows_set(want)
+
+
+def test_streaming_incremental_view_maintenance(spark, tmp_path):
+    """foreachBatch + apply_delta: each micro-batch folds into the
+    bucketed aggregate view; after the stream drains, the view equals
+    the batch aggregate of base + streamed inserts (here: base + one
+    full extra copy of orders, arriving across several micro-batches)."""
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.operators.incremental import (
+        apply_delta, init_agg_view, read_view,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    view_path = str(tmp_path / "stream_ivm")
+    init_agg_view(o, ["custkey"], "o_totalprice", view_path, n_buckets=8)
+
+    src = str(tmp_path / "ivm_src")
+    o.repartition(4).write.parquet(src)
+
+    def fold(batch_df, _batch_id):
+        apply_delta(
+            batch_df.sparkSession, view_path,
+            batch_df.withColumn("sign", F.lit(1)),
+            ["custkey"], "o_totalprice", n_buckets=8,
+        )
+
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ivm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = o.groupBy("custkey").agg(
+        (F.count(F.lit(1)) * 2).alias("cnt"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 2)
+        .cast("decimal(38,2)")
+        .alias("total"),
+    )
+    got = read_view(spark, view_path)
+    assert rows_set(got) == rows_set(want)
