@@ -1487,3 +1487,58 @@ def q_corr_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+# --- exact discrete percentile (no interpolation) --------------------------
+
+@register(
+    "q_percentile_disc",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN rn * 10 >= n * 5 THEN price END) AS DOUBLE)
+               AS p50_disc,
+           CAST(MIN(CASE WHEN rn * 10 >= n * 9 THEN price END) AS DOUBLE)
+               AS p90_disc,
+           MAX(n) AS n
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles: the smallest ACTUAL value at-or-above the
+    quantile rank (percentile_disc semantics — interpolated quantiles
+    fabricate values that never occurred, wrong for 'a real p90
+    document length' questions). Rank threshold is integer arithmetic
+    (rn*10 >= n*q10); the full ordering carries a unique-key tiebreak.
+    One sort per group partition, then the min-over-threshold collapses
+    in the same pass — no second shuffle after the window."""
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        dec2("l_extendedprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 5, F.col("price")))
+        .cast("double")
+        .alias("p50_disc"),
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("price")))
+        .cast("double")
+        .alias("p90_disc"),
+        F.max("n").alias("n"),
+    )

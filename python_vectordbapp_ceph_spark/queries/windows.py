@@ -464,3 +464,78 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day), (day, hour))
         """
     )
+
+
+# --- lag-1 autocorrelation per series --------------------------------------
+
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH c AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(pv) AS sx, SUM(v) AS sy,
+               SUM(pv * v) AS sxy,
+               SUM(pv * pv) AS sxx, SUM(v * v) AS syy
+        FROM c WHERE pv IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS autocorr
+    FROM s
+    WHERE n >= 3
+      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series (the
+    stationarity probe): Pearson r over (prev, current) pairs from a
+    lag window, computed from exact integer sufficient statistics with
+    one closed-form double evaluation per user — sqrt is IEEE
+    correctly-rounded, so identical operands give identical results in
+    both engines. Zero-variance series are filtered on the exact
+    integer spread, not a float epsilon. The lag window and the
+    aggregate share the user_id shuffle."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = e.select(
+        "user_id", cents.alias("v"), F.lag(cents).over(w).alias("pv")
+    ).filter(F.col("pv").isNotNull())
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pv").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("pv") * F.col("v")).alias("sxy"),
+        F.sum(F.col("pv") * F.col("pv")).alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    nd, sxd, syd = [F.col(x).cast("double") for x in ("n", "sx", "sy")]
+    sxyd, sxxd, syyd = [F.col(x).cast("double") for x in ("sxy", "sxx", "syy")]
+    varx = nd * sxxd - sxd * sxd
+    vary = nd * syyd - syd * syd
+    return (
+        s.filter((F.col("n") >= 3) & (varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round((nd * sxyd - sxd * syd) / F.sqrt(varx * vary), 6)
+            .alias("autocorr"),
+        )
+    )
