@@ -814,3 +814,117 @@ def q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("_dedup_text", 1, 80).alias("preview"),
         )
     )
+
+
+# --- similarity-graph analytics: degrees and triangles ---------------------
+
+_PAIRS_05_SQL = f"""
+    s AS (SELECT doc_id, source,
+                 list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+          FROM documents),
+    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                       AS DOUBLE) >= 0.5)
+"""
+
+
+@register(
+    "q_degree_hist",
+    oracle=f"""
+    WITH {_PAIRS_05_SQL},
+    deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e
+        ) GROUP BY id
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the exact-Jaccard similarity graph — the
+    shape that tells you whether near-dup removal faces a long tail or
+    dense cliques (and whether LSH banding will bucket-skew). Two hash
+    aggregates over the edge list; the edge endpoints union is
+    map-side, so one shuffle on id then one on degree."""
+    d = T(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5)
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_PAIRS_05_SQL},
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+        JOIN e e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e
+                )
+            )) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the similarity graph via DEGREE
+    ORIENTATION (the compact-forward algorithm): every undirected edge
+    is directed from its lower-(degree, id) endpoint, which caps any
+    vertex's out-degree at O(sqrt(m)); wedges are then pairs of
+    out-neighbors of one vertex, and a wedge is a triangle iff its
+    endpoints are also an edge — a hash semi-join against the edge
+    list. The naive all-orders wedge join (what the oracle's triple
+    join does) explodes as sum(deg^2) on dense-clique dedup graphs;
+    orientation bounds the intermediate at m^1.5 regardless of skew.
+    Three shuffles total, all on ids."""
+    from ..cache import tracked_persist
+
+    d = T(spark, sf_dir, "documents")
+    pairs = tracked_persist(
+        jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5)
+        .select("id_a", "id_b")
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("id_a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("deg").alias("_degb"))
+    # orient each edge toward the higher-(deg, id) endpoint
+    lower_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    oriented = tracked_persist(
+        pairs.join(da, "id_a").join(db, "id_b").select(
+            F.when(lower_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+            F.when(lower_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        )
+    )
+    o1 = oriented.select(F.col("src").alias("_s"), F.col("dst").alias("_x"))
+    o2 = oriented.select(F.col("src").alias("_s"), F.col("dst").alias("_y"))
+    wedges = o1.join(o2, "_s").filter(F.col("_x") < F.col("_y"))
+    closed = wedges.join(
+        pairs.select(
+            F.col("id_a").alias("_x"), F.col("id_b").alias("_y")
+        ),
+        ["_x", "_y"],
+        "left_semi",
+    )
+    # one lazy plan: the three scalar aggregates cross-join (1x1 rows)
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
