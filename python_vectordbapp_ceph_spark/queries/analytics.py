@@ -1696,3 +1696,53 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touches.groupBy("first_touch").agg(
         F.count(F.lit(1)).alias("n_conversions")
     )
+
+
+# --- top session paths -----------------------------------------------------
+
+@register(
+    "q_top_paths",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id, day
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM s GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common user journeys: each (user, day) session's ordered
+    event-type sequence collapses to a path string, then global top-20
+    by frequency. The path assembly is the array_sort-of-structs idiom
+    — (ts, event_id, type) structs aggregated per session and sorted
+    IN the row, so ordering needs no window and ties are broken by
+    event_id identically in both engines. Two aggregates (session,
+    then path) and a TakeOrderedAndProject — at 100 TB the session
+    aggregate is the only fact-scale shuffle."""
+    e = T(spark, sf_dir, "events")
+    s = (
+        e.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        s.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
