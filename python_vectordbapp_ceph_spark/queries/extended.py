@@ -632,3 +632,69 @@ def q_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_delta(spark, path, deletes, ["custkey"], "o_totalprice", n_buckets=16)
     v = read_view(spark, path)
     return v.select("custkey", "cnt", F.col("total").cast("double").alias("total"))
+
+
+# --- declarative data-quality report ---------------------------------------
+
+@register(
+    "q_data_quality",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS check,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+               AS n_violations,
+           (SELECT COUNT(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice NOT BETWEEN 0 AND 1000000
+               OR o_totalprice IS NULL),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+               OR o_orderstatus IS NULL),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')
+               OR o_orderpriority IS NULL),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'fk(o_custkey)',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders)
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint verification as ONE query: four row-level rules and
+    the uniqueness rule fold into a single scan + hash aggregate
+    (conditional sums / count-distinct), unpivoted by stack() to a
+    uniform report; referential integrity adds one broadcast anti-join
+    count. One pass over the fact table per report, however many
+    rules — the Deequ-style validation gate a training pipeline runs
+    before accepting a drop of new data (operators/quality.py)."""
+    from ..operators.quality import (
+        in_range, in_set, matches, not_null, quality_report,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return quality_report(
+        o,
+        row_checks=[
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 1000000),
+            in_set("o_orderstatus", ["F", "O", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+        unique_cols=["o_orderkey"],
+        fk=("o_custkey", c, "c_custkey"),
+    )

@@ -165,3 +165,45 @@ def test_incremental_view_footprint_is_delta_buckets(spark, tmp_path):
     after = bucket_mtimes()
     changed = {d for d in after if after[d] != before.get(d)}
     assert changed == {f"_kb={touched[0]}"}
+
+
+def test_quality_report_detects_planted_violations(spark):
+    """Each rule counts exactly the rows planted to violate it."""
+    from python_vectordbapp_ceph_spark.operators.quality import (
+        in_range, in_set, matches, not_null, quality_report,
+    )
+
+    rows = [
+        (1, 10.0, "A", "ok-1"),
+        (2, -5.0, "A", "ok-2"),      # range violation
+        (3, 20.0, "Z", "ok-3"),      # set violation
+        (None, 30.0, "B", "ok-4"),   # null violation
+        (5, 40.0, "B", "bad"),       # regex violation
+        (5, 50.0, "A", "ok-5"),      # duplicate key (with previous row)
+        (9, 60.0, "A", "ok-6"),      # fk violation (9 not in dim)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double, s string, t string")
+    dim = spark.createDataFrame([(i,) for i in [1, 2, 3, 5]], "k int")
+    rep = {
+        r.check: (r.n_violations, r.n_rows)
+        for r in quality_report(
+            df,
+            row_checks=[
+                not_null("k"),
+                in_range("v", 0, 100),
+                in_set("s", ["A", "B"]),
+                matches("t", "^ok-"),
+            ],
+            unique_cols=["k"],
+            fk=("k", dim, "k"),
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, 7)
+    assert rep["in_range(v)"] == (1, 7)
+    assert rep["in_set(s)"] == (1, 7)
+    assert rep["matches(t)"] == (1, 7)
+    # 7 rows, 6 distinct non-null k... count_distinct ignores the null
+    # row, so duplicates = 7 - 5 = 2 (the null and the repeated 5)
+    assert rep["unique(k)"] == (2, 7)
+    # anti-join on k: the null row never matches, so 9 and None both miss
+    assert rep["fk(k)"] == (2, 7)
