@@ -928,3 +928,41 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+# --- inverted-index materialization ----------------------------------------
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:5], ',') AS posting_head
+    FROM toks GROUP BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build — the search-index materialization behind
+    the keyword queries: explode to distinct (doc, term), then one
+    hash aggregate per term producing document frequency and the
+    sorted posting head (first 5 doc ids, emitted as a scalar string:
+    the driver's hasher can't sort array cells). At 100 TB this is
+    the classic two-shuffle index build (dedup, then group); postings
+    would write out partitionBy(term-prefix) for prefix-pruned lookup,
+    exactly like the IVF index layout (operators/ivf.py)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    pairs = d.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).distinct()
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5),
+        ).alias("posting_head"),
+    )

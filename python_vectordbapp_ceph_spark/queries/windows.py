@@ -539,3 +539,45 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("autocorr"),
         )
     )
+
+
+# --- moving median (order statistics in a sliding frame) -------------------
+
+@register(
+    "q_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+               AS moving_median
+    FROM events
+    """,
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-event median per user — the robust smoother a mean
+    can't be (one spike drags a moving average; the median ignores
+    it). Spark's exact `percentile` runs as a WINDOW aggregate over
+    the rows frame; on 2-decimal values the middle element (odd
+    frames) and midpoint average (even warm-up frames) are both exact
+    doubles, so the rolling values hash-match quantile_cont. One
+    shuffle on user_id; the frame re-sorts 5 elements per row, not
+    the partition."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.percentile(
+                F.col("value").cast("decimal(18,2)").cast("double"), F.lit(0.5)
+            ).over(w),
+            6,
+        ).alias("moving_median"),
+    )
