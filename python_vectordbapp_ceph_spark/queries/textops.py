@@ -966,3 +966,69 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5),
         ).alias("posting_head"),
     )
+
+
+# --- asymmetric containment pairs (decontamination-grade) ------------------
+
+@register(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, source,
+                      list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+               FROM documents)
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+    FROM s a JOIN s b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+     AND len(a.sh) <= len(b.sh)
+     AND (len(a.sh) < len(b.sh) OR a.doc_id < b.doc_id)
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) AS DOUBLE) >= 0.7
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT |A∩B|/|A| of the smaller token set in
+    the larger — the decontamination measure Jaccard misses: a short
+    benchmark item fully quoted inside a long training document has
+    high containment but low Jaccard (the union is dominated by the
+    big doc). Same blocked self-join shape as the Jaccard verify with
+    the symmetric id< pruning replaced by size ordering (smaller side
+    is always the reference set; equal sizes tie-break on id so each
+    unordered pair appears once). Intersections evaluate in the join
+    projection — pair rows with both sets never materialize through
+    an exchange."""
+    from ..operators.dedup import _spread, shingles
+    from ..cache import tracked_persist
+
+    d = T(spark, sf_dir, "documents")
+    base = tracked_persist(
+        _spread(d, "doc_id").select(
+            "doc_id",
+            F.col("source").alias("_blk"),
+            shingles("text", 1).alias("sh"),
+        ).withColumn("n_sh", F.size("sh"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    containment = F.round(
+        inter.cast("double") / F.col("a.n_sh").cast("double"), 6
+    )
+    size_order = (F.col("a.n_sh") < F.col("b.n_sh")) | (
+        (F.col("a.n_sh") == F.col("b.n_sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & size_order,
+        )
+        .select(
+            F.col("a.doc_id").alias("id_small"),
+            F.col("b.doc_id").alias("id_big"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.7)
+    )
