@@ -366,3 +366,63 @@ def q_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = fit_sq8(e, "embedding", 64)
     index.assigned = sq8_encode(index.assigned, params, "embedding")
     return ivf_sq8_search(index, params, QVEC, k=5, nprobe=3)
+
+
+# --- A13+B3 hybrid filtered search -----------------------------------------
+
+@register(
+    "q_filtered_knn",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT vec_id, label, round({_L2_TO_Q}, 6) AS distance
+    FROM e WHERE label IN (3, 7)
+    ORDER BY distance, vec_id LIMIT 5
+    """,
+)
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid filtered search — Milvus `search(expr=...)`, the
+    filter+ANN combination the reference exposes through its query
+    endpoint (milvus-app/describe.py:26-31 filter grammar + search):
+    the metadata predicate applies BEFORE any distance math, pushes to
+    the parquet scan (row-group pruning on label stats), and the
+    survivor set feeds the same TakeOrderedAndProject top-k — filter
+    selectivity directly multiplies scan AND compute cost down, which
+    is why filtered search at 100 TB is CHEAPER than unfiltered, not
+    an add-on cost."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("label").isin(3, 7))
+    q = F.array(*[F.lit(x) for x in QVEC]).cast("array<double>")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(V.l2_distance(F.col("embedding"), q), 6).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(5)
+    )
+
+
+# --- A13 range search (radius query) ---------------------------------------
+
+@register(
+    "q_range_search",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT vec_id, round({_L2_TO_Q}, 6) AS distance
+    FROM e WHERE round({_L2_TO_Q}, 6) < 1.15
+    """,
+)
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (Milvus range_search semantics): ALL vectors
+    within radius, not a fixed k — the dedup-threshold and
+    recall-sweep primitive. A pure scan-filter: no sort, no shuffle,
+    no state; the predicate is on the ROUNDED distance so the
+    boundary set is bit-identical in both engines. At scale this is
+    embarrassingly parallel and composes with the IVF layout (probe
+    only cells whose centroid distance <= radius + cell radius)."""
+    e = T(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(x) for x in QVEC]).cast("array<double>")
+    d = F.round(V.l2_distance(F.col("embedding"), q), 6)
+    return e.select("vec_id", d.alias("distance")).filter(
+        F.col("distance") < 1.15
+    )
