@@ -63,3 +63,46 @@ def test_zorder_write_prunes_both_dims(spark, tmp_path):
     narrow_eid = {"event_id": (0, eid_max // 8)}
     _, match_z_eid = file_stats_pruning(zpath, narrow_eid)
     assert match_z_eid <= n_files // 2, "z-order lost event_id pruning"
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim triggers DPP:
+    the fact scan carries a dynamicpruning subquery on the partition
+    column, so only the dim-selected day directories are read — the
+    runtime analog of static partition pruning, and the reason
+    fact-table layouts partition by join/filter keys at 100 TB."""
+    from pyspark.sql import functions as F
+    from python_vectordbapp_ceph_spark.io import load_table
+    from conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    fact = str(tmp_path / "events_by_day")
+    e.write.partitionBy("day").parquet(fact)
+
+    # dim table on disk with a selective predicate column: DPP requires
+    # a FILTER on the dim side (a limit/distinct alone won't inject the
+    # pruning subquery into the fact scan)
+    keep_days = [r.day for r in e.select("day").distinct().orderBy("day").limit(2).collect()]
+    dim_path = str(tmp_path / "day_dim")
+    (
+        e.select("day").distinct()
+        .withColumn(
+            "tag",
+            F.when(F.col("day").isin(keep_days), "keep").otherwise("drop"),
+        )
+        .write.parquet(dim_path)
+    )
+
+    f = spark.read.parquet(fact)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    joined = f.join(dim, "day").groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # and the result is correct: only rows from the two kept days
+    want = e.filter(F.col("day").isin(keep_days)).count()
+    got = joined.collect()[0].n
+    assert got == want
