@@ -1673,10 +1673,13 @@ def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution: for every converting user, credit the
     earliest non-purchase event strictly before their first purchase.
-    The purchase side collapses to (user, min ts) — tiny, broadcast —
-    and the earliest touch is a single min_by struct aggregate (ties
+    The purchase side collapses to (user, min ts) before joining, and
+    the earliest touch is a single min_by struct aggregate (ties
     broken by event_id), so the fact table is scanned once and
-    shuffled once on user_id; no window materializes per-row ranks."""
+    shuffled once on user_id; no window materializes per-row ranks.
+    The broadcast hint fits converter-cardinality here; at extreme
+    user counts AQE would fall back to the same-keyed shuffle join
+    the aggregate already paid for."""
     e = T(spark, sf_dir, "events")
     fp = (
         e.filter(F.col("event_type") == "purchase")

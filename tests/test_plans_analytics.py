@@ -202,3 +202,34 @@ def test_dedup_within_doc_preserves_first_occurrence_order(spark):
         assert n_tokens == len(toks)
         assert n_unique == len(out)
         assert preview == " ".join(out)[:80]
+
+
+def test_observe_metrics_piggyback_on_single_pass(spark):
+    """df.observe collects QA metrics DURING the action — row count,
+    null count, sum — without a second scan; the numbers must match
+    dedicated aggregates."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    obs = Observation("qa")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    # one real action drives both the pipeline and the metrics
+    n_f_rows = observed.filter(F.col("o_orderstatus") == "F").count()
+
+    m = obs.get
+    want = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    ).collect()[0]
+    assert m["n"] == want.n
+    assert m["null_cust"] == want.null_cust
+    assert m["total"] == want.total
+    assert n_f_rows == o.filter(F.col("o_orderstatus") == "F").count()
