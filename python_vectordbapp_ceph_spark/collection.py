@@ -309,9 +309,11 @@ class VectorCollection:
             "seq", F.lit(0).cast("long")
         ).select(*[f.name for f in collection_schema(self.dim).fields])
         tmp = self.path + "._compact"
-        # ONE write (to a sibling temp dir), then an atomic directory
-        # swap — not temp-write + re-read + second full write, which
-        # doubles the I/O of every compaction (round-3 verdict).
+        # ONE write (to a sibling temp dir), then a two-rename swap —
+        # not temp-write + re-read + second full write, which doubles
+        # the I/O of every compaction (round-3 verdict). Each rename is
+        # atomic on HDFS/POSIX; a crash between them leaves the old log
+        # intact at path+'._old' (recoverable), never a missing path.
         snap.write.mode("overwrite").parquet(tmp)
         self._seq = 0  # re-derive from the rewritten log on next write
         self._ivf = None  # index plans reference the replaced files
@@ -320,12 +322,20 @@ class VectorCollection:
         fs = hpath(tmp).getFileSystem(  # noqa: SLF001
             self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
-        fs.delete(hpath(self.path), True)
+        old = self.path + "._old"
+        fs.delete(hpath(old), True)  # leftover from a prior crash
+        if not fs.rename(hpath(self.path), hpath(old)):
+            raise IOError(
+                f"compact: rename {self.path} -> {old} failed; "
+                "live log untouched, compacted snapshot at the temp path"
+            )
         if not fs.rename(hpath(tmp), hpath(self.path)):
+            fs.rename(hpath(old), hpath(self.path))  # roll back
             raise IOError(
                 f"compact: rename {tmp} -> {self.path} failed; "
-                "compacted snapshot preserved at the temp path"
+                "old log restored, compacted snapshot at the temp path"
             )
+        fs.delete(hpath(old), True)
         self._compact_stats = (None, None)  # counts changed wholesale
         self.spark.catalog.refreshByPath(self.path)
 

@@ -536,6 +536,12 @@ def dedup_components(
         edges, comp = new_edges, new_comp
         if remaining == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_components: edges remain after {max_iter} rounds — "
+            "labeling incomplete (downstream survivors would keep both "
+            "members of some dup pairs); raise max_iter"
+        )
     return comp.select("id", "comp")
 
 

@@ -26,6 +26,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from ..functions import vector as V
 
@@ -144,8 +151,16 @@ def search_batch(
         for cid in index.probe_clusters([float(x) for x in row[q_vec_col]], nprobe)
     ]
     spark = queries.sparkSession
+    # derive the q_id field type from the input schema — string or
+    # other non-long id columns must round-trip unchanged (ADVICE r4)
+    qid_type = StructField(q_id_col, queries.schema[q_id_col].dataType)
     probes = spark.createDataFrame(
-        probe_rows, f"{q_id_col} long, cluster_id int, _qv array<double>"
+        probe_rows,
+        StructType([
+            qid_type,
+            StructField("cluster_id", IntegerType()),
+            StructField("_qv", ArrayType(DoubleType())),
+        ]),
     )
     cand = index.assigned.join(
         F.broadcast(probes),

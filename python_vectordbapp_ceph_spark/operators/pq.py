@@ -121,6 +121,8 @@ def pq_encode(
 
     @pandas_udf("array<smallint>")
     def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: np.array([]) is 1-D
+            return pd.Series([], dtype=object)
         x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
         codes = np.empty((len(x), m), dtype=np.int16)
         for i in range(m):

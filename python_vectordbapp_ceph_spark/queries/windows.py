@@ -250,9 +250,10 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id)
     SELECT user_id,
            (t_signup IS NOT NULL) AS did_signup,
-           (t_signup IS NOT NULL AND t_view > t_signup) AS did_view_after,
-           (t_signup IS NOT NULL AND t_view > t_signup
-            AND t_purchase > t_view) AS did_purchase_after
+           coalesce(t_signup IS NOT NULL AND t_view > t_signup,
+                    FALSE) AS did_view_after,
+           coalesce(t_signup IS NOT NULL AND t_view > t_signup
+                    AND t_purchase > t_view, FALSE) AS did_purchase_after
     FROM stage
     """,
 )
