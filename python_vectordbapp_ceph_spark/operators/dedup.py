@@ -452,11 +452,36 @@ def srp_near_dups(
     )
 
 
+def _min_label_union_find(rows) -> dict:
+    """Driver-side finisher: union-find where the larger root always
+    attaches under the smaller, so each final root IS the component
+    minimum. Returns label -> min-reachable-label for every label that
+    appears in an edge."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in list(parent)}
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_finish_edges: int = 65536,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → (id, component), with
     component = min id reachable. The transitive-closure finisher
@@ -482,7 +507,15 @@ def dedup_components(
     under persist, <1 s checkpointed). Checkpoint blocks are dropped
     by the ContextCleaner when the loop releases its references.
     Driver code only ORCHESTRATES rounds — all data movement is
-    distributed joins."""
+    distributed joins, until the contracted frontier fits comfortably
+    in driver memory (``driver_finish_edges``, default 64 Ki edges ≈
+    1 MB): the tail rounds of an iterative graph algorithm touch a few
+    hundred rows yet still pay full scheduling+shuffle latency each, so
+    the remnant is collected once and finished with union-find, and the
+    resulting label→min-label map (small by construction) is broadcast
+    back onto the id→label table. Contraction shrinks a dense dup graph
+    by orders of magnitude per round, so even at 100 TB the frontier
+    crosses the threshold after the first round or two."""
     from ..cache import tracked_persist
 
     # Materialize the pair set ONCE before symmetrizing: the union
@@ -506,7 +539,32 @@ def dedup_components(
         )
         .localCheckpoint()
     )
+    remaining = edges.count()
     for _ in range(max_iter):
+        if remaining == 0:
+            break
+        if remaining <= driver_finish_edges:
+            # finish the remnant driver-side: one collect, one
+            # broadcast-relabel join — replaces O(log d) tail rounds
+            lab = _min_label_union_find(
+                (r["src"], r["dst"]) for r in edges.toLocalIterator()
+            )
+            relmap = comp.sparkSession.createDataFrame(
+                list(lab.items()), comp.schema["comp"].dataType.simpleString()
+                and StructType([
+                    StructField("_u", comp.schema["comp"].dataType),
+                    StructField("_new", comp.schema["comp"].dataType),
+                ])
+            )
+            comp = (
+                comp.join(F.broadcast(relmap), comp["comp"] == relmap["_u"], "left")
+                .select(
+                    F.col("id"),
+                    F.coalesce(F.col("_new"), F.col("comp")).alias("comp"),
+                )
+            )
+            remaining = 0
+            break
         # each live node adopts min(self, min neighbor)
         relab = tracked_persist(
             edges.groupBy("src")

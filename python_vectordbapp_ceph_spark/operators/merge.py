@@ -83,7 +83,11 @@ def merge_into(
     ``changes`` carries (key, payload..., ts, op). Returns the list of
     rewritten bucket ids (the driver-side footprint — ids only).
     """
-    ch = _with_bucket(changes, key_col, n_buckets)
+    # materialize the (small, by contract) change set ONCE: bucket
+    # derivation and the merge plan below both read it, and without
+    # this the change lineage — often scans+filters over a big fact —
+    # executes twice
+    ch = _with_bucket(changes, key_col, n_buckets).localCheckpoint()
     buckets = [r._kb for r in ch.select("_kb").distinct().collect()]
     if not buckets:
         return []

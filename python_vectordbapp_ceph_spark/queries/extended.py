@@ -198,25 +198,25 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed_base(base, path, "o_orderkey", n_buckets=16)
     spark.catalog.refreshByPath(path)
 
-    updates = (
-        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 7 != 0))
-        .select(
-            "o_orderkey",
-            F.lit(-1.0).alias("val"),
-            F.lit(1).cast("long").alias("ts"),
-            F.lit("upsert").alias("op"),
-        )
-    )
-    deletes = o.filter(F.col("o_orderkey") % 7 == 0).select(
+    # updates (keys %10, unless deleted) and deletes (keys %7) from a
+    # SINGLE fact scan — a CASE over one filter, not two filtered
+    # branches that each rescan orders
+    upd_del = o.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
         "o_orderkey",
-        F.lit(0.0).alias("val"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0))
+        .otherwise(F.lit(-1.0))
+        .alias("val"),
         F.lit(1).cast("long").alias("ts"),
-        F.lit("delete").alias("op"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
     )
     insert = spark.createDataFrame(
         [(9999999, 42.0, 1, "upsert")], "o_orderkey long, val double, ts long, op string"
     )
-    changes = updates.unionByName(deletes).unionByName(insert)
+    changes = upd_del.unionByName(insert)
     merge_into(spark, path, changes, key_col="o_orderkey", ts_col="ts", n_buckets=16)
     return read_base(spark, path).select("o_orderkey", "val")
 
