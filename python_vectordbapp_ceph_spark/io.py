@@ -43,11 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Filters/projections placed on the
     result reach the parquet reader (PushedFilters / ReadSchema)."""
     # Runtime-settable SQL conf, so this works even under the driver's
-    # own SparkSession (which we don't get to build).
+    # own SparkSession (which we don't get to build). UTC session tz so
+    # a TIMESTAMP_NTZ wall-clock reinterprets to the identical instant
+    # DuckDB's naive reader produces.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             # FLOOR division, not `div` (truncates toward zero): DuckDB's
             # nanos reader floors, so pre-epoch timestamps must floor here
             # too or the engines disagree by 1µs on negative ts.
@@ -58,6 +62,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f" -((999 - {c}) div 1000)))"
                 ),
             )
+        elif dt == "timestamp_ntz":
+            # Newer testdata writes plain TIMESTAMP(MICROS) (naive), which
+            # Spark reads as TIMESTAMP_NTZ. Our whole query surface (and
+            # unix_micros/window arithmetic) is written against TIMESTAMP;
+            # under the UTC session tz set above this cast is an exact
+            # epoch reinterpretation, matching the oracle engine.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

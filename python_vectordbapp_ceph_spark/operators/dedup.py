@@ -549,12 +549,9 @@ def dedup_components(
             lab = _min_label_union_find(
                 (r["src"], r["dst"]) for r in edges.toLocalIterator()
             )
+            comp_t = comp.schema["comp"].dataType.simpleString()
             relmap = comp.sparkSession.createDataFrame(
-                list(lab.items()), comp.schema["comp"].dataType.simpleString()
-                and StructType([
-                    StructField("_u", comp.schema["comp"].dataType),
-                    StructField("_new", comp.schema["comp"].dataType),
-                ])
+                list(lab.items()), f"_u {comp_t}, _new {comp_t}"
             )
             comp = (
                 comp.join(F.broadcast(relmap), comp["comp"] == relmap["_u"], "left")

@@ -57,7 +57,7 @@ def test_stream_json_events(spark, tmp_path):
     assert stream.isStreaming
     q = (stream.writeStream.format("memory").queryName("json_stream_test")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     assert spark.sql("SELECT count(*) AS n FROM json_stream_test").first().n == 3
 
 

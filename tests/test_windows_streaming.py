@@ -43,7 +43,7 @@ def test_streaming_tumbling_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = spark.sql("SELECT * FROM tumbling_test")
     want = tumbling_agg(events, width="1 hour")
     assert rows_set(got, ndigits=2) == rows_set(want, ndigits=2)
@@ -61,7 +61,7 @@ def test_streaming_sliding_equals_batch(spark, tmp_path):
         out.writeStream.format("memory").queryName("sliding_test")
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = spark.sql("SELECT * FROM sliding_test")
     want = sliding_agg(events, width="1 hour", slide="30 minutes")
     assert rows_set(got) == rows_set(want)
@@ -79,7 +79,7 @@ def test_streaming_session_window_equals_batch(spark, tmp_path):
         out.writeStream.format("memory").queryName("session_test")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = rows_set(spark.sql("SELECT * FROM session_test"))
     want = rows_set(session_agg(events, gap="30 minutes"))
     # append mode emits a session once the watermark passes its close;
@@ -111,7 +111,7 @@ def test_streaming_dedupe(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT user_id) AS d FROM dedupe_test").first()
     assert got.n == got.d  # exactly one row per key
 
@@ -136,7 +136,7 @@ def test_stateful_running_count(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = {
         r.user_id: r.n_events
         for r in spark.sql(
@@ -199,7 +199,7 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         object_text=object_text,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
 
     snap = {r.key: r for r in coll.snapshot().collect()}
     assert set(snap) == {"k2"}  # k1 was deleted by the second event
@@ -237,7 +237,7 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = spark.sql("SELECT * FROM ssjoin_test")
 
     want = stream_stream_join(
@@ -275,7 +275,7 @@ def test_ingest_stream_checkpoint_restart_no_reprocessing(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
             object_text=object_text,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not finish in 300s"
 
     run_once()
     log_rows_1 = coll._log().count()
@@ -314,7 +314,7 @@ def test_stream_static_broadcast_join_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = spark.sql("SELECT * FROM stream_static_test")
     want = (
         events.join(F.broadcast(dim), "user_id")
@@ -361,7 +361,7 @@ def test_streaming_incremental_view_maintenance(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(400), "stream did not finish in 400s"
 
     want = o.groupBy("custkey").agg(
         (F.count(F.lit(1)) * 2).alias("cnt"),
