@@ -60,6 +60,10 @@ HEADLINE = [
     "q_dedup_within_doc",  # intra-doc repetition removal (r4)
     "q_time_rollup",       # grouping-sets continuous aggregate (r4)
     "q_outlier_zscore",    # division-free 2-sigma filter (r4)
+    "q_bm25_topk",         # BM25 posting-list probe (r5)
+    "q_doc_fingerprint",   # winnowing fingerprints, Arrow kernel (r5)
+    "q_bigram_lift",       # collocation mining, 3-count fan-out (r5)
+    "q_mad_outliers",      # median/MAD robust outliers (r5)
 ]
 
 

@@ -1,0 +1,50 @@
+"""Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+The per-document kernel — rolling polynomial k-gram hashes, then the
+min of each w-hash window — is a tight character loop that Catalyst
+higher-order functions CAN express but only evaluate interpreted
+(~µs per lambda call: measured 36 s for 500 short documents), so this
+is one of the few places the engine drops to an Arrow-batched pandas
+UDF: numpy does the same integer arithmetic vectorized, ~1000× faster,
+and the values stay bit-identical to the SQL-oracle formulation
+because everything is exact int64 math mod 1e9+7.
+
+Semantics contract (mirrored by the DuckDB oracle in
+queries/mining.py::q_doc_fingerprint):
+  hash(i)  = Σ_t ascii(s[i+t]) · BASE^(k-1-t)  mod MOD
+  fp set   = distinct( min(hash[i : i+w]) for each window )
+Documents shorter than k+w-1 chars have no full window → no rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+K = 5            # char k-gram width
+W = 4            # winnowing window (hashes per window)
+MOD = 1_000_000_007
+BASE = 31
+
+# BASE^(k-1), …, BASE, 1 — dot with a length-k char window gives the
+# full polynomial; max value 255·Σ BASE^t ≈ 2.4e8 << 2^63, so a single
+# final mod equals the oracle's step-wise (acc·BASE + c) % MOD chain.
+_WEIGHTS = np.array([BASE ** (K - 1 - t) for t in range(K)], dtype=np.int64)
+
+
+def _fingerprints_one(s: str) -> list[int]:
+    codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    if len(codes) < K + W - 1:
+        return []
+    grams = np.lib.stride_tricks.sliding_window_view(codes, K)
+    hashes = (grams @ _WEIGHTS) % MOD
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, W).min(axis=1)
+    return np.unique(mins).tolist()
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def winnow_fingerprints(texts: pd.Series) -> pd.Series:
+    """Normalized (ASCII) text → sorted distinct winnowing fingerprints."""
+    return texts.map(_fingerprints_one)

@@ -53,3 +53,4 @@ from . import textops  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import mining  # noqa: E402,F401

