@@ -74,8 +74,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # untimed warmup: JVM/codegen/file-listing startup shouldn't be
-    # charged to whichever query happens to run first
+    # charged to whichever query happens to run first. q_tpch_q6 scans
+    # lineitem (the largest table) so its file listing + codegen paths
+    # are warm; q_limit touches the orders listing.
     QUERIES["q_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    QUERIES["q_tpch_q6"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     from python_vectordbapp_ceph_spark.operators.dedup import release_caches
 

@@ -257,6 +257,7 @@ _FP_K = 5   # char k-gram width
 _FP_W = 4   # winnowing window (hashes per window)
 _FP_MOD = 1_000_000_007
 _FP_BASE = 31
+_FP_DF_CAP = 10  # fp document-frequency cap: rarity filter + hot-key bound
 
 
 @register(
@@ -435,4 +436,114 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spend"),
         )
+    )
+
+
+# --- deterministic global shuffle (training-order assignment) --------------
+
+@register(
+    "q_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(doc_id || ':42'), doc_id)
+               AS shuffle_rank
+    FROM documents
+    """,
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: rank
+    by md5(id:salt) — reproducible across engines, runs, and
+    partitionings (unlike rand(seed), whose stream depends on row
+    order within partitions). At 100 TB Spark plans the global sort
+    as sampled range partitioning, so 'shuffle the corpus' costs one
+    wide exchange and each output partition is a random sample of the
+    corpus — exactly what curriculum-free pretraining wants. The salt
+    re-deals the deck per epoch without touching the data."""
+    d = T(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(key, "doc_id")
+    return d.select(
+        "doc_id", F.row_number().over(w).alias("shuffle_rank")
+    )
+
+
+# --- fingerprint-overlap near-dup pairs ------------------------------------
+
+@register(
+    "q_fingerprint_pairs",
+    oracle=f"""
+    WITH nrm AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, length(s) - {_FP_K - 2}),
+                     i -> list_reduce(
+                         list_prepend(0::BIGINT,
+                             list_transform(range(i, i + {_FP_K}),
+                                 j -> ascii(s[j])::BIGINT)),
+                         (acc, c) -> (acc * {_FP_BASE} + c) % {_FP_MOD}))
+                 AS hs
+          FROM nrm WHERE length(s) >= {_FP_K + _FP_W - 1}),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(hs) - {_FP_W - 2}),
+                     i -> list_min(hs[i:i + {_FP_W - 1}]))) AS fps
+          FROM h),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {_FP_DF_CAP}),
+    rfp AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS shared_fps
+    FROM rfp a JOIN rfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by winnowing-fingerprint overlap:
+    docs sharing ≥3 RARE fingerprints share ≥3 distinct ≥8-char
+    substrings that almost no one else has — the LOCAL-overlap
+    near-dup detector (MinHash sees whole-doc similarity; this
+    catches a paragraph copied into an otherwise different document).
+
+    The document-frequency cap (fp kept only if ≤{_FP_DF_CAP} docs
+    contain it) is both the signal filter AND the scale guard: a
+    fingerprint of a boilerplate phrase appears in thousands of docs
+    and would contribute a quadratic hot key to the self-join —
+    df-pruning bounds every join group at {_FP_DF_CAP}, so the pair
+    fan-out is ≤ df_cap²/2 per fingerprint no matter the corpus size
+    (the similarity-self-join equivalent of skew salting, except the
+    hot keys carry no signal and can simply be dropped). Plan: one
+    Arrow-kernel fingerprint explode (persisted ×2), a map-side
+    combinable df count, broadcast-joined back as the rare filter,
+    then the bounded self-join + pair aggregate. Exact integer
+    arithmetic end-to-end → full oracle, unlike probabilistic MinHash
+    candidates (rows-only by construction)."""
+    from ..cache import tracked_persist
+    from ..functions.fingerprint import winnow_fingerprints
+    from ..functions.text import normalize_for_fingerprint
+
+    d = T(spark, sf_dir, "documents")
+    nrm = d.select(
+        "doc_id", normalize_for_fingerprint(F.col("text")).alias("s")
+    ).filter(F.length("s") >= _FP_K + _FP_W - 1)
+    fp = tracked_persist(
+        nrm.select(
+            "doc_id", F.explode(winnow_fingerprints(F.col("s"))).alias("fp")
+        )
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _FP_DF_CAP)
+        .select("fp")
+    )
+    rfp = tracked_persist(fp.join(rare, "fp"))
+    a = rfp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = rfp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
     )

@@ -426,3 +426,21 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", d.alias("distance")).filter(
         F.col("distance") < 1.15
     )
+
+
+@register("q_bq_search")
+def q_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (the 1-bit end of Milvus' BIN_* index
+    family on the same create_index knob,
+    milvus-app/pythonvectordbceph_milvus.py:100-102): per-dimension
+    sign bits vs the fitted mean packed into ONE long per 64 dims —
+    32× smaller than float32 — scanned with xor+popcount Hamming
+    (two codegen'd integer ops per row), exact L2 re-rank of the top
+    k·refine survivors. Approximate → rows-only; recall and the
+    codegen'd Hamming scan are pytest-verified."""
+    from ..operators.bq import bq_encode, bq_search, fit_bq
+
+    e = T(spark, sf_dir, "embeddings")
+    params = fit_bq(e, "embedding", DIM)
+    enc = bq_encode(e, "embedding", params)
+    return bq_search(enc, QVEC, params, k=5, refine_factor=4)

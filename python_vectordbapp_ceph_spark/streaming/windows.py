@@ -120,7 +120,7 @@ def stateful_running_count(
     key_col: str = "user_id",
     ts_col: str = "ts",
     watermark: str = "1 hour",
-    timeout_minutes: int = 120,
+    timeout_minutes: int | None = 120,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (the PySpark
     arbitrary-state surface, SURVEY C31/C32): per-key running event
@@ -130,6 +130,14 @@ def stateful_running_count(
     This is the shape the built-ins can't express (cross-batch
     arbitrary state with custom eviction); everything expressible with
     window()/session_window/dropDuplicates stays on those (JVM-side).
+
+    ``timeout_minutes=None`` disables the TTL. Required for bounded
+    (Trigger.AvailableNow) drains: pending processing-time timers keep
+    the query alive in no-new-data state-cleanup micro-batches until
+    every timer has fired, so an availableNow run with a 2 h TTL spins
+    for 2 h after the data is done instead of terminating. Continuous
+    production streams keep the TTL; batch-drain replays don't need
+    eviction (the query ends anyway).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -148,7 +156,8 @@ def stateful_running_count(
             m = pdf[ts_col].max()
             last = m if last is None else max(last, m)
         state.update((n,))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "last_ts": [last]}
         )
@@ -161,7 +170,11 @@ def stateful_running_count(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

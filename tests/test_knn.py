@@ -263,3 +263,77 @@ def test_ivf_sq8_composed_search_recall(vec_df):
 
     pruned = {r.vec_id for r in ivf_sq8_search(index, params, QUERY, K, nprobe=2).collect()}
     assert len(pruned & set(brute_topk(QUERY, K))) / K >= 0.6
+
+
+def test_bq_encode_bits_match_thresholds(vec_df):
+    """Each packed bit must equal (v[i] > mean[i])."""
+    from python_vectordbapp_ceph_spark.operators.bq import bq_encode, fit_bq
+
+    params = fit_bq(vec_df, "embedding", DIM)
+    for row in bq_encode(vec_df, "embedding", params).collect():
+        code = row.bq_code
+        for i, x in enumerate(row.embedding):
+            bit = (code[i // 64] >> (i % 64)) & 1
+            assert bit == (1 if float(x) > params.means[i] else 0)
+
+
+def test_bq_query_encoding_matches_spark_encoding(vec_df):
+    """encode_query (driver-side) must agree with bq_encode (JVM-side)
+    on identical input vectors."""
+    from python_vectordbapp_ceph_spark.operators.bq import (
+        bq_encode,
+        encode_query,
+        fit_bq,
+    )
+
+    params = fit_bq(vec_df, "embedding", DIM)
+    enc = {r.vec_id: list(r.bq_code) for r in
+           bq_encode(vec_df, "embedding", params).collect()}
+    for q in (3, 7, 11):
+        assert encode_query([float(x) for x in VECS[q]], params) == enc[q]
+
+
+def test_bq_search_recall_vs_brute_force(vec_df):
+    """1-bit codes are coarse; with refine_factor=8 the exact re-rank
+    should recover most of the true top-k, and the ranked common
+    prefix must agree with brute force."""
+    from python_vectordbapp_ceph_spark.operators.bq import (
+        bq_encode,
+        bq_search,
+        fit_bq,
+    )
+
+    params = fit_bq(vec_df, "embedding", DIM)
+    enc = bq_encode(vec_df, "embedding", params)
+    got = [
+        r.vec_id
+        for r in bq_search(enc, QUERY, params, k=K, refine_factor=8).collect()
+    ]
+    expected = brute_topk(QUERY, K)
+    assert len(set(got) & set(expected)) >= K // 2
+    common = [g for g in got if g in expected]
+    assert common == [e for e in expected if e in common]
+
+
+def test_bq_hamming_scan_is_jvm_only(vec_df):
+    """The candidate stage (xor+popcount ordering) must contain no
+    Python evaluation — pure codegen integer ops."""
+    from python_vectordbapp_ceph_spark.operators.bq import (
+        bq_encode,
+        encode_query,
+        fit_bq,
+        hamming,
+    )
+
+    params = fit_bq(vec_df, "embedding", DIM)
+    enc = bq_encode(vec_df, "embedding", params)
+    qwords = encode_query(QUERY, params)
+    cands = (
+        enc.select("vec_id", "bq_code")
+        .withColumn("_hd", hamming(F.col("bq_code"), qwords))
+        .orderBy("_hd", "vec_id")
+        .limit(K)
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

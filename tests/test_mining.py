@@ -95,3 +95,54 @@ def test_mad_outliers_are_extreme_values(spark):
     assert rows, "fixture should produce at least one outlier group"
     for et, r in rows.items():
         assert r.min_flagged_dev > 0
+
+
+def test_fingerprint_pairs_detect_copied_paragraph(spark):
+    """The q_fingerprint_pairs detector targets verbatim LOCAL copying
+    (a paragraph pasted into an otherwise different document) — the
+    dup class whole-document MinHash token-set similarity misses. The
+    driver's synthetic corpus plants token-level edits (no long
+    verbatim runs), so the registered query finds few pairs there;
+    this constructed case pins that actual copying IS caught."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.functions.fingerprint import (
+        winnow_fingerprints,
+    )
+    from python_vectordbapp_ceph_spark.functions.text import (
+        normalize_for_fingerprint,
+    )
+
+    para = (
+        "the amber protocol requires every node to acknowledge "
+        "checkpoint barriers before advancing its local watermark"
+    )
+    docs = [
+        (1, "intro section alpha. " + para + " closing remarks beta."),
+        (2, "completely different topic gamma. " + para + " and more delta."),
+        (3, "unrelated text about cooking pasta with fresh tomatoes"),
+        (4, "another unrelated entry regarding bicycle maintenance tips"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = d.select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints(normalize_for_fingerprint(F.col("text")))
+        ).alias("fp"),
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = {
+        (r.id_a, r.id_b): r.n
+        for r in a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # copied-paragraph pair clears the query's ≥3 threshold…
+    assert pairs.get((1, 2), 0) >= 3, pairs
+    # …unrelated pairs may share an incidental window or two (short
+    # docs, common words) but stay below it — that's what the
+    # threshold is for
+    assert pairs.get((3, 4), 0) < 3 and pairs.get((1, 3), 0) < 3, pairs

@@ -128,7 +128,11 @@ def test_stateful_running_count(spark, tmp_path):
     events.select("user_id", "ts").write.parquet(src)
 
     stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
-    counted = stateful_running_count(stream, watermark="0 seconds")
+    # TTL off: pending processing-time timers would keep an
+    # availableNow drain alive until every 2 h timer fired
+    counted = stateful_running_count(
+        stream, watermark="0 seconds", timeout_minutes=None
+    )
     q = (
         counted.writeStream.format("memory")
         .queryName("state_test")
@@ -371,3 +375,61 @@ def test_streaming_incremental_view_maintenance(spark, tmp_path):
     )
     got = read_view(spark, view_path)
     assert rows_set(got) == rows_set(want)
+
+
+def test_transform_with_state_topk_equals_batch(spark, tmp_path):
+    """Per-key streaming top-k (transformWithStateInPandas, the Spark 4
+    arbitrary-state API) must converge to the batch rank-window answer
+    once the whole stream is consumed."""
+    from pyspark.sql.window import Window
+
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.streaming.tws import (
+        stateful_topk_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState worker needs google.protobuf, "
+            "absent in this container (operator gated, not broken)"
+        )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    ).filter(F.col("user_id") % 20 == 0)
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(src)
+    out = stateful_topk_stream(stream, k=3)
+    q = (
+        out.writeStream.format("memory").queryName("tws_topk")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+
+    # update mode re-emits refreshed top-k per batch: the LAST emission
+    # per key is the converged answer — take max rnk snapshot per key
+    got_df = spark.sql(
+        """
+        SELECT user_id, rnk, value, event_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, rnk ORDER BY mono DESC) AS _l
+            FROM (SELECT *, monotonically_increasing_id() AS mono
+                  FROM tws_topk)
+        ) WHERE _l = 1
+        """
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    want = events.select(
+        "user_id",
+        F.row_number().over(w).alias("rnk"),
+        "value",
+        "event_id",
+    ).filter(F.col("rnk") <= 3)
+    assert rows_set(got_df) == rows_set(want)
