@@ -1542,3 +1542,41 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_disc"),
         F.max("n").alias("n"),
     )
+
+
+# --- Variant semistructured path (Spark 4 VariantType) ---------------------
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semistructured ingestion via Spark 4's VariantType:
+    parse_json → binary variant (parsed ONCE, shredded columnar
+    encoding) → typed try_variant_get extraction → relational
+    aggregate. At 100 TB this is the schema-on-read path for ragged
+    event payloads: the variant column avoids per-query JSON
+    re-parsing (get_json_object re-parses the string on every
+    extraction — q_json_extract shows that legacy form), and typed
+    extraction failures yield NULL instead of job failure. Oracle
+    mirrors with plain JSON extraction — same values, different
+    storage strategy."""
+    e = T(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
