@@ -110,3 +110,42 @@ def test_scrub_pii_idempotent(spark, text):
         scrub_pii(scrub_pii("raw")).alias("twice"),
     ).collect()[0]
     assert row.once == row.twice
+
+
+# --- winnowing fingerprint guarantee (pure Python kernel, no Spark) --------
+
+_alpha = st.text(alphabet="abcdefgh ", min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_alpha, _alpha, st.text(alphabet="abcdefgh ", min_size=8, max_size=30))
+def test_winnowing_shared_substring_guarantee(prefix, suffix, shared):
+    """Schleimer et al. Thm: any common substring of length >= k+w-1
+    (here 8) yields at least one common fingerprint — for ARBITRARY
+    surrounding context, not just the fixture corpus."""
+    from python_vectordbapp_ceph_spark.functions.fingerprint import (
+        _fingerprints_one,
+    )
+
+    a = prefix + shared + suffix
+    b = "zzz " + shared + " qqq"
+    fa, fb = set(_fingerprints_one(a)), set(_fingerprints_one(b))
+    assert fa & fb
+
+
+@settings(max_examples=100, deadline=None)
+@given(_alpha)
+def test_winnowing_deterministic_and_bounded(s):
+    """Same input → same fingerprints; count bounded by #windows."""
+    from python_vectordbapp_ceph_spark.functions.fingerprint import (
+        K,
+        W,
+        _fingerprints_one,
+    )
+
+    f1, f2 = _fingerprints_one(s), _fingerprints_one(s)
+    assert f1 == f2
+    n_windows = max(0, len(s) - K - W + 2)
+    assert len(f1) <= n_windows
+    if len(s) < K + W - 1:
+        assert f1 == []
