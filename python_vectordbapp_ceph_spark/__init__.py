@@ -23,3 +23,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Make this package importable inside forked Python UDF workers no
+# matter the harness CWD: workers inherit the driver process's
+# environment (not its sys.path mutations), so a driver running from
+# another directory would otherwise hit ModuleNotFoundError the first
+# time a pandas UDF defined in these modules is deserialized.
+import os as _os
+import sys as _sys
+
+_pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _pkg_root not in _sys.path:
+    _sys.path.insert(0, _pkg_root)
+_pp = _os.environ.get("PYTHONPATH", "")
+if _pkg_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _pkg_root + (_os.pathsep + _pp if _pp else "")
+    )
+del _os, _sys, _pp, _pkg_root

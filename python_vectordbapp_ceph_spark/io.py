@@ -39,6 +39,47 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to Python UDF workers via addPyFile.
+
+    Workers deserialize module-referenced pandas UDFs (fingerprint,
+    embedders, PQ encode) by importing their module — which fails with
+    ModuleNotFoundError when the driving process runs from another CWD
+    (workers inherit neither the driver's sys.path mutations nor env
+    changes made after the JVM launched). A one-time zip + addPyFile
+    puts the package on every worker's sys.path regardless of CWD —
+    and is exactly what a spark-submit deployment of this repo would
+    do with --py-files."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pvcs_pkg_{os.getpid()}_{key}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. a session that forbids addFile — CWD path still works
+    _PYFILES_SHIPPED.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Filters/projections placed on the
     result reach the parquet reader (PushedFilters / ReadSchema)."""
@@ -48,6 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB's naive reader produces.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_workers_can_import(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
         dt = dict(df.dtypes).get(c)
