@@ -1032,3 +1032,48 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.7)
     )
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, source,
+                 list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+          FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                >= 0.5),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(id, lab) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e2.src, r.lab FROM e e2 JOIN reach r ON e2.dst = r.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    WHERE c.id IS NULL OR c.comp = d.doc_id
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level dedup FINISHER on the exact-Jaccard graph:
+    keep min-id per connected component plus every unpaired doc —
+    what actually ships to training after near-dup removal. This is
+    the hash-verified end of the pipeline whose approximate stages
+    (MinHash-LSH candidates) are rows-only: same survivor rule, exact
+    edges. Plan: pair discovery is the blocked Jaccard self-join, the
+    component labels come from the contraction loop (one bounded
+    shuffle per round), and the final keep/drop is a broadcast
+    anti-join of the (tiny) non-survivor set against the corpus —
+    the full documents table is never shuffled."""
+    from ..operators.dedup import dedup_survivors
+
+    d = T(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, block_col="source", shingle_n=1, threshold=0.5
+    ).select("id_a", "id_b")
+    return dedup_survivors(d, pairs, id_col="doc_id").select("doc_id")
