@@ -547,3 +547,90 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
+
+
+# --- per-document fluency (mean bigram association) ------------------------
+
+@register(
+    "q_doc_fluency",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    bp AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+           FROM toks WHERE len(t) >= 2),
+    big AS (SELECT doc_id, p[1] AS x, p[2] AS y FROM bp),
+    n AS (SELECT COUNT(*) AS n_pairs FROM big),
+    cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY 1, 2),
+    cx AS (SELECT x, COUNT(*) AS c_x FROM big GROUP BY 1),
+    cy AS (SELECT y, COUNT(*) AS c_y FROM big GROUP BY 1),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(CAST(c.c_xy * n.n_pairs AS DOUBLE)
+                          / CAST(cx.c_x * cy.c_y AS DOUBLE), 6)
+                    AS DECIMAL(28,6)) AS lift
+        FROM big b
+        JOIN cxy c ON c.x = b.x AND c.y = b.y
+        JOIN cx ON cx.x = b.x
+        JOIN cy ON cy.y = b.y
+        CROSS JOIN n)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lift) AS DOUBLE) AS sum_lift
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency: the mean corpus-lift of the doc's
+    adjacent token pairs — token-salad and shuffled/generated text
+    scores near 1 (independence), natural text well above. The
+    per-pair lift rounds to 6 and sums as DECIMAL(28,6): a double sum
+    over a document's bigrams would be addition-order-dependent (and
+    so partitioning-dependent); the decimal sum is exact and
+    order-insensitive. The query emits (sum, count), not the mean: a
+    rounded mean hits half-way ties where the engines' final double
+    division can differ by an ulp and flip the 6th decimal (observed
+    at sf0.01) — the exact sum has no rounding boundary, and the
+    caller divides. Plan: the
+    bigram stream is persisted once and feeds all three count
+    aggregates; the unigram/pair count tables broadcast back onto it
+    (vocab-sized); the per-doc mean groups on doc_id — the stream's
+    natural clustering."""
+    from ..cache import tracked_persist
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    big = tracked_persist(
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS x,"
+                    " element_at(t, i + 1) AS y))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.x", "p.y")
+    )
+    n = big.agg(F.count(F.lit(1)).alias("n_pairs"))
+    cxy = big.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = big.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+    cy = big.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
+    lift = F.round(
+        (F.col("c_xy") * F.col("n_pairs")).cast("double")
+        / (F.col("c_x") * F.col("c_y")).cast("double"),
+        6,
+    ).cast("decimal(28,6)")
+    scored = (
+        big.join(F.broadcast(cxy), ["x", "y"])
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lift.alias("lift"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lift").cast("double").alias("sum_lift"),
+    )
