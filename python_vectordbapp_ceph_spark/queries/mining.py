@@ -634,3 +634,103 @@ def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("lift").cast("double").alias("sum_lift"),
     )
+
+
+# --- keyset pagination ------------------------------------------------------
+
+@register(
+    "q_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 1000
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+)
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: WHERE key > last_seen ORDER BY key
+    LIMIT n — the scalable page-N pattern. OFFSET pagination reads and
+    discards every preceding row (page 10 000 of a 100 TB table scans
+    10 000 pages); the keyset predicate is a pushed-down range filter,
+    so each page is a pruned scan + TakeOrderedAndProject regardless
+    of page depth. The predicate reaches the parquet reader
+    (PushedFilters: GreaterThan(o_orderkey, 1000))."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") > 1000)
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- snapshot diff (dataset regression testing) ----------------------------
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH now AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL SELECT 9999991, 1.0 UNION ALL SELECT 9999992, 2.0
+    ),
+    was AS (SELECT o_orderkey, o_totalprice AS price FROM orders),
+    d AS (
+        SELECT COALESCE(w.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN w.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN w.price <> n.price THEN 'changed'
+                    ELSE 'same' END AS change
+        FROM was w FULL OUTER JOIN now n ON w.o_orderkey = n.o_orderkey
+    )
+    SELECT change, COUNT(*) AS n
+    FROM d WHERE change <> 'same' GROUP BY change
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the dataset-regression primitive (did the
+    pipeline rerun change anything it shouldn't?): FULL OUTER JOIN of
+    two table versions on the key classifies every row added /
+    removed / changed. The 'new' snapshot is derived deterministically
+    from orders (updates %13, deletes %11, two inserts) so the oracle
+    replays the identical derivation. At scale both sides shuffle once
+    on the key (or co-located bucketed snapshots skip even that —
+    q_bucketed_join's layout), and the value comparison extends to
+    N columns with a hash over struct(*) instead of one field."""
+    o = T(spark, sf_dir, "orders")
+    was = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    now = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("price"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(9999991, 1.0), (9999992, 2.0)], "o_orderkey long, price double"
+            )
+        )
+    )
+    w = was.select(
+        F.col("o_orderkey").alias("_wk"), F.col("price").alias("_wp")
+    )
+    n = now.select(
+        F.col("o_orderkey").alias("_nk"), F.col("price").alias("_np")
+    )
+    d = w.join(n, w["_wk"] == n["_nk"], "full_outer").select(
+        F.when(F.col("_wk").isNull(), F.lit("added"))
+        .when(F.col("_nk").isNull(), F.lit("removed"))
+        .when(F.col("_wp") != F.col("_np"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("change")
+    )
+    return (
+        d.filter(F.col("change") != "same")
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
