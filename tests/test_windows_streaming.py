@@ -433,3 +433,32 @@ def test_transform_with_state_topk_equals_batch(spark, tmp_path):
         "event_id",
     ).filter(F.col("rnk") <= 3)
     assert rows_set(got_df) == rows_set(want)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark: duplicates arriving within
+    the watermark horizon collapse to one row (unlike dropDuplicates,
+    whose state holds every key forever without a watermark — within-
+    watermark state is evicted once the horizon passes, the behavior a
+    24/7 ingest stream needs)."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:02:00"),  # dup of key 1 inside horizon
+        (2, "2024-01-01 00:03:00"),
+        (2, "2024-01-01 00:04:00"),  # dup of key 2 inside horizon
+        (3, "2024-01-01 01:00:00"),
+    ]
+    src = str(tmp_path / "ddww_src")
+    spark.createDataFrame(rows, "k long, ts_s string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    out = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        out.writeStream.format("memory").queryName("ddww_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = spark.sql("SELECT k, count(*) AS n FROM ddww_test GROUP BY k").collect()
+    assert {r.k: r.n for r in got} == {1: 1, 2: 1, 3: 1}
