@@ -64,6 +64,9 @@ HEADLINE = [
     "q_doc_fingerprint",   # winnowing fingerprints, Arrow kernel (r5)
     "q_bigram_lift",       # collocation mining, 3-count fan-out (r5)
     "q_mad_outliers",      # median/MAD robust outliers (r5)
+    "q_doc_fluency",       # broadcast count joins onto bigram stream (r5)
+    "q_fingerprint_pairs", # df-bounded fingerprint self-join (r5)
+    "q_hybrid_rrf",        # BM25 ∥ KNN reciprocal-rank fusion (r5)
 ]
 
 

@@ -734,3 +734,152 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- hybrid search: dense KNN + BM25, reciprocal-rank fusion ---------------
+
+@register(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    tf AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+    q AS (SELECT unnest(['query', 'scan']) AS term),
+    hits AS (
+        SELECT t.doc_id, t.tf, d.df, l.dl,
+               s.n_docs, CAST(s.tot_dl AS DOUBLE) / s.n_docs AS avgdl
+        FROM tfc t JOIN q USING (term)
+        JOIN dfc d ON d.term = t.term
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s),
+    scored AS (
+        SELECT doc_id,
+               SUM( ((n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * {_K1 + 1.0}) /
+                       (tf + {_K1} * (1.0 - {_B} + {_B} * (dl / avgdl)))) )
+                   AS score
+        FROM hits GROUP BY doc_id),
+    tr AS (SELECT doc_id, rt FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rt
+        FROM scored) WHERE rt <= 50),
+    ev AS (SELECT vec_id AS doc_id,
+                  round(sqrt(list_sum(list_transform(
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                      x -> (x - 0.1) * (x - 0.1)))), 6) AS d
+           FROM embeddings),
+    vr AS (SELECT doc_id, rv FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS rv
+        FROM ev) WHERE rv <= 50),
+    fused AS (
+        SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, tr.rt, vr.rv,
+               (CASE WHEN tr.rt IS NULL THEN 0.0
+                     ELSE 1.0 / (60.0 + tr.rt) END
+                + CASE WHEN vr.rv IS NULL THEN 0.0
+                       ELSE 1.0 / (60.0 + vr.rv) END) AS rrf
+        FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+    SELECT doc_id, rt AS text_rank, rv AS vec_rank, round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval with reciprocal-rank fusion —
+    the modern vector-DB query the reference's Milvus backend ships as
+    hybrid_search(RRFRanker): BM25 keyword ranking and exact-KNN
+    vector ranking fused by Σ 1/(60+rank). RRF needs only RANKS, so
+    the two retrievers stay independent (no score normalization — the
+    classic hybrid-search pitfall) and the fusion sum has exactly two
+    addends (IEEE-order-safe). Plan: the text side is the BM25
+    posting-probe (one fact shuffle); the vector side plans as
+    TakeOrderedAndProject (no shuffle of the base table) and the
+    50-row candidate sets join broadcast-free by size. At scale
+    either side swaps for its ANN tier (IVF/BQ/SQ8) without touching
+    the fusion."""
+    from pyspark.sql.window import Window
+
+    from ..cache import tracked_persist
+    from ..functions import vector as V
+    from .vector import QVEC
+
+    TERMS = ["query", "scan"]
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    base = d.select("doc_id", toks.alias("t"))
+    dl = base.select("doc_id", F.size("t").alias("dl"))
+    tf = tracked_persist(
+        base.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    ).select(
+        "n_docs",
+        (F.col("tot_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    qterms = F.broadcast(
+        spark.createDataFrame([(t,) for t in TERMS], "term string")
+    )
+    dfreq = tf.join(qterms, "term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfn = (F.col("tf") * F.lit(_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfn).alias("score"))
+    )
+    wt = Window.orderBy(F.col("score").desc(), "doc_id")
+    tr = (
+        scored.select("doc_id", F.row_number().over(wt).alias("rt"))
+        .filter(F.col("rt") <= 50)
+    )
+    e = T(spark, sf_dir, "embeddings")
+    qarr = F.array(*[F.lit(float(x)) for x in QVEC])
+    ev = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            V.l2_distance(F.col("embedding").cast("array<double>"), qarr), 6
+        ).alias("d"),
+    )
+    wv = Window.orderBy("d", "doc_id")
+    vr = (
+        ev.select("doc_id", F.row_number().over(wv).alias("rv"))
+        .filter(F.col("rv") <= 50)
+    )
+    t_ = tr.select(F.col("doc_id").alias("_tk"), "rt")
+    v_ = vr.select(F.col("doc_id").alias("_vk"), "rv")
+    fused = t_.join(v_, t_["_tk"] == v_["_vk"], "full_outer").select(
+        F.coalesce(F.col("_tk"), F.col("_vk")).alias("doc_id"),
+        "rt",
+        "rv",
+        (
+            F.when(F.col("rt").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rt"))
+            )
+            + F.when(F.col("rv").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rv"))
+            )
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("rt").alias("text_rank"),
+            F.col("rv").alias("vec_rank"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )
