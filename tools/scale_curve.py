@@ -26,6 +26,9 @@ from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
 SFS = [("0.001", "/root/testdata/sf0.001"),
        ("0.01", "/root/testdata/sf0.01"),
        ("0.1", "/root/testdata/sf0.1")]
+# extra scale point from tools/make_sf1.py, included when present
+if os.path.isdir("/tmp/sfx10/lineitem.parquet"):
+    SFS.append(("1(x10)", "/tmp/sfx10"))
 
 DEFAULT = [
     "q_agg_group",       # scan+agg: expect ~linear
@@ -49,7 +52,10 @@ def main() -> None:
         QUERIES[n](spark, SFS[0][1]).write.format("noop").mode("overwrite").save()
         release_caches()
 
-    print(f"{'query':24s} " + "".join(f"sf{s:<8s}" for s, _ in SFS) + "alpha(0.01→0.1)")
+    print(
+        f"{'query':24s} " + "".join(f"sf{s:<8s}" for s, _ in SFS)
+        + f"alpha({SFS[-2][0]}→{SFS[-1][0]})"
+    )
     for n in names:
         ts = []
         for _, d in SFS:
@@ -57,7 +63,7 @@ def main() -> None:
             QUERIES[n](spark, d).write.format("noop").mode("overwrite").save()
             ts.append(time.time() - t0)
             release_caches()
-        alpha = math.log(ts[2] / ts[1]) / math.log(10.0)
+        alpha = math.log(ts[-1] / ts[-2]) / math.log(10.0)
         print(f"{n:24s} " + "".join(f"{t:<10.2f}" for t in ts) + f"{alpha:.2f}")
     spark.stop()
 
