@@ -166,3 +166,24 @@ def test_dedup_components_collapse_chains(spark):
         assert kept == {1, 10, 99}
     finally:
         release_caches()
+
+
+def test_prefix_filter_path_equals_cross_join_path(spark):
+    """AllPairs prefix filtering must be lossless: identical pairs and
+    jaccard values as the blocked cross join at the same threshold."""
+    from conftest import SF_DIR
+
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.operators.dedup import jaccard_pairs
+
+    d = load_table(spark, SF_DIR, "documents")
+    kw = dict(block_col="source", shingle_n=1, threshold=0.5)
+    cross = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(d, **kw).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(d, prefix_filter=True, **kw).collect()
+    }
+    assert cross == prefix and len(cross) > 0
