@@ -43,7 +43,14 @@ def overwrite_touched_buckets(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        result.write.mode("overwrite").partitionBy("_kb").parquet(path)
+        # repartition on the partition column first: without it every
+        # shuffle partition writes a sliver into every bucket dir
+        # (buckets × partitions small files — measured 512 files for a
+        # 16-bucket base on local[32]); with it, one file per bucket
+        # and the write tasks stay bucket-aligned at any cluster size
+        result.repartition("_kb").write.mode("overwrite").partitionBy(
+            "_kb"
+        ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
@@ -62,10 +69,12 @@ def overwrite_touched_buckets(
 def write_bucketed_base(
     df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS_DEFAULT
 ) -> None:
-    """Initial layout: parquet partitioned by the key's hash bucket."""
-    _with_bucket(df, key_col, n_buckets).write.mode("overwrite").partitionBy(
-        "_kb"
-    ).parquet(path)
+    """Initial layout: parquet partitioned by the key's hash bucket
+    (repartitioned onto the bucket key first — one file per bucket,
+    not one per bucket per task; see overwrite_touched_buckets)."""
+    _with_bucket(df, key_col, n_buckets).repartition("_kb").write.mode(
+        "overwrite"
+    ).partitionBy("_kb").parquet(path)
 
 
 def merge_into(
