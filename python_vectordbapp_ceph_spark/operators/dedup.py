@@ -541,7 +541,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    driver_finish_edges: int = 65536,
+    driver_finish_edges: int = 1 << 20,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → (id, component), with
     component = min id reachable. The transitive-closure finisher
@@ -568,8 +568,8 @@ def dedup_components(
     by the ContextCleaner when the loop releases its references.
     Driver code only ORCHESTRATES rounds — all data movement is
     distributed joins, until the contracted frontier fits comfortably
-    in driver memory (``driver_finish_edges``, default 64 Ki edges ≈
-    1 MB): the tail rounds of an iterative graph algorithm touch a few
+    in driver memory (``driver_finish_edges``, default 1 Mi edges ≈
+    16 MB): the tail rounds of an iterative graph algorithm touch a few
     hundred rows yet still pay full scheduling+shuffle latency each, so
     the remnant is collected once and finished with union-find, and the
     resulting label→min-label map (small by construction) is broadcast
@@ -604,10 +604,15 @@ def dedup_components(
         if remaining == 0:
             break
         if remaining <= driver_finish_edges:
-            # finish the remnant driver-side: one collect, one
-            # broadcast-relabel join — replaces O(log d) tail rounds
+            # finish the remnant driver-side: one Arrow collect, one
+            # broadcast-relabel join — replaces O(log d) tail rounds.
+            # toPandas (Arrow batches) here, NOT toLocalIterator: the
+            # per-row py4j path measured ~6 s for 880k edges vs ~0.3 s
+            # over Arrow — it's what made a larger finish threshold
+            # look like a pessimization.
+            pdf = edges.toPandas()
             lab = _min_label_union_find(
-                (r["src"], r["dst"]) for r in edges.toLocalIterator()
+                zip(pdf["src"].tolist(), pdf["dst"].tolist())
             )
             comp_t = comp.schema["comp"].dataType.simpleString()
             relmap = comp.sparkSession.createDataFrame(
