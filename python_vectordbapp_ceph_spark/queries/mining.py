@@ -883,3 +883,63 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf"),
         )
     )
+
+
+# --- domain-mixture resampling ---------------------------------------------
+
+@register(
+    "q_domain_mixture",
+    oracle="""
+    WITH sz AS (SELECT source, COUNT(*) AS n_s, SUM(n_chars) AS len_s
+                FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_s) AS n_total, SUM(len_s) AS len_total FROM sz),
+    rates AS (
+        SELECT sz.source,
+               LEAST(100, (50 * (sz.len_s // sz.n_s))
+                          // (tot.len_total // tot.n_total)) AS rate_pct
+        FROM sz CROSS JOIN tot),
+    b AS (
+      SELECT d.doc_id, d.source, r.rate_pct,
+             ((((d.doc_id % 2147483648) + 2147483648) % 2147483648)
+              * 2654435761) % 4294967296 % 100 AS bucket
+      FROM documents d JOIN rates r ON r.source = d.source)
+    SELECT doc_id, source FROM b WHERE bucket < rate_pct
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — the static corpus-reweighting move
+    (the simplified DoReMi/pile-mixing primitive): each source's keep
+    rate scales with a per-source quality proxy (mean doc length vs
+    the corpus mean, anchored at 50%), capped at 100%; membership is
+    the deterministic Knuth-hash bucket of doc_id. All rate
+    arithmetic is INTEGER floor division, so both engines compute
+    identical per-source rates; membership is a pure function of
+    doc_id — stable across runs, partitionings, and engines, which
+    df.sample() cannot promise. Plan: one map-side-combinable
+    (count,sum) aggregate per source (tiny — one row per source),
+    rates broadcast back onto the scan, then a pure pushed-down
+    filter; the corpus is never shuffled."""
+    from ..operators.split import split_bucket
+
+    d = T(spark, sf_dir, "documents")
+    sz = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("n_chars").alias("len_s")
+    )
+    tot = sz.agg(
+        F.sum("n_s").alias("n_total"), F.sum("len_s").alias("len_total")
+    )
+    # `div` = true integer division on longs (no double round-trip —
+    # a float quotient landing a hair above an integer would truncate
+    # differently than the oracle's `//` floor)
+    rates = sz.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(100).cast("long"),
+            F.expr("(50 * (len_s div n_s)) div (len_total div n_total)"),
+        ).alias("rate_pct"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(split_bucket("doc_id") < F.col("rate_pct"))
+        .select("doc_id", "source")
+    )
