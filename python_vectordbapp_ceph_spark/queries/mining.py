@@ -943,3 +943,45 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(split_bucket("doc_id") < F.col("rate_pct"))
         .select("doc_id", "source")
     )
+
+
+# --- SQL API entry (spark.sql over registered views) -----------------------
+
+@register(
+    "q_sql_api",
+    oracle="""
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entrypoint: io.register_views publishes every
+    table as a temp view and the query is literal ANSI SQL through
+    spark.sql() — proving a reference user can bring raw SQL, not
+    just the DataFrame API, and Catalyst compiles both to the same
+    plan (this is TPC-H Q6's predicate set; the DataFrame twin is
+    q_tpch_q6). Decimal-exact revenue aggregation, filters pushed to
+    the scan, identical oracle text modulo dialect."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
