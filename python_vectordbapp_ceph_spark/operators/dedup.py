@@ -569,6 +569,7 @@ def dedup_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     driver_finish_edges: int = 1 << 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → (id, component), with
     component = min id reachable. The transitive-closure finisher
@@ -587,12 +588,15 @@ def dedup_components(
     would; chains still contract in O(log diameter) rounds. The loop
     stops when no edges survive contraction.
 
-    Loop-carried tables are localCheckpoint'ed, not persist'ed: each
+    Loop-carried tables are checkpointed, not persist'ed: each
     round's logical plan would otherwise nest every earlier round's,
     and Catalyst re-optimization of the growing tree comes to dominate
     wall-clock within ~3 rounds (measured: a 4-edge round cost 27 s
-    under persist, <1 s checkpointed). Checkpoint blocks are dropped
-    by the ContextCleaner when the loop releases its references.
+    under persist, <1 s checkpointed). Default is ``localCheckpoint``
+    (executor block managers — see cache.materialize for the executor
+    -loss caveat); pass a reliable ``checkpoint_dir`` for long
+    cluster runs. Checkpoint blocks are dropped by the ContextCleaner
+    when the loop releases its references.
     Driver code only ORCHESTRATES rounds — all data movement is
     distributed joins, until the contracted frontier fits comfortably
     in driver memory (``driver_finish_edges``, default 1 Mi edges ≈
@@ -600,31 +604,33 @@ def dedup_components(
     hundred rows yet still pay full scheduling+shuffle latency each, so
     the remnant is collected once and finished with union-find, and the
     resulting label→min-label map (small by construction) is broadcast
-    back onto the id→label table. Contraction shrinks a dense dup graph
-    by orders of magnitude per round, so even at 100 TB the frontier
-    crosses the threshold after the first round or two."""
-    from ..cache import tracked_persist
+    back onto the id→label table. The surviving edge count is re-taken
+    with a real ``count()`` after every contraction round (cheap — the
+    edge set was just checkpointed), so the driver collect is gated by
+    the ACTUAL frontier size every round, never by a stale probe.
+    Contraction shrinks a dense dup graph by orders of magnitude per
+    round, so even at 100 TB the frontier typically crosses the
+    threshold after the first round or two."""
+    from ..cache import materialize, tracked_persist
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return materialize(df, checkpoint_dir)
 
     # Materialize the pair set ONCE before symmetrizing: the union
     # references it twice, and an unpersisted upstream funnel (e.g. the
     # full Jaccard verify) would run twice inside the first checkpoint
     # (the self-join double-eval trap).
-    p0 = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .localCheckpoint()
-    )
-    edges = (
+    p0 = _ckpt(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+    edges = _ckpt(
         p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
     # id → current label; composed with each round's relabel
-    comp = (
+    comp = _ckpt(
         edges.select(F.col("src").alias("id")).distinct().withColumn(
             "comp", F.col("id")
         )
-        .localCheckpoint()
     )
     remaining = edges.count()
     for _ in range(max_iter):
@@ -661,23 +667,28 @@ def dedup_components(
                 F.least(F.col("src"), F.col("_mn")).alias("_new"),
             )
         )
-        new_comp = (
+        new_comp = _ckpt(
             comp.join(relab, comp["comp"] == relab["_u"], "left")
             .select(F.col("id"), F.coalesce(F.col("_new"), F.col("comp")).alias("comp"))
-            .localCheckpoint()
         )
         ra = relab.select(F.col("_u").alias("_ua"), F.col("_new").alias("_na"))
         rb = relab.select(F.col("_u").alias("_ub"), F.col("_new").alias("_nb"))
-        new_edges = (
+        new_edges = _ckpt(
             edges.join(ra, edges["src"] == ra["_ua"])
             .join(rb, edges["dst"] == rb["_ub"])
             .select(F.col("_na").alias("src"), F.col("_nb").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
         )
         relab.unpersist()
-        remaining = new_edges.limit(1).count()
+        # REAL count, not limit(1).count(): the latter caps `remaining`
+        # at 1, which made the driver-finish threshold check on the next
+        # iteration unconditionally true — the toPandas() finisher would
+        # fire after one contraction round no matter how many edges
+        # survived (driver OOM risk on a dense 100 TB dup graph). The
+        # edge set was just checkpointed, so counting it is one cheap
+        # scan of materialized blocks.
+        remaining = new_edges.count()
         edges, comp = new_edges, new_comp
         if remaining == 0:
             break
@@ -694,10 +705,11 @@ def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one row per near-dup component (the min id) plus every row
     that appears in no pair — the corpus-level dedup finisher."""
-    comps = dedup_components(pairs)
+    comps = dedup_components(pairs, checkpoint_dir=checkpoint_dir)
     drop = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("_drop_id")
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import materialize
 from .mutation import upsert_last_writer
 
 N_BUCKETS_DEFAULT = 64
@@ -32,8 +33,29 @@ def _with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
     return df.withColumn("_kb", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
 
 
+def _bucket_aligned(df: DataFrame, n_buckets: int, files_per_bucket: int) -> DataFrame:
+    """Repartition for a bucket-partitioned write. ``files_per_bucket=1``
+    hashes on `_kb` alone: one task → one file per bucket (no sliver
+    files). At 100 TB a single giant bucket would then serialize
+    through one task, so a multiplier >1 adds a within-bucket salt to
+    the shuffle key: `files_per_bucket` tasks (and files) per bucket,
+    still bucket-aligned — readers prune on the `_kb` directory either
+    way."""
+    if files_per_bucket <= 1:
+        return df.repartition("_kb")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_bucket))
+    return df.repartition(
+        n_buckets * files_per_bucket, F.col("_kb"), salt
+    )
+
+
 def overwrite_touched_buckets(
-    spark: SparkSession, path: str, result: DataFrame, buckets: list[int]
+    spark: SparkSession,
+    path: str,
+    result: DataFrame,
+    buckets: list[int],
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    files_per_bucket: int = 1,
 ) -> None:
     """Dynamic-overwrite the `_kb` partitions present in ``result`` and
     delete the directories of touched buckets that emptied out (dynamic
@@ -46,11 +68,12 @@ def overwrite_touched_buckets(
         # repartition on the partition column first: without it every
         # shuffle partition writes a sliver into every bucket dir
         # (buckets × partitions small files — measured 512 files for a
-        # 16-bucket base on local[32]); with it, one file per bucket
-        # and the write tasks stay bucket-aligned at any cluster size
-        result.repartition("_kb").write.mode("overwrite").partitionBy(
-            "_kb"
-        ).parquet(path)
+        # 16-bucket base on local[32]); with it, the write tasks stay
+        # bucket-aligned at any cluster size (see _bucket_aligned for
+        # the giant-bucket multiplier)
+        _bucket_aligned(result, n_buckets, files_per_bucket).write.mode(
+            "overwrite"
+        ).partitionBy("_kb").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
@@ -67,14 +90,19 @@ def overwrite_touched_buckets(
 
 
 def write_bucketed_base(
-    df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS_DEFAULT
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    files_per_bucket: int = 1,
 ) -> None:
     """Initial layout: parquet partitioned by the key's hash bucket
-    (repartitioned onto the bucket key first — one file per bucket,
-    not one per bucket per task; see overwrite_touched_buckets)."""
-    _with_bucket(df, key_col, n_buckets).repartition("_kb").write.mode(
-        "overwrite"
-    ).partitionBy("_kb").parquet(path)
+    (repartitioned onto the bucket key first — `files_per_bucket`
+    files per bucket, not one per bucket per task; see
+    overwrite_touched_buckets)."""
+    _bucket_aligned(
+        _with_bucket(df, key_col, n_buckets), n_buckets, files_per_bucket
+    ).write.mode("overwrite").partitionBy("_kb").parquet(path)
 
 
 def merge_into(
@@ -86,17 +114,22 @@ def merge_into(
     op_col: str = "op",
     delete_op: str = "delete",
     n_buckets: int = N_BUCKETS_DEFAULT,
+    files_per_bucket: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> list[int]:
     """MERGE the change set into the bucketed base at ``path``.
 
     ``changes`` carries (key, payload..., ts, op). Returns the list of
     rewritten bucket ids (the driver-side footprint — ids only).
+    Pass a reliable ``checkpoint_dir`` on long cluster runs (see
+    cache.materialize); ``files_per_bucket`` bounds write skew for
+    giant buckets (see _bucket_aligned).
     """
     # materialize the (small, by contract) change set ONCE: bucket
     # derivation and the merge plan below both read it, and without
     # this the change lineage — often scans+filters over a big fact —
     # executes twice
-    ch = _with_bucket(changes, key_col, n_buckets).localCheckpoint()
+    ch = materialize(_with_bucket(changes, key_col, n_buckets), checkpoint_dir)
     buckets = [r._kb for r in ch.select("_kb").distinct().collect()]
     if not buckets:
         return []
@@ -120,8 +153,10 @@ def merge_into(
     result = merged.filter(F.col(op_col) != delete_op).drop(op_col, "_prio")
     # materialize BEFORE overwriting the path we just read (truncates
     # the lineage back to the files being replaced); eager by default
-    result = result.localCheckpoint()
-    overwrite_touched_buckets(spark, path, result, buckets)
+    result = materialize(result, checkpoint_dir)
+    overwrite_touched_buckets(
+        spark, path, result, buckets, n_buckets, files_per_bucket
+    )
     return sorted(buckets)
 
 

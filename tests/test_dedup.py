@@ -168,6 +168,71 @@ def test_dedup_components_collapse_chains(spark):
         release_caches()
 
 
+def test_dedup_components_guard_bounds_driver_collect(spark, monkeypatch):
+    """The driver-finish threshold must gate the toPandas() collect by
+    the ACTUAL surviving edge count every round — a frontier bigger
+    than ``driver_finish_edges`` forces another distributed round
+    instead of a driver collect (the r5 limit(1).count() bug collected
+    the whole round-2 frontier regardless of size)."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.operators.dedup import dedup_components
+
+    # chain 1-2-...-9: 8 pairs → 16 symmetrized edges; min-label
+    # contraction shortens the chain by one node per round, so with
+    # threshold 2 several distributed rounds MUST run before the
+    # 2-edge remnant is eligible for the driver finisher
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract parent in Spark 4 whose toPandas is overridden)
+    df_cls = type(pairs)
+    collected_sizes = []
+    orig_to_pandas = df_cls.toPandas
+
+    def spy(self):
+        pdf = orig_to_pandas(self)
+        collected_sizes.append(len(pdf))
+        return pdf
+
+    monkeypatch.setattr(df_cls, "toPandas", spy)
+    try:
+        comps = {
+            r.id: r.comp
+            for r in dedup_components(pairs, driver_finish_edges=2).collect()
+        }
+        assert comps == {i: 1 for i in range(1, 10)}
+        assert collected_sizes, "driver finisher should run on the tiny remnant"
+        assert all(n <= 2 for n in collected_sizes), (
+            f"driver collect exceeded driver_finish_edges: {collected_sizes}"
+        )
+    finally:
+        release_caches()
+
+
+def test_dedup_components_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint → reliable checkpoint;
+    the labeling must be identical."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (5, 6)], "id_a long, id_b long"
+    )
+    try:
+        local = {r.id: r.comp for r in dedup_components(pairs).collect()}
+        reliable = {
+            r.id: r.comp
+            for r in dedup_components(
+                pairs, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect()
+        }
+        assert local == reliable == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 5: 5, 6: 5}
+    finally:
+        release_caches()
+
+
 def test_prefix_filter_path_equals_cross_join_path(spark):
     """AllPairs prefix filtering must be lossless: identical pairs and
     jaccard values as the blocked cross join at the same threshold."""

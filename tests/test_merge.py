@@ -81,6 +81,54 @@ def test_merge_empties_fully_deleted_bucket(spark, tmp_path):
     assert empty.count() == 0
 
 
+def test_merge_files_per_bucket_multiplier(spark, tmp_path):
+    """files_per_bucket=2 splits each bucket's rows across up to 2
+    write tasks (2 files) so a giant bucket doesn't serialize through
+    one task; data must round-trip identically."""
+    path = str(tmp_path / "base")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i, 0) for i in range(400)], "key string, val long, ts long"
+    )
+    write_bucketed_base(rows, path, "key", 4, files_per_bucket=2)
+    files = _list_partition_files(path)
+    parquet_counts = [
+        len([f for f in fs if f.endswith(".parquet")]) for fs in files.values()
+    ]
+    assert max(parquet_counts) == 2, parquet_counts
+    assert all(1 <= n <= 2 for n in parquet_counts), parquet_counts
+
+    got = {(r.key, r.val) for r in read_base(spark, path).collect()}
+    assert got == {(f"k{i}", i) for i in range(400)}
+
+    # merge with the multiplier keeps correctness and the footprint contract
+    changes = spark.createDataFrame(
+        [("k1", -1, 1, "upsert"), ("k2", 0, 1, "delete")],
+        "key string, val long, ts long, op string",
+    )
+    merge_into(spark, path, changes, key_col="key", ts_col="ts",
+               n_buckets=4, files_per_bucket=2)
+    got = {(r.key, r.val) for r in read_base(spark, path).collect()}
+    want = {(f"k{i}", i) for i in range(400) if i not in (1, 2)} | {("k1", -1)}
+    assert got == want
+
+
+def test_merge_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir routes merge materialization through reliable
+    checkpoints; result identical to the localCheckpoint path."""
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    changes = spark.createDataFrame(
+        [("k3", 333, 1, "upsert"), ("k4", 0, 1, "delete")],
+        "key string, val long, ts long, op string",
+    )
+    merge_into(spark, path, changes, key_col="key", ts_col="ts",
+               n_buckets=N_BUCKETS, checkpoint_dir=str(tmp_path / "ckpt"))
+    got = {(r.key, r.val) for r in read_base(spark, path).collect()}
+    want = {(f"k{i}", i * 10) for i in range(40) if i not in (3, 4)}
+    want |= {("k3", 333)}
+    assert got == want
+
+
 def test_incremental_view_equals_full_recompute(spark, tmp_path):
     """A sequence of insert/retract batches folded into the view must
     be indistinguishable from recomputing the aggregate from the
