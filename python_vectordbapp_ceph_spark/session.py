@@ -62,3 +62,65 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ceph_s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """Hadoop S3A configuration for a Ceph RGW endpoint — the Spark
+    analogue of the reference's boto3 client setup
+    (milvus-app/pythonvectordbceph_milvus.py:57-68: endpoint from
+    BUCKET_HOST/BUCKET_PORT, static AWS_* creds, use_ssl=False).
+
+    Pass the result as ``extra_conf`` to :func:`get_spark` (or set the
+    keys on an existing session's hadoopConfiguration). Tables then
+    address RGW buckets directly: a collection's bucket ``my-docs``
+    maps to ``s3a://my-docs/<table>`` and every reader/writer in this
+    package works unchanged — all IO goes through the Hadoop
+    FileSystem API, which resolves the scheme per path (see
+    operators/merge.py overwrite_touched_buckets).
+
+    RGW specifics encoded here:
+      - path-style access (RGW installs rarely have wildcard DNS for
+        virtual-hosted buckets);
+      - SimpleAWSCredentialsProvider for static keys (no instance
+        metadata service on-prem);
+      - SSL off by default to mirror the reference's use_ssl=False —
+        flip ``ssl=True`` for a TLS-terminated RGW.
+
+    Falls back to the reference's own env vars (BUCKET_HOST,
+    BUCKET_PORT, AWS_ACCESS_KEY_ID, AWS_SECRET_ACCESS_KEY) when args
+    are omitted, so a pod configured for the reference app runs this
+    engine without new wiring.
+    """
+    if endpoint is None:
+        host = os.environ.get("BUCKET_HOST")
+        port = os.environ.get("BUCKET_PORT")
+        if host and port:
+            scheme = "https" if ssl else "http"
+            endpoint = f"{scheme}://{host}:{port}"
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+
+    conf: dict[str, str] = {
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        ),
+        # RGW implements S3 multipart: leave uploads on, but commit via
+        # the magic committer (no rename penalty on object stores)
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
