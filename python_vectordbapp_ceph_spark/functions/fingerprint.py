@@ -35,7 +35,14 @@ _WEIGHTS = np.array([BASE ** (K - 1 - t) for t in range(K)], dtype=np.int64)
 
 
 def _fingerprints_one(s: str) -> list[int]:
-    codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    # errors="ignore": the fingerprint queries feed this from
+    # normalize_for_fingerprint (ASCII by construction), but the UDF is
+    # exported as a general function — a stray non-ASCII document must
+    # degrade (drop those chars) rather than fail the whole stage with
+    # UnicodeEncodeError
+    codes = np.frombuffer(
+        s.encode("ascii", errors="ignore"), dtype=np.uint8
+    ).astype(np.int64)
     if len(codes) < K + W - 1:
         return []
     grams = np.lib.stride_tricks.sliding_window_view(codes, K)

@@ -39,7 +39,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-_PYFILES_SHIPPED: set[int] = set()
+_PYFILES_SHIPPED: set[str] = set()
 
 
 def _ensure_workers_can_import(spark: SparkSession) -> None:
@@ -54,7 +54,10 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     and is exactly what a spark-submit deployment of this repo would
     do with --py-files."""
     sc = spark.sparkContext
-    key = id(sc)
+    # keyed on applicationId, NOT id(sc): CPython reuses object
+    # addresses, so a new context allocated where a collected one
+    # lived would silently skip shipping
+    key = sc.applicationId
     if key in _PYFILES_SHIPPED:
         return
     import tempfile
@@ -75,8 +78,16 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
                     z.write(full, rel)
     try:
         sc.addPyFile(zpath)
-    except Exception:
-        pass  # e.g. a session that forbids addFile — CWD path still works
+    except Exception as exc:
+        # e.g. a session that forbids addFile — CWD path still works,
+        # but a real shipping failure would otherwise surface much
+        # later as a worker ModuleNotFoundError, so say so now
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "addPyFile(%s) failed (%s); workers must already have the "
+            "package on sys.path", zpath, exc,
+        )
     _PYFILES_SHIPPED.add(key)
 
 

@@ -411,14 +411,26 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the no-Exchange plan), and the following aggregate reuses the
     same clustering. This is THE 100 TB pattern for a fact table
     joined repeatedly on one key: pay the shuffle once at write time,
-    never again at read time. Scratch tables are per-process (pid
-    suffix) for the same concurrent-gate reason as q_sink_roundtrip."""
-    tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}"
+    never again at read time. Scratch tables are keyed on sf_dir ONLY
+    (no pid) and overwritten in place: a fresh process's in-memory
+    catalog doesn't know a dead process's tables, so pid-suffixed
+    names accumulated orphaned parquet in the warehouse forever —
+    stable names + an explicit dir cleanup make reruns idempotent."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ct, ot = f"bj_customer_{tag}", f"bj_orders_{tag}"
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
     for name, df, key in ((ct, c, "c_custkey"), (ot, o, "o_custkey")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # the DROP only covers tables THIS process created; a previous
+        # process's orphaned managed-table dir would make saveAsTable
+        # fail ("location already exists") — remove it explicitly
+        p = hpath(f"{warehouse.rstrip('/')}/{name}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        if fs.exists(p):
+            fs.delete(p, True)
         (
             df.write.mode("overwrite")
             .bucketBy(8, key)
@@ -454,18 +466,44 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-data ordering: rank
     by md5(id:salt) — reproducible across engines, runs, and
     partitionings (unlike rand(seed), whose stream depends on row
-    order within partitions). At 100 TB Spark plans the global sort
-    as sampled range partitioning, so 'shuffle the corpus' costs one
-    wide exchange and each output partition is a random sample of the
-    corpus — exactly what curriculum-free pretraining wants. The salt
-    re-deals the deck per epoch without touching the data."""
-    d = T(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    order within partitions). The salt re-deals the deck per epoch
+    without touching the data.
+
+    A global rank CANNOT be one unpartitioned row_number() window —
+    Spark executes that on a single partition (range partitioning
+    applies to global SORTS, not windows), which caps the operator at
+    one task's memory. Instead the classic two-phase distributed
+    rank: range-repartition on the shuffle key (one sampled wide
+    exchange — each partition gets a contiguous key range), count
+    rows per partition, turn the tiny per-partition counts into
+    cumulative offsets driver-free (a window over ≤num-partitions
+    rows), broadcast them back, and add a WITHIN-partition
+    row_number. Every phase is bounded by a single partition's data;
+    the full corpus never converges on one task."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(key, "doc_id")
-    return d.select(
-        "doc_id", F.row_number().over(w).alias("shuffle_rank")
+    from ..cache import tracked_persist
+
+    d = T(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    npart = max(spark.sparkContext.defaultParallelism, 2)
+    # persist pins the sampled range boundaries: the counts pass and
+    # the final rank pass must see the SAME partitioning
+    parts = tracked_persist(
+        d.select("doc_id", key.alias("_k"))
+        .repartitionByRange(npart, "_k", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy("_k", "doc_id")
+    return parts.join(F.broadcast(offsets), "_pid").select(
+        "doc_id",
+        (F.col("_off") + F.row_number().over(w_in)).alias("shuffle_rank"),
     )
 
 
@@ -792,11 +830,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two retrievers stay independent (no score normalization — the
     classic hybrid-search pitfall) and the fusion sum has exactly two
     addends (IEEE-order-safe). Plan: the text side is the BM25
-    posting-probe (one fact shuffle); the vector side plans as
-    TakeOrderedAndProject (no shuffle of the base table) and the
-    50-row candidate sets join broadcast-free by size. At scale
-    either side swaps for its ANN tier (IVF/BQ/SQ8) without touching
-    the fusion."""
+    posting-probe (one fact shuffle); BOTH top-50 candidate cuts are
+    orderBy().limit() — TakeOrderedAndProject, per-partition top-k
+    then a k-row merge, so no unpartitioned ranking window ever sees
+    the full input — and row_number only ranks the ≤50 survivors.
+    At scale either side swaps for its ANN tier (IVF/BQ/SQ8) without
+    touching the fusion."""
     from pyspark.sql.window import Window
 
     from ..cache import tracked_persist
@@ -840,10 +879,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(idf * tfn).alias("score"))
     )
+    # TakeOrderedAndProject cut first; the ranking window then runs
+    # over ≤50 rows (single tiny partition — fine), never the corpus
     wt = Window.orderBy(F.col("score").desc(), "doc_id")
     tr = (
-        scored.select("doc_id", F.row_number().over(wt).alias("rt"))
-        .filter(F.col("rt") <= 50)
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(wt).alias("rt"))
     )
     e = T(spark, sf_dir, "embeddings")
     qarr = F.array(*[F.lit(float(x)) for x in QVEC])
@@ -855,8 +897,9 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.orderBy("d", "doc_id")
     vr = (
-        ev.select("doc_id", F.row_number().over(wv).alias("rv"))
-        .filter(F.col("rv") <= 50)
+        ev.orderBy("d", "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(wv).alias("rv"))
     )
     t_ = tr.select(F.col("doc_id").alias("_tk"), "rt")
     v_ = vr.select(F.col("doc_id").alias("_vk"), "rv")

@@ -35,11 +35,24 @@ from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 class TopKProcessor(StatefulProcessor):
     """Keep the k largest (value, id) pairs per key; ties broken by
-    the unique id ascending so the result is deterministic."""
+    the unique id ascending so the result is deterministic. Column
+    names are threaded from the operator (not hardcoded) so any
+    key/value/id schema works — the processor and the operator's
+    outputStructType stay in lockstep."""
 
-    def __init__(self, k: int, ttl_ms: int | None = None):
+    def __init__(
+        self,
+        k: int,
+        ttl_ms: int | None = None,
+        key_col: str = "user_id",
+        value_col: str = "value",
+        id_col: str = "event_id",
+    ):
         self._k = k
         self._ttl_ms = ttl_ms
+        self._key_col = key_col
+        self._value_col = value_col
+        self._id_col = id_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         # one row of state per key: parallel arrays of the top values
@@ -55,7 +68,7 @@ class TopKProcessor(StatefulProcessor):
         else:
             pairs = []
         for pdf in rows:
-            pairs.extend(zip(pdf["value"], pdf["event_id"]))
+            pairs.extend(zip(pdf[self._value_col], pdf[self._id_col]))
         # largest value first; id ascending as the deterministic tiebreak
         pairs.sort(key=lambda p: (-p[0], p[1]))
         pairs = pairs[: self._k]
@@ -64,10 +77,10 @@ class TopKProcessor(StatefulProcessor):
         )
         yield pd.DataFrame(
             {
-                "user_id": [int(key[0])] * len(pairs),
+                self._key_col: [int(key[0])] * len(pairs),
                 "rnk": list(range(1, len(pairs) + 1)),
-                "value": [v for v, _ in pairs],
-                "event_id": [i for _, i in pairs],
+                self._value_col: [v for v, _ in pairs],
+                self._id_col: [i for _, i in pairs],
             }
         )
 
@@ -79,14 +92,18 @@ def stateful_topk_stream(
     stream: DataFrame,
     k: int = 3,
     key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
     ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-key streaming top-k via transformWithStateInPandas.
     Update output mode: each batch re-emits the keys it touched with
     their refreshed top-k (idempotent to replay — the sink upserts)."""
     return stream.groupBy(key_col).transformWithStateInPandas(
-        TopKProcessor(k, ttl_ms),
-        outputStructType=f"{key_col} long, rnk int, value double, event_id long",
+        TopKProcessor(k, ttl_ms, key_col, value_col, id_col),
+        outputStructType=(
+            f"{key_col} long, rnk int, {value_col} double, {id_col} long"
+        ),
         outputMode="Update",
         timeMode="None",
     )
