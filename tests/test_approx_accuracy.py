@@ -1,0 +1,65 @@
+"""Local accuracy evidence for the two sketch-based queries the driver
+records as rows-only (approximate by design, no exact hash oracle):
+
+  q_approx_distinct   — HyperLogLog++ with rsd=0.01: pin relative
+                        error vs the exact per-group count-distinct.
+  q_approx_quantiles  — approx_percentile(accuracy=1000): pin that
+                        each returned value's RANK is within 1/1000 of
+                        the requested quantile (the algorithm's
+                        documented guarantee — value-distance is not
+                        bounded, rank-distance is).
+"""
+
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.io import load_table
+from python_vectordbapp_ceph_spark.queries.relational import (
+    q_approx_distinct,
+    q_approx_quantiles,
+)
+
+
+def test_hll_relative_error_within_5pct(spark):
+    approx = {
+        r.event_type: r.approx_users
+        for r in q_approx_distinct(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        rel = abs(approx[k] - ex) / max(ex, 1)
+        assert rel <= 0.05, f"{k}: approx {approx[k]} vs exact {ex} (rel {rel:.3f})"
+
+
+def test_approx_percentile_rank_tolerance(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in q_approx_quantiles(spark, SF_DIR).collect()
+    }
+    for flag, (p50, p90) in got.items():
+        vals = sorted(
+            r.l_extendedprice
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, v in ((0.5, p50), (0.9, p90)):
+            # rank of the returned value among the sorted exact values
+            lo = sum(1 for x in vals if x < v)
+            hi = sum(1 for x in vals if x <= v)
+            target = q * (n - 1)
+            # accuracy=1000 ⇒ rank error ≤ n/1000 (+1 slack for ties)
+            tol = n / 1000 + 1
+            assert lo - tol <= target <= hi + tol, (
+                f"{flag} q={q}: value {v} has rank [{lo},{hi}] vs target "
+                f"{target:.1f} ± {tol:.1f} over n={n}"
+            )
