@@ -1,0 +1,507 @@
+"""Data-curation & diagnostics tier (round 6): co-occurrence mining,
+robust clipping, corpus-level similarity, dup-cluster analytics,
+quality-aware survivor selection, hard-negative mining, skew
+diagnosis, and embedding drift stats.
+
+Same determinism discipline as the mining tier: integer/decimal
+arithmetic wherever a reduction has unbounded addend count; per-row
+double chains are short, fixed-order, and round(…,6); every top-k has
+a total-order tiebreak. No logarithms (JVM log ≠ libm log at ulp
+level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import register
+from ._common import T
+from .textops import _NORM_SQL, _TOKS_LOWER
+
+
+# --- within-order co-purchase pairs (market-basket mining) -----------------
+
+@register(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: item pairs bought in the same
+    order, top-20 by support — the association-mining primitive (and,
+    on a corpus, the same shape counts tag/entity co-occurrence).
+    Scale: the self-join key is the ORDER, whose item count is bounded
+    (≤7 in TPC-H-shaped data, ≤ basket size generally), so per-key
+    fan-out is a constant k², never corpus-quadratic — this is the
+    safe self-join shape, unlike joining on an unbounded key. One
+    shuffle on orderkey, map-side distinct, then the pair aggregate;
+    top-20 is TakeOrderedAndProject with a (count, pair) total order."""
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --- winsorized (clipped) aggregation --------------------------------------
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+    b AS (SELECT flag,
+                 MIN(CASE WHEN rn * 20 >= n THEN v END) AS p05,
+                 MIN(CASE WHEN rn * 20 >= 19 * n THEN v END) AS p95
+          FROM r GROUP BY flag)
+    SELECT r.flag AS l_returnflag,
+           CAST(b.p05 AS DOUBLE) AS p05,
+           CAST(b.p95 AS DOUBLE) AS p95,
+           COUNT(*) AS n_rows,
+           -- DuckDB's LEAST/GREATEST promote DECIMAL to DOUBLE; cast
+           -- back so the unbounded SUM stays exact decimal like Spark's
+           CAST(SUM(CAST(LEAST(GREATEST(r.v, b.p05), b.p95)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+    FROM r JOIN b USING (flag)
+    GROUP BY r.flag, b.p05, b.p95
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation — clip each group's values to its own
+    [p5, p95] before summing, the robust-statistics answer to outlier
+    contamination in metric pipelines. The bounds are DISCRETE
+    percentiles via integer rank thresholds (rn·20 ≥ n), not
+    interpolated: the clip boundary is then an actual 2-decimal data
+    value, so the clipped column stays DECIMAL(18,2) and the sum is
+    exact and order-insensitive (an interpolated bound would inject a
+    full-precision double and make the sum partitioning-dependent).
+    Plan: one partitioned rank window, a 3-row-per-group bounds
+    aggregate broadcast back, map-side clip, hash aggregate. Emits the
+    sum + count, not the mean — no final division to hit a rounding
+    tie (q_doc_fluency's lesson)."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    b = r.groupBy("flag").agg(
+        F.min(F.when(F.col("rn") * 20 >= F.col("n"), F.col("v"))).alias("p05"),
+        F.min(F.when(F.col("rn") * 20 >= 19 * F.col("n"), F.col("v"))).alias(
+            "p95"
+        ),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+    return (
+        r.join(F.broadcast(b), "flag")
+        .groupBy("flag", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(clipped).cast("double").alias("sum_clipped"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("p05").cast("double").alias("p05"),
+            F.col("p95").cast("double").alias("p95"),
+            "n_rows",
+            "sum_clipped",
+        )
+    )
+
+
+# --- source-level corpus similarity ----------------------------------------
+
+@register(
+    "q_source_similarity",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_TOKS_LOWER}) AS term
+                  FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    nrm AS (SELECT source,
+                   sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nn
+            FROM tf GROUP BY source),
+    dots AS (SELECT a.source AS src_a, b.source AS src_b,
+                    SUM(a.c * b.c) AS dot
+             FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+             GROUP BY 1, 2)
+    SELECT d.src_a, d.src_b,
+           round(CAST(d.dot AS DOUBLE) / (na.nn * nb.nn), 6) AS cosine
+    FROM dots d
+    JOIN nrm na ON na.source = d.src_a
+    JOIN nrm nb ON nb.source = d.src_b
+    """,
+)
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between SOURCES' unigram count
+    vectors — the corpus-composition diagnostic (which domains
+    duplicate each other's distribution; which are novel). All the
+    unbounded reductions are integer (tf counts, dot products, squared
+    norms); the only double math is one sqrt/multiply/divide chain per
+    source pair, identical in both engines. Plan: one token explode →
+    (source, term) aggregate; the term-keyed self-join's fan-out per
+    term is ≤ |sources|² — sources number in the hundreds at worst, so
+    the join is bounded the same way q_copurchase_pairs is; norms are
+    a |sources|-row broadcast."""
+    from ..cache import tracked_persist
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = tracked_persist(
+        d.select("source", F.explode(toks.alias("t")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nrm = tf.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nn")
+    )
+    a = tf.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
+    b = tf.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("source").alias("src_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("source").alias("src_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+# --- dup-component size distribution ---------------------------------------
+
+_CC_EDGES_SQL = f"""
+    s AS (SELECT doc_id, source,
+                 list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+          FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                >= 0.5),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(id, lab) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e2.src, r.lab FROM e e2 JOIN reach r ON e2.dst = r.id
+    ),
+    comps AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+"""
+
+
+def _cc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard near-dup pairs blocked by source — the shared
+    edge set of the component-analytics queries (same construction as
+    q_graph_components)."""
+    from ..operators.dedup import jaccard_pairs
+
+    d = T(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d, block_col="source", shingle_n=1, threshold=0.5
+    ).select("id_a", "id_b")
+
+
+@register(
+    "q_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CC_EDGES_SQL},
+    sizes AS (SELECT comp, COUNT(*) AS sz FROM comps GROUP BY comp),
+    singles AS (SELECT COUNT(*) AS n1 FROM documents
+                WHERE doc_id NOT IN (SELECT id FROM comps))
+    SELECT sz AS component_size, COUNT(*) AS n_components
+    FROM sizes GROUP BY sz
+    UNION ALL
+    SELECT 1, n1 FROM singles WHERE n1 > 0
+    """,
+)
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size histogram — the dedup IMPACT report (how much
+    of the corpus is duplicated, and in what cluster sizes) that gets
+    read before anyone deletes anything. Every node inside an edge set
+    has degree ≥1, so size-1 components are exactly the documents in
+    no pair: counted distributed-side via anti-join and unioned in —
+    the full corpus never converges anywhere. Hash-matches the
+    recursive-closure oracle because component labels (min reachable
+    id) are algorithm-independent."""
+    from ..operators.dedup import dedup_components
+
+    d = T(spark, sf_dir, "documents")
+    comps = dedup_components(_cc_pairs(spark, sf_dir))
+    sized = (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+    singles = (
+        d.join(comps, d["doc_id"] == comps["id"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .filter(F.col("n1") > 0)
+        .select(
+            F.lit(1).cast("long").alias("component_size"),
+            F.col("n1").alias("n_components"),
+        )
+    )
+    return sized.unionByName(singles)
+
+
+# --- quality-aware dedup survivors -----------------------------------------
+
+@register(
+    "q_dedup_best_quality",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CC_EDGES_SQL},
+    joined AS (SELECT c.comp, d.doc_id, d.source, d.n_chars
+               FROM comps c JOIN documents d ON d.doc_id = c.id),
+    ranked AS (SELECT comp, doc_id, source, n_chars,
+                      row_number() OVER (PARTITION BY comp
+                                         ORDER BY n_chars DESC, doc_id)
+                          AS rn
+               FROM joined)
+    SELECT doc_id, source, n_chars FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comps)
+    """,
+)
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: keep the LONGEST document of
+    each near-dup component (tiebreak min id) instead of the min-id
+    one — in practice near-dup clusters mix truncated and full copies,
+    and min-id keeps a random-quality member while this keeps the most
+    complete one. Any quality scalar (q_quality_score's composite)
+    drops into the same ORDER BY. Plan: components (iterative
+    contraction) → broadcast-size join back to the corpus → one rank
+    window partitioned by component → anti-join pass-through for
+    untouched docs. The survivors' columns come from the corpus row,
+    so downstream (training shuffle, packing) reads them without a
+    second join."""
+    from ..operators.dedup import dedup_components
+
+    d = T(spark, sf_dir, "documents")
+    comps = dedup_components(_cc_pairs(spark, sf_dir))
+    joined = comps.join(d, comps["id"] == d["doc_id"]).select(
+        "comp", "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("n_chars").desc(), "doc_id")
+    best = (
+        joined.select(
+            "doc_id", "source", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    untouched = d.join(
+        comps, d["doc_id"] == comps["id"], "left_anti"
+    ).select("doc_id", "source", "n_chars")
+    return best.unionByName(untouched)
+
+
+# --- hard-negative mining ---------------------------------------------------
+
+@register(
+    "q_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < 3),
+    d AS (SELECT q.q_id, e.vec_id, e.label,
+                 round(sqrt(list_sum(list_transform(range(64),
+                       i -> (e.v[i+1] - q.qv[i+1]) * (e.v[i+1] - q.qv[i+1])))),
+                       6) AS distance
+          FROM e CROSS JOIN q
+          WHERE e.label <> q.q_label),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY distance, vec_id) AS rn
+          FROM d)
+    SELECT q_id, vec_id, label, distance FROM r WHERE rn <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the nearest vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable). Same plan family as batch KNN
+    (broadcast anchors × base scan + per-anchor rank window) with the
+    label-mismatch predicate fused into the scan, so filtered rows
+    never reach the window. At 100 TB the base side swaps for the IVF
+    tier exactly like q_filtered_knn."""
+    from ..functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+        )
+    )
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(V.l2_distance("v", "qv"), 6).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("distance", "vec_id")
+    return (
+        d.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# --- hot-key skew diagnosis -------------------------------------------------
+
+@register(
+    "q_key_skew",
+    oracle="""
+    WITH t AS (SELECT o_custkey, COUNT(*) AS n_orders
+               FROM orders GROUP BY o_custkey),
+    tot AS (SELECT SUM(n_orders) AS total FROM t)
+    SELECT o_custkey, n_orders,
+           (n_orders * 1000000) // total AS share_ppm
+    FROM t CROSS JOIN tot
+    ORDER BY n_orders DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis: the top-20 heaviest join/grouping keys with
+    their integer-exact corpus share (ppm — no float division). This
+    is the query you run BEFORE a big join to decide whether AQE skew
+    splitting, salting (operators/skew.py), or a df-cap is needed —
+    the skew report is itself just a count aggregate + broadcast
+    scalar + TakeOrderedAndProject, safe at any scale."""
+    o = T(spark, sf_dir, "orders")
+    t = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = t.agg(F.sum("n_orders").alias("total"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.expr("(n_orders * 1000000) div total").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_orders").desc(), "o_custkey")
+        .limit(20)
+    )
+
+
+# --- per-label embedding stats (drift detection) ---------------------------
+
+@register(
+    "q_embedding_stats",
+    oracle="""
+    WITH e AS (SELECT label,
+                      round(sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                          AS nrm
+               FROM embeddings)
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) AS sum_norm,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM e GROUP BY label
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm profile — the drift/QA check run on
+    every embedding refresh (a model swap or a broken preprocessing
+    step shifts norm distributions long before downstream metrics
+    notice). Per-row norm is one fixed-order double chain rounded to
+    6; the unbounded per-group reduction then happens in
+    DECIMAL(28,6), so the sum is exact under any partitioning
+    (q_doc_fluency's discipline). min/max of identically-rounded
+    doubles are order-insensitive by definition. One scan, one hash
+    aggregate."""
+    e = T(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * x.cast("double"),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.round(F.sqrt(sq), 6)
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("nrm").cast("decimal(28,6)")).cast("double").alias(
+                "sum_norm"
+            ),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# --- PageRank centrality over the near-dup graph (rows-only) ---------------
+
+@register("q_pagerank")  # float iteration → rows-only; pytest pins values
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact-Jaccard near-dup graph: rank ≈ how
+    central/canonical a document is within its dup cluster — the
+    'most-copied version' signal that complements
+    q_dedup_best_quality's length heuristic. Iterative float fixpoint
+    → addition order varies with partitioning → rows-only with the
+    driver; closed-form graphs (star, cycle) pin absolute values in
+    pytest. Plan per iteration: one join + one aggregate, both
+    shuffling on node id (operators/graph.py)."""
+    from ..operators.graph import pagerank
+
+    ranks = pagerank(_cc_pairs(spark, sf_dir), iterations=10)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
