@@ -487,6 +487,175 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- equal-frequency (quantile) binning ------------------------------------
+
+@register(
+    "q_quantile_bins",
+    oracle="""
+    WITH r AS (SELECT l_returnflag AS flag,
+                      CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                      ntile(4) OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice,
+                                              l_orderkey, l_linenumber)
+                          AS bin
+               FROM lineitem)
+    SELECT flag AS l_returnflag, bin, COUNT(*) AS n,
+           CAST(MIN(v) AS DOUBLE) AS lo,
+           CAST(MAX(v) AS DOUBLE) AS hi,
+           CAST(SUM(v) AS DOUBLE) AS sum_v
+    FROM r GROUP BY flag, bin
+    """,
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) binning per group — the feature
+    discretization every tabular-training pipeline runs, and the
+    equi-depth histogram a CBO builds. ntile's fill rule (first
+    n mod k bins get the extra row) is standard SQL, so with an
+    identical TOTAL order (value + unique key tiebreak) both engines
+    assign identical bins — no interpolation, no floats in the bin
+    boundary. Per-bin stats stay decimal-exact. The window is
+    partitioned by the group key, the same scalable shape as every
+    ranking query here."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+            F.ntile(4).over(w).alias("bin"),
+        )
+        .groupBy("flag", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").cast("double").alias("lo"),
+            F.max("v").cast("double").alias("hi"),
+            F.sum("v").cast("double").alias("sum_v"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"), "bin", "n", "lo", "hi", "sum_v"
+        )
+    )
+
+
+# --- power-of-two length histogram -----------------------------------------
+
+@register(
+    "q_length_histogram",
+    oracle="""
+    SELECT (1::BIGINT << k) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM (SELECT length(format('{:b}', n_chars)) - 1 AS k, n_chars
+          FROM documents WHERE n_chars > 0)
+    GROUP BY k
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubling (power-of-2) document-length histogram — the packing
+    planner's input (how many sequences fit which context windows) and
+    the classic long-tail diagnostic. The bucket is floor(log2(len))
+    computed EXACTLY via the binary-string length (no float log to
+    disagree at boundaries like len=4096): integers end-to-end, so
+    the histogram is partitioning- and engine-independent. One scan,
+    one small aggregate."""
+    d = T(spark, sf_dir, "documents")
+    k = (F.length(F.bin(F.col("n_chars"))) - 1).alias("k")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select(k, "n_chars")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.expr("shiftleft(CAST(1 AS BIGINT), k)").alias("bucket_lo"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+# --- train/valid/test split contamination ----------------------------------
+
+@register(
+    "q_split_contamination",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x != '')
+                   AS tk
+        FROM (SELECT doc_id, text,
+                     ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                      * 2654435761) % 4294967296 % 100 AS b
+              FROM documents)),
+    sh AS (SELECT DISTINCT split, doc_id,
+                  unnest(list_transform(range(1, len(tk) - 6),
+                         i -> array_to_string(tk[i:i+7], ' '))) AS s
+           FROM t WHERE len(tk) >= 8),
+    g AS (SELECT s, split, COUNT(DISTINCT doc_id) AS n_docs
+          FROM sh GROUP BY s, split)
+    SELECT a.split AS split_a, b.split AS split_b,
+           COUNT(*) AS n_shared_shingles,
+           SUM(a.n_docs * b.n_docs) AS doc_pairs
+    FROM g a JOIN g b ON a.s = b.s AND a.split < b.split
+    GROUP BY 1, 2
+    """,
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit via 8-token shingles — the
+    benchmark-decontamination measure: an id-hash split keeps each
+    DOCUMENT on one side but near-identical documents land on both,
+    so eval examples can share long verbatim spans with training data.
+    Counts, per split pair, the distinct 8-gram shingles present on
+    both sides and the doc-pair incidence behind them. Shape: shingle
+    explode → (shingle, split) distinct-doc aggregate → self-join on
+    the shingle key (fan-out ≤ 3 splits per shingle — bounded like
+    q_copurchase_pairs) → 3-row report. All integers, exact under any
+    partitioning. The per-shingle evidence list is one GROUP BY away
+    when a violation needs investigating."""
+    from ..functions.text import normalize_for_fingerprint
+    from ..operators.split import deterministic_split
+
+    d = T(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(normalize_for_fingerprint(F.col("text")), " "),
+        lambda x: x != "",
+    )
+    t = deterministic_split(d, "doc_id").select("doc_id", "split", tk.alias("tk"))
+    sh = (
+        t.filter(F.size("tk") >= 8)
+        .select(
+            "split",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 7),"
+                    " i -> array_join(slice(tk, i, 8), ' '))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    g = sh.groupBy("s", "split").agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = g.select(F.col("s").alias("sa"), F.col("split").alias("split_a"),
+                 F.col("n_docs").alias("na"))
+    b = g.select(F.col("s").alias("sb"), F.col("split").alias("split_b"),
+                 F.col("n_docs").alias("nb"))
+    return (
+        a.join(b, (a["sa"] == b["sb"]) & (a["split_a"] < b["split_b"]))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.sum(F.col("na") * F.col("nb")).alias("doc_pairs"),
+        )
+    )
+
+
 # --- PageRank centrality over the near-dup graph (rows-only) ---------------
 
 @register("q_pagerank")  # float iteration → rows-only; pytest pins values
