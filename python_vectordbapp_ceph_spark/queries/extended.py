@@ -163,6 +163,57 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "q_vector_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_vector_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER end-to-end: orders stream
+    through the vector_put sink (two-phase commit — task-staged files,
+    manifest-gated visibility; sources/vector_sink.py, mirroring the
+    reference's put_vectors wire shape) and are read back and
+    aggregated. Exact-oracle because the sink must preserve every row
+    and value bit-for-bit through the JSONL round-trip. Per-(sf, pid)
+    scratch dir, recreated per call — reruns can't double-append."""
+    import shutil
+
+    from ..sources.vector_sink import register_vector_sink
+
+    register_vector_sink(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"vecsink_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    o = T(spark, sf_dir, "orders")
+    (
+        o.select(
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .write.format("vector_put")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.option("pathGlobFilter", "part_*.jsonl")
+        .json(out)
+    )
+    return back.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias(
+            "total"
+        ),
+    )
+
+
 # --- partition-pruned MERGE (batch MERGE INTO equivalent) ------------------
 
 @register(

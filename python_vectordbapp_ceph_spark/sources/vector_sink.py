@@ -1,0 +1,109 @@
+"""Custom Python DataSource WRITER (Spark 4 DataSource API) — the
+write-side twin of sources/event_source.py's custom reader.
+
+Models the reference's vector PUT path (s3vectors
+``put_vectors(vectors=[{key, data, metadata}])`` —
+s3vectors-app/pythonvectordbceph.py:194-206) as a Spark sink with the
+API's full two-phase commit contract:
+
+  - ``write(iterator)`` runs once per partition/task and stages rows
+    to a task-private file (``_tmp_<uuid>``) — a retried or
+    speculative task stages a DIFFERENT file, so partial output never
+    collides;
+  - the returned ``WriterCommitMessage`` carries (staged path, row
+    count) back to the driver;
+  - ``commit(messages)`` atomically renames every staged file into
+    place and writes a ``_MANIFEST`` JSON (total rows, file list) —
+    readers treat the manifest as the visibility point, giving the
+    all-or-nothing semantics the reference gets from its backend;
+  - ``abort(messages)`` deletes staged files, leaving prior data
+    untouched.
+
+This is the idempotent-upsert sink discipline (B5/A11) expressed in
+the DataSource API rather than foreachBatch: at 100 TB each task
+streams its partition straight to storage and only pointer-sized
+commit messages converge on the driver.
+
+JSONL keeps the demo hermetic (no external store in the container);
+swapping ``_emit`` for a boto3/S3Vectors client call reproduces the
+reference wire format exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class VectorPutWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("vector_put sink requires a 'path' option")
+        self._overwrite = overwrite
+
+    # -- executor side ------------------------------------------------
+    def write(self, iterator) -> _Staged:
+        os.makedirs(self._dir, exist_ok=True)
+        staged = os.path.join(self._dir, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                rec = row.asDict(recursive=True)
+                # the reference's put_vectors row shape: key + float32
+                # data + metadata dict (pythonvectordbceph.py:194-206)
+                f.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return _Staged(path=staged, rows=n)
+
+    # -- driver side, after ALL tasks succeeded -----------------------
+    def commit(self, messages) -> None:
+        final_files, total = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            final = m.path.replace("_tmp_", "part_")
+            os.replace(m.path, final)
+            final_files.append(os.path.basename(final))
+            total += m.rows
+        manifest = {"rows": total, "files": sorted(final_files)}
+        with open(os.path.join(self._dir, "_MANIFEST"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class VectorPutDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "vector_put"
+
+    def writer(self, schema, overwrite: bool) -> VectorPutWriter:
+        return VectorPutWriter(self.options, overwrite)
+
+
+def register_vector_sink(spark) -> None:
+    spark.dataSource.register(VectorPutDataSource)
+
+
+def read_manifest(path: str) -> dict:
+    """Committed-state probe: the manifest IS the visibility point."""
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        return json.load(f)
