@@ -41,20 +41,30 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: item pairs bought in the same
     order, top-20 by support — the association-mining primitive (and,
     on a corpus, the same shape counts tag/entity co-occurrence).
-    Scale: the self-join key is the ORDER, whose item count is bounded
-    (≤7 in TPC-H-shaped data, ≤ basket size generally), so per-key
-    fan-out is a constant k², never corpus-quadratic — this is the
-    safe self-join shape, unlike joining on an unbounded key. One
-    shuffle on orderkey, map-side distinct, then the pair aggregate;
-    top-20 is TakeOrderedAndProject with a (count, pair) total order."""
+    Scale: baskets are BOUNDED (≤7 items in TPC-H-shaped data, ≤
+    basket size generally), so instead of a distinct + self-join (two
+    shuffles, both carrying every item row twice) the basket is
+    collected per order — one shuffle — and the ≤ k²/2 ordered pairs
+    expand IN-ROW from the sorted array with higher-order functions
+    (pure codegen, no join). The pair aggregate is partial/final as
+    usual; top-20 is TakeOrderedAndProject with a (count, pair) total
+    order. An unbounded-basket corpus would cap/df-filter the array
+    first (q_fingerprint_pairs' skew guard)."""
     li = T(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
