@@ -76,64 +76,88 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_winsorize",
     oracle="""
-    WITH r AS (
+    WITH c AS (
         SELECT l_returnflag AS flag,
                CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
-               row_number() OVER (PARTITION BY l_returnflag
-                                  ORDER BY l_extendedprice) AS rn,
-               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        FROM lineitem),
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+    cum AS (SELECT flag, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY flag ORDER BY v) AS cm,
+                   SUM(cnt) OVER (PARTITION BY flag) AS n
+            FROM c),
     b AS (SELECT flag,
-                 MIN(CASE WHEN rn * 20 >= n THEN v END) AS p05,
-                 MIN(CASE WHEN rn * 20 >= 19 * n THEN v END) AS p95
-          FROM r GROUP BY flag)
-    SELECT r.flag AS l_returnflag,
+                 MIN(CASE WHEN cm * 20 >= n THEN v END) AS p05,
+                 MIN(CASE WHEN cm * 20 >= 19 * n THEN v END) AS p95
+          FROM cum GROUP BY flag)
+    SELECT c.flag AS l_returnflag,
            CAST(b.p05 AS DOUBLE) AS p05,
            CAST(b.p95 AS DOUBLE) AS p95,
-           COUNT(*) AS n_rows,
+           SUM(c.cnt) AS n_rows,
            -- DuckDB's LEAST/GREATEST promote DECIMAL to DOUBLE; cast
            -- back so the unbounded SUM stays exact decimal like Spark's
-           CAST(SUM(CAST(LEAST(GREATEST(r.v, b.p05), b.p95)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
-    FROM r JOIN b USING (flag)
-    GROUP BY r.flag, b.p05, b.p95
+           CAST(SUM(CAST(LEAST(GREATEST(c.v, b.p05), b.p95)
+                         AS DECIMAL(18,2)) * c.cnt) AS DOUBLE)
+               AS sum_clipped
+    FROM c JOIN b USING (flag)
+    GROUP BY c.flag, b.p05, b.p95
     """,
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized aggregation — clip each group's values to its own
     [p5, p95] before summing, the robust-statistics answer to outlier
     contamination in metric pipelines. The bounds are DISCRETE
-    percentiles via integer rank thresholds (rn·20 ≥ n), not
-    interpolated: the clip boundary is then an actual 2-decimal data
-    value, so the clipped column stays DECIMAL(18,2) and the sum is
-    exact and order-insensitive (an interpolated bound would inject a
-    full-precision double and make the sum partitioning-dependent).
-    Plan: one partitioned rank window, a 3-row-per-group bounds
-    aggregate broadcast back, map-side clip, hash aggregate. Emits the
-    sum + count, not the mean — no final division to hit a rounding
-    tie (q_doc_fluency's lesson)."""
+    percentiles via integer rank thresholds, not interpolated: the
+    clip boundary is then an actual 2-decimal data value, so the
+    clipped column stays DECIMAL and the weighted sum is exact and
+    order-insensitive.
+
+    Scale shape: grouping keys like returnflag have cardinality 3, so
+    a per-ROW rank window would funnel the whole table through 3
+    window tasks. Instead ranks are derived over DISTINCT (group,
+    value) pairs: one fully-parallel composite-key count aggregate,
+    then the cumulative window runs over the value DOMAIN (bounded —
+    prices, scores) rather than the row count, the same trick as
+    q_mad_outliers' integer medians but with the row→domain reduction
+    made explicit. cum·20 ≥ n picks the identical discrete percentile
+    a row-rank formulation would. Bounds broadcast back onto the
+    count table; the clipped sum is count-weighted. Emits sum + count,
+    not the mean — no final division to hit a rounding tie
+    (q_doc_fluency's lesson)."""
     li = T(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wc = Window.partitionBy("l_returnflag")
-    r = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    c = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("flag", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    b = r.groupBy("flag").agg(
-        F.min(F.when(F.col("rn") * 20 >= F.col("n"), F.col("v"))).alias("p05"),
-        F.min(F.when(F.col("rn") * 20 >= 19 * F.col("n"), F.col("v"))).alias(
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = c.select(
+        "flag",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cm"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    b = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cm") * 20 >= F.col("n"), F.col("v"))).alias("p05"),
+        F.min(F.when(F.col("cm") * 20 >= 19 * F.col("n"), F.col("v"))).alias(
             "p95"
         ),
     )
     clipped = F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
     return (
-        r.join(F.broadcast(b), "flag")
+        c.join(F.broadcast(b), "flag")
         .groupBy("flag", "p05", "p95")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(clipped).cast("double").alias("sum_clipped"),
+            F.sum("cnt").alias("n_rows"),
+            F.sum(clipped * F.col("cnt")).cast("double").alias("sum_clipped"),
         )
         .select(
             F.col("flag").alias("l_returnflag"),
@@ -523,9 +547,12 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     n mod k bins get the extra row) is standard SQL, so with an
     identical TOTAL order (value + unique key tiebreak) both engines
     assign identical bins — no interpolation, no floats in the bin
-    boundary. Per-bin stats stay decimal-exact. The window is
-    partitioned by the group key, the same scalable shape as every
-    ranking query here."""
+    boundary. Per-bin stats stay decimal-exact. Caveat the plan makes
+    visible: ntile needs a PER-ROW rank, so a low-cardinality group
+    key funnels each group through one window task — for bin EDGES
+    alone use q_winsorize's domain-ranked form (window over distinct
+    values); full per-row assignment at extreme scale joins those
+    precomputed edges back as range predicates instead of ranking."""
     li = T(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
