@@ -693,6 +693,113 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- n-gram novelty (memorization risk scoring) ----------------------------
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> x != '') AS tk
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(tk) - 6),
+                         i -> array_to_string(tk[i:i+7], ' '))) AS s
+           FROM t WHERE len(tk) >= 8),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: how many of a doc's 8-token
+    shingles appear in NO other document — the memorization-risk /
+    information-content score (a doc whose shingles all recur
+    elsewhere adds nothing to a training mix; one that is all-novel is
+    either valuable or noise). Integer counts end-to-end (the caller
+    derives the ratio). Plan: distinct (doc, shingle) explode
+    persisted across its two consumers, a map-side-combinable df
+    aggregate joined back ON THE SHINGLE KEY (vocabulary-sized — a
+    regular shuffle join, NOT a broadcast; at 100 TB the shingle
+    vocabulary is far beyond driver memory), then a per-doc
+    aggregate."""
+    from ..cache import tracked_persist
+    from ..functions.text import normalize_for_fingerprint
+
+    d = T(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(normalize_for_fingerprint(F.col("text")), " "),
+        lambda x: x != "",
+    )
+    sh = tracked_persist(
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 7),"
+                    " i -> array_join(slice(tk, i, 8), ' '))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+
+
+# --- salted skew join (driver-visible) --------------------------------------
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted join (operators/skew.py) under an exact
+    oracle: the fact side carries a deterministic xxhash64 row salt,
+    the build side replicates salt× via a broadcast range cross, and
+    the join key becomes (key, salt) — a hot key's rows spread over
+    `salt` partitions instead of overwhelming one. The oracle is the
+    PLAIN join: salting must be row-identical to the unsalted plan,
+    and the hash gate proves it on real data (the pytest proves it on
+    a planted hot key). Deterministic salt (no rand()) keeps stage
+    retries exactly-once-safe. This is the manual tool for the hot-key
+    case AQE's skew splitting can't fix; q_key_skew is the diagnosis
+    query that decides when to reach for it."""
+    from ..operators.skew import salted_join
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(o, c, on="o_custkey", salt=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
 # --- PageRank centrality over the near-dup graph (rows-only) ---------------
 
 @register("q_pagerank")  # float iteration → rows-only; pytest pins values
