@@ -405,6 +405,50 @@ def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A13 range search (radius query) ---------------------------------------
 
 @register(
+    "q_grouped_knn",
+    oracle=f"""
+    WITH e AS ({_E}),
+    d AS (SELECT vec_id, label, round({_L2_TO_Q}, 6) AS distance FROM e),
+    r AS (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY distance, vec_id) AS rn
+          FROM d),
+    best AS (SELECT label, vec_id, distance FROM r WHERE rn = 1)
+    SELECT label, vec_id, distance
+    FROM best ORDER BY distance, vec_id LIMIT 5
+    """,
+)
+def q_grouped_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus GROUPING SEARCH (search with group_by_field): the top-k
+    nearest results with AT MOST ONE hit per group value — the
+    diversity guarantee RAG retrieval uses so k results span k
+    documents instead of k chunks of one document. Plan: distance
+    scan → per-group best via a rank window PARTITIONED BY the group
+    key (parallel in the number of groups) → global
+    TakeOrderedAndProject over the |groups|-row survivor set. The
+    base table never single-partitions; the global cut happens on one
+    row per group. Composes with the IVF/SQ8/BQ tiers exactly like
+    plain KNN (swap the distance scan)."""
+    e = T(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(x) for x in QVEC]).cast("array<double>")
+    d = e.select(
+        "vec_id",
+        "label",
+        F.round(
+            V.l2_distance(F.col("embedding").cast("array<double>"), q), 6
+        ).alias("distance"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy("distance", "vec_id")
+    best = (
+        d.select("label", "vec_id", "distance", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.orderBy("distance", "vec_id").limit(5)
+
+
+@register(
     "q_range_search",
     oracle=f"""
     WITH e AS ({_E})
