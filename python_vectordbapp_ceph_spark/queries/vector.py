@@ -449,6 +449,62 @@ def q_grouped_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_search_after",
+    oracle=f"""
+    WITH e AS ({_E}),
+    d AS (SELECT vec_id, label, round({_L2_TO_Q}, 6) AS distance FROM e),
+    anchor AS (SELECT distance AS ad, vec_id AS aid FROM (
+        SELECT distance, vec_id FROM d
+        ORDER BY distance, vec_id LIMIT 10) ORDER BY distance DESC,
+        vec_id DESC LIMIT 1)
+    SELECT d.vec_id, d.label, d.distance
+    FROM d CROSS JOIN anchor
+    WHERE d.distance > anchor.ad
+       OR (d.distance = anchor.ad AND d.vec_id > anchor.aid)
+    ORDER BY d.distance, d.vec_id
+    LIMIT 10
+    """,
+)
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-iterator parity (Milvus search_iterator / paged ANN):
+    page N+1 resumes AFTER the last (distance, id) seen, via a
+    composite keyset predicate — not OFFSET, which would recompute and
+    discard every earlier page's distances. The page-2 query here
+    derives its own anchor (the 10th result) and fetches the next 10:
+    the keyset predicate filters the distance scan BEFORE the top-k,
+    so each page is one TakeOrderedAndProject over the pruned scan —
+    page depth costs nothing extra (q_keyset_page's argument, lifted
+    to the computed-distance domain with a total-order (distance, id)
+    cursor, which is exactly how a vector-search iterator stays
+    consistent across pages)."""
+    e = T(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(x) for x in QVEC]).cast("array<double>")
+    d = e.select(
+        "vec_id",
+        "label",
+        F.round(
+            V.l2_distance(F.col("embedding").cast("array<double>"), q), 6
+        ).alias("distance"),
+    )
+    page1 = d.orderBy("distance", "vec_id").limit(10)
+    anchor = F.broadcast(
+        page1.orderBy(F.col("distance").desc(), F.col("vec_id").desc())
+        .limit(1)
+        .select(F.col("distance").alias("ad"), F.col("vec_id").alias("aid"))
+    )
+    return (
+        d.crossJoin(anchor)
+        .filter(
+            (F.col("distance") > F.col("ad"))
+            | ((F.col("distance") == F.col("ad")) & (F.col("vec_id") > F.col("aid")))
+        )
+        .select("vec_id", "label", "distance")
+        .orderBy("distance", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
     "q_range_search",
     oracle=f"""
     WITH e AS ({_E})
