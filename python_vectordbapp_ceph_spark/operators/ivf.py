@@ -119,6 +119,65 @@ def write_partitioned(index: IVFIndex, path: str) -> None:
     index.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
 
+def assign_new(index: IVFIndex, new_df: DataFrame) -> DataFrame:
+    """Incremental index ADD: assign NEW vectors to the EXISTING
+    centroids — the per-upsert path the reference's backend runs on
+    every ingest event (Milvus inserts into the current IVF lists;
+    it does not refit nlist=16384 per PUT). No KMeans refit, no touch
+    of already-assigned rows.
+
+    Plan: the centroid table (nlist×dim — tiny even at nlist=16384)
+    broadcasts; the batch crossJoins it (|batch|·nlist rows, bounded
+    by the BATCH size, not the table) and argmin-reduces per id with
+    a rank window — all JVM-side expression math. Assignment uses the
+    same exact L2 the fit used, so an added vector lands in the same
+    list a full rebuild would give it (drift from stale centroids is
+    the standard IVF trade-off; periodic rebuild_ivf handles it).
+
+    Returns the assigned batch (new_df columns + cluster_id), ready
+    for ``append_partitioned`` and/or a new IVFIndex via unionByName.
+    """
+    from pyspark.sql import Window
+
+    spark = new_df.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(cid, c) for cid, c in enumerate(index.centroids)],
+            "cluster_id int, _cent array<double>",
+        )
+    )
+    d2 = V.squared_l2(F.col(index.vec_col).cast("array<double>"), F.col("_cent"))
+    w = Window.partitionBy(index.id_col).orderBy(
+        F.col("_d2").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        new_df.crossJoin(cents)
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_d2", "_cent")
+    )
+
+
+def ivf_add(index: IVFIndex, new_df: DataFrame) -> IVFIndex:
+    """Incrementally extended index: same centroids, batch appended."""
+    assigned_new = assign_new(index, new_df)
+    return IVFIndex(
+        assigned=index.assigned.unionByName(assigned_new),
+        centroids=index.centroids,
+        vec_col=index.vec_col,
+        id_col=index.id_col,
+    )
+
+
+def append_partitioned(assigned_new: DataFrame, path: str) -> None:
+    """Append an assigned batch into the on-disk inverted-file layout:
+    append-mode partitionBy writes ONLY the cluster dirs the batch
+    touches — existing partitions' files are never rewritten, so the
+    incremental add costs O(batch), not O(index)."""
+    assigned_new.write.mode("append").partitionBy("cluster_id").parquet(path)
+
+
 def search_batch(
     index: IVFIndex,
     queries: DataFrame,

@@ -248,6 +248,30 @@ def q_ivf_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(QVEC, k=5, nprobe=3)
 
 
+@register("q_ivf_add")  # approximate tier → rows-only; assignment pytest-pinned
+def q_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ADD — the per-upsert index-insert path the
+    reference's backend runs on every ingest event (lists extend; no
+    nlist refit per PUT). Builds the index, assigns a derived batch
+    (embeddings of vec_id < 10, shifted +1e-3, re-keyed) to the
+    EXISTING centroids via the broadcast-centroid argmin, and probes
+    the extended index: each shifted twin must surface next to its
+    original. Returns the probe result over the extended index."""
+    from ..operators.ivf import build_ivf, ivf_add
+
+    e = T(spark, sf_dir, "embeddings")
+    index = build_ivf(e, nlist=8)
+    batch = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(0.001)
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    extended = ivf_add(index, batch)
+    return extended.search(QVEC, k=10, nprobe=4)
+
+
 # --- A6 image embedding (stub model → rows-only) ---------------------------
 
 @register("q_embed_image")

@@ -337,3 +337,86 @@ def test_bq_hamming_scan_is_jvm_only(vec_df):
     plan = cands._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_incremental_add_matches_rebuild_assignment(vec_df, spark):
+    """assign_new must put each added vector in the cluster whose
+    centroid is truly nearest (numpy argmin oracle), without touching
+    centroids or existing assignments."""
+    import numpy as np
+
+    from python_vectordbapp_ceph_spark.operators.ivf import assign_new, ivf_add
+
+    index = build_ivf(vec_df, nlist=4)
+    before_centroids = [list(c) for c in index.centroids]
+    new = spark.createDataFrame(
+        [(1000 + i, RNG.uniform(-1, 1, size=DIM).astype(np.float32).tolist())
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = assign_new(index, new)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    cents = np.array(index.centroids)
+    for r in new.collect():
+        d2 = ((cents - np.array(r.embedding, dtype=np.float64)) ** 2).sum(axis=1)
+        want = int(np.lexsort((np.arange(len(cents)), d2))[0])
+        assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
+
+    bigger = ivf_add(index, new)
+    assert bigger.centroids == before_centroids
+    assert bigger.assigned.count() == index.assigned.count() + 20
+    # the extended index finds an added vector as its own nearest hit
+    probe_vec = [float(x) for x in new.collect()[0].embedding]
+    top = bigger.search(probe_vec, k=1, nprobe=4).collect()[0]
+    assert top.vec_id == 1000
+
+
+def test_ivf_append_partitioned_only_touches_batch_clusters(vec_df, spark, tmp_path):
+    """On-disk incremental add: append-mode partitionBy writes only the
+    clusters the batch lands in; other cluster dirs keep their exact
+    file lists."""
+    import os
+
+    import numpy as np
+
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        assign_new,
+        build_ivf,
+        write_partitioned,
+    )
+
+    index = build_ivf(vec_df, nlist=4)
+    path = str(tmp_path / "ivf")
+    write_partitioned(index, path)
+
+    def files_per_cluster():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cluster_id="):
+                out[d] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    before = files_per_cluster()
+    # a batch aimed at ONE centroid: tiny perturbations of centroid 0
+    target = np.array(index.centroids[0])
+    new = spark.createDataFrame(
+        [(2000 + i, (target + 1e-4 * i).astype(np.float32).tolist())
+         for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = assign_new(index, new)
+    clusters = {r.cluster_id for r in assigned.select("cluster_id").distinct().collect()}
+    assert clusters == {0}
+
+    from python_vectordbapp_ceph_spark.operators.ivf import append_partitioned
+
+    append_partitioned(assigned, path)
+    after = files_per_cluster()
+    for d in before:
+        if d == "cluster_id=0":
+            assert set(before[d]) < set(after[d]), "batch files should append"
+        else:
+            assert before[d] == after[d], f"{d} rewritten by incremental add"
+    # read-back sees old + new rows through the same layout
+    back = spark.read.parquet(path)
+    assert back.count() == N + 5
