@@ -162,6 +162,67 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_temporal_lookup",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_id % 7 = 0),
+    fact AS (SELECT user_id, event_id, ts FROM events
+             WHERE event_id % 7 <> 0)
+    SELECT d.state, COUNT(*) AS n_facts,
+           COUNT(DISTINCT f.user_id) AS n_users
+    FROM fact f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY d.state
+    """,
+)
+def q_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the classic warehouse join this
+    tier was missing: facts resolve the SCD2 dimension version VALID
+    AT their timestamp (key equality + half-open interval
+    containment), composing q_scd2's interval construction with the
+    fact stream. Distinct from the as-of join: as-of takes the latest
+    row ≤ ts regardless of validity, while the interval predicate
+    expresses "the version that was true then" and naturally yields
+    zero rows for facts before the first version. Plan: the EQUALITY
+    key (user_id) drives a sort-merge join — the interval predicate
+    rides along as a post-join filter on already co-located rows, so
+    there is no range-explosion; the per-key interval count is
+    bounded by the change-log density. Aggregated to a per-state
+    summary so the check pins the full join semantics in 5 rows."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wd).alias("valid_to"),
+        )
+    )
+    fact = e.filter(F.col("event_id") % 7 != 0).select(
+        "user_id", "event_id", "ts"
+    )
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["d_user"])
+        & (fact["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"])),
+    )
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_gapfill",
     oracle="""
     WITH grid AS (
