@@ -72,6 +72,9 @@ HEADLINE = [
     "q_source_similarity", # corpus-level cosine, term-keyed join (r6)
     "q_hard_negatives",    # label-filtered batch KNN (r6)
     "q_shuffle_order",     # two-phase distributed global rank (r6)
+    "q_grouped_knn",       # grouping search: map-side WindowGroupLimit (r6)
+    "q_temporal_lookup",   # SCD2 interval lookup join (r6)
+    "q_ngram_novelty",     # shingle df join, vocab-keyed (r6)
 ]
 
 
