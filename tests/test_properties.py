@@ -149,3 +149,86 @@ def test_winnowing_deterministic_and_bounded(s):
     assert len(f1) <= n_windows
     if len(s) < K + W - 1:
         assert f1 == []
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=20))
+def test_dedup_components_matches_union_find(spark, edges):
+    """Min-label components on arbitrary random graphs must equal a
+    plain Python union-find's min-reachable labels."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.operators.dedup import dedup_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    try:
+        got = {
+            r.id: r.comp
+            for r in dedup_components(df, driver_finish_edges=4).collect()
+        }
+    finally:
+        release_caches()
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=2, max_size=15))
+def test_pagerank_conserves_mass(spark, edges):
+    """Σ ranks over edge-covered nodes stays 1 (no dangling nodes in a
+    symmetrized graph) for arbitrary random graphs."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.operators.graph import pagerank
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    try:
+        ranks = [r.rank for r in pagerank(df, iterations=4).collect()]
+    finally:
+        release_caches()
+    assert math.isclose(sum(ranks), 1.0, abs_tol=1e-9)
+    assert all(r > 0 for r in ranks)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 999)),
+                min_size=1, max_size=30))
+def test_salted_join_equals_plain_join(spark, rows):
+    """Salting must be row-identical to the plain join for arbitrary
+    (skewed) key distributions — including keys only on one side."""
+    from python_vectordbapp_ceph_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k long, v long"
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (5, "z")], "k long, tag string")
+    plain = {(r.k, r.v, r.tag) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(left, right, on="k", salt=4,
+                             salt_cols=["k", "v"]).collect()
+    }
+    assert salted == plain
