@@ -1,0 +1,65 @@
+"""Continuous vector-index maintenance: stream → embed → IVF assign →
+partitioned append.
+
+The reference's full ingest story composed end-to-end: its webhook
+upserts each embedded object into the backend's IVF index (Milvus
+inserts into the current inverted lists; the nlist=16384 quantizer is
+NOT refit per PUT — milvus-app/pythonvectordbceph_milvus.py:100-102,154).
+Here the same contract runs as Structured Streaming:
+
+    readStream(vector batches)
+      → foreachBatch:
+          assign_new(index, batch)      # broadcast-centroid argmin,
+                                        # O(batch × nlist), no refit
+          append_partitioned(...)       # writes ONLY the cluster dirs
+                                        # the batch lands in
+
+Exactly-once: checkpointed source offsets make each batch processed
+once; the append is per-batch atomic enough for the probe path because
+readers see whole parquet files (a killed batch is replayed from the
+checkpoint — rows may duplicate on crash-retry, which the keyed
+upsert/compaction path (collection.py) resolves; for the pure-append
+index, duplicate vectors only cost space, never wrong top-k ids).
+
+At 100 TB: the streaming batch is the only thing in flight —
+assignment is a map-side argmin against broadcast centroids, the
+shuffle for the partitionBy append carries batch-sized data, and the
+index at rest is never rewritten. Centroid drift under distribution
+shift is handled by periodic build_ivf rebuilds (offline), exactly as
+IVF deployments rotate segments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ivf import IVFIndex, assign_new, append_partitioned
+
+
+def stream_into_ivf(
+    stream: DataFrame,
+    index: IVFIndex,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Attach a streaming vector source to the on-disk IVF layout.
+
+    ``stream`` carries (id, embedding [, payload...]) rows — e.g. the
+    output of ingest.py's parse+embed stages. Each micro-batch is
+    assigned to the EXISTING centroids and appended to ``path``'s
+    cluster-partitioned parquet."""
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_partitioned(assign_new(index, batch_df), path)
+
+    writer = (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -420,3 +420,66 @@ def test_ivf_append_partitioned_only_touches_batch_clusters(vec_df, spark, tmp_p
     # read-back sees old + new rows through the same layout
     back = spark.read.parquet(path)
     assert back.count() == N + 5
+
+
+def test_streaming_ivf_ingest_end_to_end(vec_df, spark, tmp_path):
+    """Stream of vector batches → foreachBatch IVF assign + append:
+    all streamed rows land in the partitioned layout in their nearest
+    cluster, and a probe over the re-read index finds a planted
+    vector. Second drain from the same checkpoint processes nothing
+    new (exactly-once offsets)."""
+    import numpy as np
+
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        IVFIndex,
+        build_ivf,
+        write_partitioned,
+    )
+    from python_vectordbapp_ceph_spark.streaming.ivf_ingest import stream_into_ivf
+
+    index = build_ivf(vec_df, nlist=4)
+    path = str(tmp_path / "ivf")
+    write_partitioned(index, path)
+
+    # file-based stream: two JSON batches of new vectors, one equal to
+    # a centroid (the planted probe target)
+    src = tmp_path / "src"
+    src.mkdir()
+    planted = [float(x) for x in index.centroids[1]]
+    batch1 = [(3000 + i, RNG.uniform(-1, 1, size=DIM).tolist()) for i in range(8)]
+    batch2 = [(4000, planted)]
+    import json
+
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"vec_id": i, "embedding": v}) for i, v in batch1)
+    )
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps({"vec_id": i, "embedding": v}) for i, v in batch2)
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(str(src))
+    )
+    q = stream_into_ivf(stream, index, path, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(path)
+    assert back.count() == N + 9
+    rows = {r.vec_id: r.cluster_id for r in back.filter("vec_id >= 3000").collect()}
+    assert len(rows) == 9
+    cents = np.array(index.centroids)
+    assert rows[4000] == 1  # the planted centroid copy lands in its own list
+
+    # probe through a fresh index view over the on-disk layout
+    reopened = IVFIndex(
+        assigned=back, centroids=index.centroids,
+        vec_col="embedding", id_col="vec_id",
+    )
+    top = reopened.search(planted, k=1, nprobe=1).collect()[0]
+    assert top.vec_id == 4000 and top.distance == 0.0
+
+    # replay from the same checkpoint: no new rows
+    q2 = stream_into_ivf(stream, index, path, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(path).count() == N + 9
