@@ -11,6 +11,7 @@ normalized text — stable across engines, unlike murmur hash()).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -25,6 +26,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# The Gopher rule-set stop list (Rae et al. 2021, §A1.1): a document
+# must contain at least two distinct members to pass the stopword rule.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 # BPE-ish token regex: word pieces, numbers, or single non-space symbols.
 BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -134,6 +139,92 @@ def scrub_pii(text: Column | str) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def gopher_rules(df, text_col: str = "text", id_col: str = "doc_id"):
+    """The Gopher quality-filter rule gauntlet (Rae et al. 2021 §A1.1),
+    adapted to the synthetic corpus' scale: per-document word count,
+    mean word length, alphabetic-word fraction, distinct-stopword
+    count and symbol-to-word ratio, plus the conjunctive ``keep`` flag.
+
+    Single codegen'd projection — every metric is an array/regexp HOF
+    over the one tokenization, no shuffle, no UDF: the filter runs at
+    scan speed regardless of corpus size."""
+    t = _c(text_col)
+    toks = tokens(t)
+    ltoks = tokens(F.lower(t))
+    base = df.select(
+        F.col(id_col), t.alias("_t"), toks.alias("_toks"), ltoks.alias("_ltoks")
+    )
+    n = F.size("_toks")
+    sum_len = F.aggregate(
+        F.transform("_toks", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wlen = F.when(n == 0, F.lit(0.0)).otherwise(
+        sum_len.cast("double") / n.cast("double")
+    )
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter("_toks", lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / n.cast("double")
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter("_ltoks", lambda x: x.isin(*GOPHER_STOPS)))
+    )
+    symbols = (
+        F.length("_t")
+        - F.length(F.replace(F.col("_t"), F.lit("#")))
+        + F.size(F.regexp_extract_all("_t", F.lit(r"\.\.\."), 0))
+    )
+    symbol_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        symbols.cast("double") / n.cast("double")
+    )
+    keep = (
+        n.between(20, 1000)
+        & mean_wlen.between(3.0, 10.0)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+        & (symbol_ratio <= 0.1)
+    )
+    return base.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stop"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def _compression_ratio_one(t: str | None) -> float | None:
+    import zlib
+
+    if t is None:
+        return None
+    b = t.encode("utf-8")
+    if not b:
+        return 0.0
+    return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+
+def compression_ratio(text: Column | str) -> Column:
+    """zlib-compressed-size / raw-size quality signal (the
+    Gopher/RefinedWeb "compressibility" heuristic: highly repetitive
+    boilerplate compresses far below ~0.4; random noise sits near 1).
+
+    DEFLATE is a byte-level stateful LZ77+Huffman coder — not
+    expressible in Catalyst — so this is an Arrow-batched pandas UDF
+    (per-row numpy-free byte work, no Python in any shuffle). Values
+    are deterministic for a fixed zlib level (6), which the pytest
+    oracle pins by recomputing in-process."""
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        return s.map(_compression_ratio_one)
+
+    return _ratio(_c(text))
 
 
 def chunk_starts(n_words: Column, stride: int) -> Column:

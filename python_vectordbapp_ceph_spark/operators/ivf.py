@@ -113,10 +113,22 @@ def build_ivf(
     return IVFIndex(assigned=assigned, centroids=centroids, vec_col=vec_col, id_col=id_col)
 
 
+def _canonical_f32(df: DataFrame, vec_col: str) -> DataFrame:
+    """Force the at-rest vector element type to float32 — the
+    reference backend's FloatVector storage type (A10). Writers MUST
+    share one physical type: parquet readers cannot mix FLOAT and
+    DOUBLE files for the same column, so an append whose batch arrived
+    as array<double> (e.g. a JSON stream) would poison the layout."""
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<float>"))
+
+
 def write_partitioned(index: IVFIndex, path: str) -> None:
     """Persist the inverted-file layout: parquet partitioned by
-    cluster_id, so probes become partition-pruned scans."""
-    index.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    cluster_id, so probes become partition-pruned scans. Vectors are
+    stored float32 (canonical at-rest type)."""
+    _canonical_f32(index.assigned, index.vec_col).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
 
 
 def assign_new(index: IVFIndex, new_df: DataFrame) -> DataFrame:
@@ -170,12 +182,18 @@ def ivf_add(index: IVFIndex, new_df: DataFrame) -> IVFIndex:
     )
 
 
-def append_partitioned(assigned_new: DataFrame, path: str) -> None:
+def append_partitioned(
+    assigned_new: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
     """Append an assigned batch into the on-disk inverted-file layout:
     append-mode partitionBy writes ONLY the cluster dirs the batch
     touches — existing partitions' files are never rewritten, so the
-    incremental add costs O(batch), not O(index)."""
-    assigned_new.write.mode("append").partitionBy("cluster_id").parquet(path)
+    incremental add costs O(batch), not O(index). The batch's vector
+    column is cast to the layout's canonical float32 regardless of how
+    it arrived (JSON streams decode as array<double>)."""
+    _canonical_f32(assigned_new, vec_col).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(path)
 
 
 def search_batch(

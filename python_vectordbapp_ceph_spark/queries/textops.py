@@ -1077,3 +1077,69 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, block_col="source", shingle_n=1, threshold=0.5
     ).select("id_a", "id_b")
     return dedup_survivors(d, pairs, id_col="doc_id").select("doc_id")
+
+
+# --- Gopher quality-filter rule gauntlet -----------------------------------
+
+_GOPHER_SQL = "[" + ", ".join(f"'{w}'" for w in X.GOPHER_STOPS) + "]"
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks, {_TOKS_LOWER} AS ltoks
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_words,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) END AS mean_wlen,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
+                 len(list_distinct(list_filter(ltoks, x -> list_contains({_GOPHER_SQL}, x)))) AS n_stop,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(replace(text, '#', ''))
+                                + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) END AS symbol_ratio
+          FROM t)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wlen, 6) AS mean_wlen,
+           round(alpha_frac, 6) AS alpha_frac,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 1000
+                      AND mean_wlen BETWEEN 3.0 AND 10.0
+                      AND alpha_frac >= 0.8
+                      AND n_stop >= 2
+                      AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality filter (word-count bounds, mean word
+    length, alphabetic-word fraction, >=2 distinct stopwords,
+    symbol-to-word ratio) + conjunctive keep flag. The industry-standard
+    pre-training heuristic gate, distinct from q_quality_score's scalar
+    blend: this is the boolean gauntlet whose ``keep`` decides the doc's
+    fate. All metrics come from ONE tokenization in ONE codegen'd
+    projection; keep evaluates on the unrounded doubles in both
+    engines (integer-ratio doubles are exactly reproducible)."""
+    from ..functions.text import gopher_rules
+
+    return gopher_rules(T(spark, sf_dir, "documents"))
+
+
+# --- zlib compressibility quality signal (rows-only) -----------------------
+
+@register("q_compression_ratio")
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the "compressibility"
+    boilerplate detector (repetitive spam compresses to a fraction of
+    its size; prose sits near ~0.5-0.8). DEFLATE's stateful LZ77 loop
+    is not Catalyst-expressible, so the kernel is an Arrow-batched
+    pandas UDF (the sanctioned slow-path shape: scan-partition-local,
+    no shuffle, no driver involvement). rows-only: DuckDB has no zlib;
+    values are pytest-pinned against an in-process recomputation."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.compression_ratio("text").alias("zlib_ratio"))

@@ -53,7 +53,9 @@ def stream_into_ivf(
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            append_partitioned(assign_new(index, batch_df), path)
+            append_partitioned(
+                assign_new(index, batch_df), path, vec_col=index.vec_col
+            )
 
     writer = (
         stream.writeStream.foreachBatch(do_batch)
