@@ -18,7 +18,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 EVENT_SCHEMA = (
@@ -61,8 +66,50 @@ class S3EventsReader(DataSourceReader):
         yield from _rows(self.bucket, self.seed, partition.start, partition.end)
 
 
+class S3EventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the event feed: each micro-batch drains up to
+    ``batchSize`` events past the checkpointed offset, capped at ``n``
+    total — the notification queue the reference's webhook consumes
+    push-style, consumed pull-style with Spark-managed offsets.
+
+    Offsets are plain ``{"index": i}`` dicts: Structured Streaming
+    checkpoints them, so restart resumes exactly where the last
+    committed batch ended (at-least-once into foreachBatch, exactly-
+    once through idempotent sinks — the same contract as ingest.py).
+    ``readBetweenOffsets`` replays any committed span deterministically
+    (the generator is a pure function of (seed, range)), which is what
+    makes crash-recovery correct."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.batch = int(options.get("batchSize", 20))
+        self.bucket = options.get("bucket", "bucket-1")
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        i = int(start["index"])
+        j = min(self.n, i + self.batch)
+        # materialized list, not a generator: the SimpleStreamReader
+        # prefetch cache copy.copy()s the returned iterator when
+        # planning partitions, which only works for list iterators.
+        # Bounded by batchSize rows — the simple reader runs on the
+        # driver by design (right for a notification-queue-rate feed;
+        # a firehose source would use the partition-planning
+        # DataSourceStreamReader instead).
+        return iter(list(_rows(self.bucket, self.seed, i, j))), {"index": j}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            list(_rows(self.bucket, self.seed, int(start["index"]), int(end["index"])))
+        )
+
+
 class S3EventsDataSource(DataSource):
-    """spark.read.format("s3events").option("n", 1000).load()"""
+    """spark.read.format("s3events").option("n", 1000).load() — or
+    spark.readStream.format("s3events") for the continuous feed."""
 
     @classmethod
     def name(cls) -> str:
@@ -73,6 +120,9 @@ class S3EventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> S3EventsReader:
         return S3EventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> S3EventsStreamReader:
+        return S3EventsStreamReader(self.options)
 
 
 def register(spark) -> None:

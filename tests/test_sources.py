@@ -116,3 +116,56 @@ def test_read_binary_files_with_glob(spark, tmp_path):
     assert len(rows) == 1
     assert bytes(rows[0].content) == b"\x01\x02\x03"
     assert rows[0].length == 3
+
+
+def test_s3events_streaming_reader_drains_and_matches_batch(spark, tmp_path):
+    """readStream over the same DataSource: the stream drains the
+    capped feed in batchSize chunks with checkpointed offsets, and the
+    union of micro-batches equals the batch read exactly (no loss, no
+    duplication). A restart from the same checkpoint emits nothing new."""
+    import time
+
+    from python_vectordbapp_ceph_spark.sources.event_source import register
+
+    register(spark)
+    opts = {"n": "40", "batchSize": "16", "seed": "7"}
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def start():
+        reader = spark.readStream.format("s3events")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def n_out():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # sink dir empty until the first batch commits
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and n_out() < 40:
+        time.sleep(0.5)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+
+    batch = spark.read.format("s3events").options(**opts).load()
+    assert set(map(tuple, got.drop("tags").collect())) == set(
+        map(tuple, batch.drop("tags").collect())
+    )
+
+    # restart from the committed checkpoint: feed is drained — the
+    # file-sink log must show no new rows (exactly-once, no replay)
+    q2 = start()
+    time.sleep(5)
+    q2.stop()
+    assert spark.read.parquet(out).count() == 40
