@@ -75,6 +75,8 @@ HEADLINE = [
     "q_grouped_knn",       # grouping search: map-side WindowGroupLimit (r6)
     "q_temporal_lookup",   # SCD2 interval lookup join (r6)
     "q_ngram_novelty",     # shingle df join, vocab-keyed (r6)
+    "q_gopher_rules",      # quality-filter gauntlet, one codegen projection (r6)
+    "q_compression_ratio", # zlib compressibility, Arrow-batched UDF scan (r6)
 ]
 
 

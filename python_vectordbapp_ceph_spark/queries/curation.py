@@ -818,3 +818,79 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
+
+
+# --- distinctive vocabulary per source (log-free Monroe odds) --------------
+
+@register(
+    "q_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_TOKS_LOWER}) AS term
+                  FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS a FROM toks GROUP BY 1, 2),
+    per_src AS (SELECT source, SUM(a) AS atot FROM tf GROUP BY source),
+    per_term AS (SELECT term, SUM(a) AS ttot FROM tf GROUP BY term),
+    tot AS (SELECT SUM(a) AS gtot FROM tf),
+    scored AS (
+        SELECT tf.source, tf.term,
+               CAST((2*tf.a + 1)
+                    * (2*(tot.gtot - per_src.atot - (per_term.ttot - tf.a)) + 1)
+                    AS DOUBLE)
+               / CAST((2*(per_src.atot - tf.a) + 1)
+                      * (2*(per_term.ttot - tf.a) + 1) AS DOUBLE) AS odds
+        FROM tf
+        JOIN per_src USING (source)
+        JOIN per_term USING (term)
+        CROSS JOIN tot),
+    ranked AS (SELECT source, term, odds,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY odds DESC, term) AS rnk
+               FROM scored)
+    SELECT source, term, round(odds, 6) AS odds_ratio, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: which terms over-index in a
+    domain vs the rest of the corpus — the Monroe et al. "fightin'
+    words" diagnostic that drives domain-mixture decisions. Log-free:
+    the score is the +1/2-smoothed odds ratio
+    ((2a+1)(2(B-b)+1)) / ((2(A-a)+1)(2b+1)) with a = term count in the
+    source, A = source tokens, b = count elsewhere, B = tokens
+    elsewhere — monotone in the usual log-odds and built from exact
+    integer counts (all products < 2^53), so the double division is
+    bit-identical in both engines (no JVM-vs-libm log drift).
+
+    Plan: explode → (source, term) count, then three broadcast-sized
+    aggregates (per-source totals, per-term totals, grand total) join
+    back; the rank window partitions by source over its VOCABULARY
+    (bounded), never over corpus rows. At 100 TB the only big shuffle
+    is the (source, term) count — exactly one pass over the tokens."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        d.select("source", F.explode(toks).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    per_src = tf.groupBy("source").agg(F.sum("a").alias("atot"))
+    per_term = tf.groupBy("term").agg(F.sum("a").alias("ttot"))
+    tot = tf.agg(F.sum("a").alias("gtot"))
+    b = F.col("ttot") - F.col("a")
+    big_b = F.col("gtot") - F.col("atot")
+    odds = (
+        ((2 * F.col("a") + 1) * (2 * (big_b - b) + 1)).cast("double")
+        / ((2 * (F.col("atot") - F.col("a")) + 1) * (2 * b + 1)).cast("double")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("odds"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(per_src), "source")
+        .join(per_term, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("odds", odds)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", F.round("odds", 6).alias("odds_ratio"), "rnk")
+    )
