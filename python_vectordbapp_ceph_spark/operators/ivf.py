@@ -182,6 +182,64 @@ def ivf_add(index: IVFIndex, new_df: DataFrame) -> IVFIndex:
     )
 
 
+def rebuild_ivf(
+    spark,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """Periodic offline index rebuild: refit the coarse quantizer on
+    the CURRENT on-disk vectors (incremental adds drift away from the
+    centroids they were assigned to), reassign every row, and swap the
+    new layout in atomically. This is the maintenance job the IVF
+    docstrings defer drift handling to — the Spark analog of rotating
+    index segments in an ANN serving stack.
+
+    Crash-safe the same way collection.compact() is: ONE write to a
+    sibling temp dir, then a two-rename swap (each rename atomic on
+    HDFS/POSIX). A crash between renames leaves the old layout at
+    ``path + '._old'`` — recoverable, never a missing index. Readers
+    opened after the swap see only the new layout; the refreshByPath
+    drops any cached file listings.
+
+    Returns the fresh IVFIndex whose ``assigned`` reads from ``path``.
+    """
+    current = spark.read.parquet(path).drop("cluster_id")
+    index = build_ivf(
+        current, nlist=nlist, vec_col=vec_col, id_col=id_col,
+        seed=seed, max_iter=max_iter,
+    )
+    tmp, old = path + "._rebuild", path + "._old"
+    _canonical_f32(index.assigned, vec_col).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(tmp)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = hpath(tmp).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(hpath(old), True)  # leftover from a prior crash
+    if not fs.rename(hpath(path), hpath(old)):
+        raise IOError(
+            f"rebuild_ivf: rename {path} -> {old} failed; "
+            "live index untouched, rebuilt layout at the temp path"
+        )
+    if not fs.rename(hpath(tmp), hpath(path)):
+        fs.rename(hpath(old), hpath(path))  # roll back
+        raise IOError(
+            f"rebuild_ivf: rename {tmp} -> {path} failed; "
+            "old index restored, rebuilt layout at the temp path"
+        )
+    fs.delete(hpath(old), True)
+    spark.catalog.refreshByPath(path)
+    return IVFIndex(
+        assigned=spark.read.parquet(path),
+        centroids=index.centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def append_partitioned(
     assigned_new: DataFrame, path: str, vec_col: str = "embedding"
 ) -> None:

@@ -25,8 +25,9 @@ At 100 TB: the streaming batch is the only thing in flight —
 assignment is a map-side argmin against broadcast centroids, the
 shuffle for the partitionBy append carries batch-sized data, and the
 index at rest is never rewritten. Centroid drift under distribution
-shift is handled by periodic build_ivf rebuilds (offline), exactly as
-IVF deployments rotate segments.
+shift is handled by periodic offline ``rebuild_ivf`` runs (refit +
+reassign + atomic two-rename swap), exactly as IVF deployments rotate
+segments.
 """
 
 from __future__ import annotations

@@ -483,3 +483,56 @@ def test_streaming_ivf_ingest_end_to_end(vec_df, spark, tmp_path):
     q2 = stream_into_ivf(stream, index, path, str(tmp_path / "ck"))
     q2.awaitTermination(120)
     assert spark.read.parquet(path).count() == N + 9
+
+
+def test_rebuild_ivf_refits_drifted_index(vec_df, spark, tmp_path):
+    """Incremental adds drift away from the original quantizer; a
+    rebuild refits on the CURRENT data, reassigns every row exactly
+    once, swaps the layout atomically, and restores nprobe=1 recall
+    for the drifted region."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        IVFIndex,
+        append_partitioned,
+        assign_new,
+        build_ivf,
+        rebuild_ivf,
+        write_partitioned,
+    )
+
+    index = build_ivf(vec_df, nlist=2)
+    path = str(tmp_path / "ivf")
+    write_partitioned(index, path)
+
+    # a far-away blob the original 2 centroids know nothing about
+    far = np.float32(10.0) + RNG.uniform(-0.1, 0.1, size=(20, DIM)).astype(
+        np.float32
+    )
+    far_df = spark.createDataFrame(
+        [(5000 + i, far[i].tolist()) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    append_partitioned(assign_new(index, far_df), path)
+
+    rebuilt = rebuild_ivf(spark, path, nlist=3)
+    back = spark.read.parquet(path)
+    assert back.count() == N + 20
+    assert back.select("vec_id").distinct().count() == N + 20
+
+    # with k=3 on (2 original blobs + planted far blob), the far blob
+    # gets a cluster of its own — no original vector shares it
+    far_clusters = {
+        r.cluster_id for r in back.filter("vec_id >= 5000").collect()
+    }
+    assert len(far_clusters) == 1
+    orig_clusters = {
+        r.cluster_id for r in back.filter("vec_id < 5000").collect()
+    }
+    assert far_clusters.isdisjoint(orig_clusters)
+
+    # nprobe=1 probe for a drifted vector now lands in its own list
+    top = rebuilt.search([float(x) for x in far[0]], k=1, nprobe=1).collect()[0]
+    assert top.vec_id == 5000
+
+    # swap left no scratch dirs behind
+    assert not (tmp_path / "ivf._rebuild").exists()
+    assert not (tmp_path / "ivf._old").exists()
