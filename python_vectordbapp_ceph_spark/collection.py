@@ -73,6 +73,8 @@ class VectorCollection:
     _seq: int = field(default=0, repr=False)
     _ivf: object = field(default=None, repr=False)
     _nprobe: int = field(default=4, repr=False)
+    _index_params: dict = field(default_factory=dict, repr=False)
+    _loaded: object = field(default=None, repr=False)
     # (log_rows, live_rows) at the last maybe_compact check — lets the
     # policy skip the expensive snapshot resolve on unchanged logs
     _compact_stats: tuple = field(default=(None, None), repr=False)
@@ -266,6 +268,48 @@ class VectorCollection:
             self.snapshot(), nlist=nlist, vec_col="embedding", id_col="key"
         )
         self._nprobe = nprobe
+        self._index_params = {"index_type": "IVF_FLAT", "metric_type": "L2",
+                              "nlist": nlist, "nprobe": nprobe}
+        return self
+
+    def list_indexes(self) -> list[str]:
+        """client.list_indexes() analog
+        (milvus-app/pythonvectordbceph_milvus.py:97-99): the single
+        vector index when built, else empty."""
+        return [f"{self.name}_ivf"] if self._ivf is not None else []
+
+    def describe_index(self) -> dict:
+        """client.describe_index() analog: the parameters the index
+        was built with plus its current shape (cluster count ==
+        nlist; the assigned row set is the index extent)."""
+        if self._ivf is None:
+            raise ValueError(f"collection {self.name!r} has no index")
+        return dict(self._index_params, dim=self.dim,
+                    n_clusters=len(self._ivf.centroids))
+
+    def load(self) -> "VectorCollection":
+        """client.load_collection() analog. Milvus loads sealed
+        segments into query-node memory before search; the Spark
+        equivalent is persisting the resolved snapshot (and the IVF
+        assignment when an index exists) so repeated searches skip the
+        log-resolve window. MEMORY_AND_DISK: an executor that can't
+        hold its partitions spills instead of failing — load is an
+        optimization, never a correctness gate."""
+        from pyspark import StorageLevel
+
+        self._loaded = self.snapshot().persist(StorageLevel.MEMORY_AND_DISK)
+        if self._ivf is not None:
+            self._ivf.assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        return self
+
+    def release(self) -> "VectorCollection":
+        """client.release_collection() analog: drop the cached
+        snapshot/index blocks (lazily — Spark evicts asynchronously)."""
+        if getattr(self, "_loaded", None) is not None:
+            self._loaded.unpersist()
+            self._loaded = None
+        if self._ivf is not None:
+            self._ivf.assigned.unpersist()
         return self
 
     def maybe_compact(self, max_log_ratio: float = 3.0) -> bool:

@@ -214,3 +214,37 @@ def test_time_travel_snapshot(spark, coll):
             coll.snapshot(as_of_seq=seq_before).collect()}
     assert set(then) == {"k1", "k2"}
     assert then["k1"] == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_index_admin_and_load_release(spark, coll):
+    """list_indexes/describe_index/load/release parity: the admin
+    inspection path (client.list_indexes, client.describe_index,
+    client.load_collection) and the load-then-search contract —
+    results identical loaded or not."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [(f"k{i}", [float(x) for x in rng.uniform(-1, 1, 4)], None)
+            for i in range(30)]
+    coll.upsert(make_rows(spark, rows))
+
+    assert coll.list_indexes() == []
+    with pytest.raises(ValueError, match="no index"):
+        coll.describe_index()
+
+    coll.create_index(nlist=4, nprobe=2)
+    assert coll.list_indexes() == ["t_ivf"]
+    info = coll.describe_index()
+    assert info["index_type"] == "IVF_FLAT"
+    assert info["nlist"] == 4 and info["nprobe"] == 2
+    assert info["dim"] == DIM and info["n_clusters"] == 4
+
+    q = [0.1, -0.2, 0.3, 0.4]
+    before = [r.key for r in coll.search(q, k=3, output_fields=["key"]).collect()]
+    coll.load()
+    assert coll._loaded.storageLevel.useMemory
+    loaded = [r.key for r in coll.search(q, k=3, output_fields=["key"]).collect()]
+    assert loaded == before
+    coll.release()
+    after = [r.key for r in coll.search(q, k=3, output_fields=["key"]).collect()]
+    assert after == before
