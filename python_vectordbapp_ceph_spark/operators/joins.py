@@ -28,6 +28,8 @@ def asof_join(
     payload_cols: list[str],
     payload_order: str,
     direction: str = "backward",
+    tolerance_s: float | None = None,
+    _tol_us: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the payload of the right
     row with the greatest ``right_ts <= left_ts`` (direction
@@ -39,9 +41,26 @@ def asof_join(
     One shuffle on the key; deterministic, so it has an exact SQL oracle
     (row_number over the range join — same result, different plan).
 
+    ``tolerance_s`` (pandas merge_asof parity): a match farther than
+    this many seconds from the left timestamp is discarded (payload
+    null) — the guard against stitching a years-stale fact onto an
+    event. Applied as a post-filter on the resolved match, so the
+    plan shape (one shuffle, no row explosion) is unchanged.
+    Timestamp ts columns only (numeric ts columns have no defined
+    second — pass them as timestamps to bound them). ``_tol_us`` is
+    the internal micros form threaded through the forward/nearest
+    recursion, where ts is already negated micros.
+
     The forward direction is the same union-sort machinery run on
     NEGATED timestamps: min(right_ts >= t) ≡ max(-right_ts <= -t).
     """
+    if tolerance_s is not None and _tol_us is None:
+        if not dict(left.dtypes)[left_ts].startswith("timestamp"):
+            raise ValueError(
+                "tolerance_s requires a timestamp ts column "
+                f"({left_ts} is {dict(left.dtypes)[left_ts]})"
+            )
+        _tol_us = int(tolerance_s * 1_000_000)
     if direction == "forward":
         orig_type = dict(left.dtypes)[left_ts]
 
@@ -58,6 +77,9 @@ def asof_join(
             neg(right, right_ts).withColumnRenamed(right_ts, "_negts_r"),
             left_key, right_key, "_negts", "_negts_r",
             payload_cols, payload_order,
+            # tolerance carries through as micros: in negated-micros
+            # space (-l) - (-r) = r - l, exactly the forward gap
+            _tol_us=_tol_us,
         )
         restored = out.withColumn(
             left_ts, F.timestamp_micros(-F.col("_negts")).cast(orig_type)
@@ -83,11 +105,11 @@ def asof_join(
         rf, pcf, of = prefixed("_f_")
         step = asof_join(
             left, rb, left_key, right_key, left_ts, right_ts, pcb, ob,
-            "backward",
+            "backward", _tol_us=_tol_us,
         )
         step = asof_join(
             step, rf, left_key, right_key, left_ts, right_ts, pcf, of,
-            "forward",
+            "forward", _tol_us=_tol_us,
         )
         lts = F.unix_micros(F.col(left_ts).cast("timestamp"))
         delta_b = lts - F.unix_micros(F.col("_b__rts").cast("timestamp"))
@@ -139,6 +161,24 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    if _tol_us is not None:
+        # _t is a timestamp on the direct path but an already-negated
+        # micros LONG on the forward path's inner call — normalize to
+        # micros either way, then null out matches past the tolerance
+        def micros(c):
+            return (
+                F.unix_micros(c.cast("timestamp"))
+                if dict(unioned.dtypes)["_t"].startswith("timestamp")
+                else c.cast("long")
+            )
+
+        gap = micros(F.col("_t")) - micros(F.col("_m").getField("_ts"))
+        matched = matched.withColumn(
+            "_m",
+            F.when(gap <= F.lit(_tol_us), F.col("_m")).otherwise(
+                F.lit(None).cast(matched.schema["_m"].dataType)
+            ),
+        )
     return matched.filter(F.col("_side") == 1).select(
         *left_cols, *[F.col("_m").getField(c).alias(c) for c in payload_cols]
     )

@@ -247,3 +247,55 @@ def test_embed_text_batch_shape(spark):
     # deterministic stub: same text → same vector
     out2 = df.select(text_embed_udf("text").alias("e")).collect()
     assert out[0].e == out2[0].e
+
+
+def test_asof_tolerance_all_directions(spark):
+    """merge_asof tolerance parity: matches farther than the bound are
+    nulled in backward, forward (via the negated-micros inner path),
+    and nearest (per side, before the nearest pick)."""
+    from datetime import datetime
+
+    def ts(day, hour=0):
+        return datetime(2024, 1, day, hour)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (2, ts(20))], "eid long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(ts(9), "near_b"), (ts(1), "far_b"), (ts(11), "near_f"),
+         (ts(28), "far_f")],
+        "t timestamp, payload string",
+    ).withColumn("k", F.lit(1))
+    left = left.withColumn("k", F.lit(1))
+
+    def run(direction, tol):
+        out = asof_join(
+            left, right, left_key="k", right_key="k",
+            left_ts="t", right_ts="t",
+            payload_cols=["payload"], payload_order="payload",
+            direction=direction, tolerance_s=tol,
+        )
+        return {r.eid: r.payload for r in out.collect()}
+
+    day = 86400.0
+    # backward: eid=1 latest-before is near_b (1 day); eid=2's latest
+    # before Jan-20 is near_f at Jan-11 (9 days) — outside 2 days
+    assert run("backward", 2 * day) == {1: "near_b", 2: None}
+    assert run("backward", 10 * day) == {1: "near_b", 2: "near_f"}
+    # forward: eid=1 next-after is near_f (+1 day); eid=2 next is
+    # far_f at Jan-28 (+8 days) — outside 2 days
+    assert run("forward", 2 * day) == {1: "near_f", 2: None}
+    assert run("forward", 9 * day) == {1: "near_f", 2: "far_f"}
+    # nearest with 2-day bound: eid=1 ties broken backward among the
+    # two 1-day candidates; everything near eid=2 is out of bounds
+    assert run("nearest", 2 * day) == {1: "near_b", 2: None}
+
+    # numeric ts columns reject the seconds-based tolerance
+    lnum = spark.createDataFrame([(1, 1, 100)], "eid long, k long, t long")
+    rnum = spark.createDataFrame([(1, 90, "p")], "k long, t long, payload string")
+    with pytest.raises(ValueError, match="timestamp"):
+        asof_join(
+            lnum, rnum, left_key="k", right_key="k", left_ts="t",
+            right_ts="t", payload_cols=["payload"],
+            payload_order="payload", tolerance_s=5.0,
+        )
