@@ -643,3 +643,60 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("moving_median"),
     )
+
+
+# --- exponentially weighted moving average ---------------------------------
+
+_EWMA_L = 8          # lag depth: (1-α)^8 = 1/256 ≈ 0.4% residual weight
+_EWMA_W = [0.5 ** k for k in range(_EWMA_L)]  # α=0.5 → exact binary fractions
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE({w!r} * lag(CAST(value AS DOUBLE), {k}) OVER w, 0.0)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0.0 ELSE {w!r} END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    SELECT user_id, event_id,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("q_ewma", oracle=_ewma_oracle())
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (pandas
+    ``ewm(alpha=0.5, adjust=True)`` semantics, truncated at 8 lags —
+    (1-α)^8 leaves 0.4% residual weight, below the round(…,6) output
+    precision for this value range).
+
+    The textbook EWMA is a per-row recurrence — not expressible as a
+    window aggregate without recursion. The truncated ADJUSTED form
+    Σ wₖ·x_{t-k} / Σ wₖ (over available lags) is: an 8-term lag chain
+    over ONE window spec, so Catalyst plans a single sort+window pass
+    (one shuffle on user_id). α=1/2 makes every weight an exact binary
+    fraction, so both engines' double arithmetic is bit-identical in
+    the fixed k-ascending addition order. At 100 TB this is the same
+    shuffle any per-entity window costs; depth-L truncation keeps the
+    state bounded (the streaming twin would carry one running value)."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("double")
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        lagk = F.lag(v, k).over(w) if k else v
+        term = F.coalesce(F.lit(wt) * lagk, F.lit(0.0))
+        cnt = F.when(lagk.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = term if num is None else num + term
+        den = cnt if den is None else den + cnt
+    return e.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma")
+    )

@@ -94,3 +94,34 @@ def test_compression_ratio_is_deterministic_level6():
     assert _compression_ratio_one(GOOD) == round(
         len(zlib.compress(b, 6)) / len(b), 6
     )
+
+
+def test_ewma_matches_pandas_for_short_series(spark):
+    """For series shorter than the lag depth the truncated adjusted
+    EWMA is EXACTLY pandas ewm(alpha=0.5, adjust=True).mean()."""
+    import pandas as pd
+    from datetime import datetime
+
+    from python_vectordbapp_ceph_spark.queries.windows import q_ewma  # noqa: F401
+    from python_vectordbapp_ceph_spark.queries import QUERIES
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    rows = [
+        (k, datetime(2024, 1, 1, 0, k), 7, "t", v, None)
+        for k, v in enumerate(vals)
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        got = (
+            QUERIES["q_ewma"](spark, d)
+            .orderBy("event_id")
+            .toPandas()["ewma"]
+            .tolist()
+        )
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean().round(6).tolist()
+    assert got == want
