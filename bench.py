@@ -77,6 +77,8 @@ HEADLINE = [
     "q_ngram_novelty",     # shingle df join, vocab-keyed (r6)
     "q_gopher_rules",      # quality-filter gauntlet, one codegen projection (r6)
     "q_compression_ratio", # zlib compressibility, Arrow-batched UDF scan (r6)
+    "q_distinctive_terms", # per-source odds-ratio vocabulary, broadcast totals (r6)
+    "q_ewma",              # 8-lag shared-window exponential smoothing (r6)
 ]
 
 

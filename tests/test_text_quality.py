@@ -125,3 +125,36 @@ def test_ewma_matches_pandas_for_short_series(spark):
         )
     want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean().round(6).tolist()
     assert got == want
+
+
+def test_gopher_rules_streaming_equals_batch(spark, tmp_path):
+    """Batch/stream unification: the SAME gopher_rules projection runs
+    unchanged on a streaming DataFrame (it is stateless — no window,
+    no shuffle), and the streamed result equals the batch result.
+    This is the shape a continuous ingest-time quality gate takes."""
+    rows = [(1, GOOD), (2, "the of and that short"), (3, "")]
+    src = tmp_path / "src"
+    src.mkdir()
+    import json
+
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        gopher_rules(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.keep, r.n_words, r.mean_wlen)
+        for r in spark.table("gopher_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.keep, r.n_words, r.mean_wlen)
+        for r in gopher_rules(_df(spark, rows)).collect()
+    }
+    assert got == want and len(got) == 3
