@@ -519,6 +519,32 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_hll_union")  # sketch bytes → rows-only by design
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REAGGREGATION — the property that makes approximate
+    distinct-counting work at 100 TB: build one Datasketches HLL
+    sketch per group (hll_sketch_agg), then merge the serialized
+    sketches (hll_union_agg) to answer the coarser rollup WITHOUT
+    rescanning the data. A materialized per-day/per-source sketch
+    table answers any ad-hoc union this way; approx_count_distinct
+    alone (q_approx_distinct) cannot be re-rolled-up. Output: each
+    priority's estimated distinct customers plus the ALL row estimated
+    from the union of the per-priority sketches. Accuracy vs exact is
+    pytest-pinned (≤5% relative error)."""
+    o = T(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    grp = per.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_cust"),
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_cust")
+    ).select(F.lit("ALL").alias("o_orderpriority"), "approx_cust")
+    return grp.unionByName(total)
+
+
 # --- C14 rollup / cube -----------------------------------------------------
 
 @register(

@@ -63,3 +63,27 @@ def test_approx_percentile_rank_tolerance(spark):
                 f"{flag} q={q}: value {v} has rank [{lo},{hi}] vs target "
                 f"{target:.1f} ± {tol:.1f} over n={n}"
             )
+
+
+def test_hll_sketch_union_matches_exact_within_5pct(spark):
+    """q_hll_union: per-group sketch estimates AND the merged-union
+    ALL row each within 5% of exact distinct counts — the sketch
+    reaggregation contract (union of sketches ≈ distinct of union)."""
+    from python_vectordbapp_ceph_spark.queries import QUERIES
+
+    got = {
+        r.o_orderpriority: r.approx_cust
+        for r in QUERIES["q_hll_union"](spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r.o_orderpriority: r.exact
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for k, ex in exact.items():
+        rel = abs(got[k] - ex) / max(ex, 1)
+        assert rel <= 0.05, f"{k}: approx {got[k]} vs exact {ex} (rel {rel:.3f})"
