@@ -5,7 +5,11 @@ The reference filters/deletes with Milvus' expression grammar, e.g.
 and ``client.query(filter="", ...)`` (milvus-app/describe.py:27-29).
 The grammar surface used/implied: ``== != > >= < <= in like and or
 not``, parentheses, string/number/bool literals, identifiers, and
-JSON-ish field access ``col["key"]``.
+JSON-ish field access ``col["key"]``. Plus the rest of the published
+Milvus expression surface: arithmetic (``+ - * / %`` with the usual
+precedence and unary minus), ``is null`` / ``is not null``, and the
+array predicates ``array_contains(field, value)`` /
+``array_length(field)``.
 
 This is a tiny recursive-descent parser producing Catalyst Columns, so
 translated predicates participate in pushdown/pruning like any native
@@ -23,15 +27,16 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()|(?P<rparen>\))|(?P<lbrack>\[)|(?P<rbrack>\])|
         (?P<op>==|!=|>=|<=|>|<)|
+        (?P<arith>\+|\-|\*|/|%)|
         (?P<comma>,)|
         (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')|
-        (?P<number>-?\d+\.\d+|-?\d+)|
+        (?P<number>\d+\.\d+|\d+)|
         (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.VERBOSE,
 )
 
-_KEYWORDS = {"and", "or", "not", "in", "like", "true", "false", "null"}
+_KEYWORDS = {"and", "or", "not", "in", "like", "true", "false", "null", "is"}
 
 
 class FilterExprError(ValueError):
@@ -109,12 +114,20 @@ class _Parser:
             self.expect("rparen")
             # a grouped expr can't be followed by a comparison operator
             # in this grammar (operands are identifiers/literals)
-            if self.peek() in ("op", "in", "like"):
+            if self.peek() in ("op", "in", "like", "arith", "is"):
                 self.i = save  # … unless it was a parenthesized operand
             else:
                 return inner
         left = self.parse_operand()
         k = self.peek()
+        if k == "is":
+            self.next()
+            negate = False
+            if self.peek() == "not":
+                self.next()
+                negate = True
+            self.expect("null")
+            return left.isNotNull() if negate else left.isNull()
         if k == "op":
             _, op = self.next()
             right = self.parse_operand()
@@ -150,7 +163,33 @@ class _Parser:
         # bare boolean operand (e.g. `true`)
         return left.cast("boolean")
 
+    # operand := term (('+'|'-') term)* — full arithmetic with the
+    # usual precedence, so `price * (1 - discount) >= 100` compiles to
+    # one Catalyst expression tree (still pushdown-eligible)
     def parse_operand(self) -> Column:
+        left = self.parse_term()
+        while self.peek() == "arith" and self.toks[self.i][1] in "+-":
+            _, op = self.next()
+            right = self.parse_term()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def parse_term(self) -> Column:
+        left = self.parse_unary()
+        while self.peek() == "arith" and self.toks[self.i][1] in "*/%":
+            _, op = self.next()
+            right = self.parse_unary()
+            left = {"*": left.__mul__, "/": left.__truediv__,
+                    "%": left.__mod__}[op](right)
+        return left
+
+    def parse_unary(self) -> Column:
+        if self.peek() == "arith" and self.toks[self.i][1] == "-":
+            self.next()
+            return -self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self) -> Column:
         k = self.peek()
         if k == "lparen":  # parenthesized operand: (a) == 1
             self.next()
@@ -161,6 +200,18 @@ class _Parser:
             return F.lit(self.parse_literal())
         if k == "word":
             _, name = self.next()
+            # array predicate calls: array_contains(f, v), array_length(f)
+            if self.peek() == "lparen" and name in ("array_contains",
+                                                    "array_length"):
+                self.next()
+                arg = self.parse_operand()
+                if name == "array_contains":
+                    self.expect("comma")
+                    val = F.lit(self.parse_literal())
+                    self.expect("rparen")
+                    return F.array_contains(arg, val)
+                self.expect("rparen")
+                return F.size(arg)
             col = F.col(name)
             dtype = self.dtypes.get(name, "")
             while self.peek() == "lbrack":
@@ -198,6 +249,11 @@ class _Parser:
 
     def parse_literal(self):
         kind, v = self.next()
+        if kind == "arith" and v == "-":  # negative literal: in [-1, 2]
+            kind, v = self.next()
+            if kind != "number":
+                raise FilterExprError("'-' must precede a number literal")
+            return -(float(v) if "." in v else int(v))
         if kind == "string":
             return _unquote(v)
         if kind == "number":

@@ -356,18 +356,24 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_type IN ('click', 'error')
       AND value > 100.0
       AND json_extract_string(props, '$.k') = '12'
+      AND (value * 2.0 - 10.0) / 2.0 >= 95.0
+      AND props IS NOT NULL
     """,
 )
 def q_filter_expr_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's boolean filter grammar (client.query/delete
     filter=..., milvus-app/pythonvectordbceph_milvus.py:109) compiled
-    to a Catalyst Column by operators/filter_expr.py — including JSON
-    field access on a string column."""
+    to a Catalyst Column by operators/filter_expr.py — JSON field
+    access on a string column, arithmetic with precedence, and
+    null checks, all of it one Catalyst predicate."""
     from ..operators.filter_expr import translate
 
     e = T(spark, sf_dir, "events")
     cond = translate(
-        'event_type in ("click", "error") and value > 100.0 and props["k"] == "12"',
+        'event_type in ("click", "error") and value > 100.0'
+        ' and props["k"] == "12"'
+        " and (value * 2.0 - 10.0) / 2.0 >= 95.0"
+        " and props is not null",
         e,
     )
     return e.filter(cond).select("event_id", "event_type", "value")

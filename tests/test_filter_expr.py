@@ -120,3 +120,44 @@ def test_errors():
         translate("n == 1 extra_token junk(")
     with pytest.raises(FilterExprError):
         translate("n @ 1")
+
+
+def test_arithmetic_precedence_and_unary_minus(spark, df):
+    got = {r.key for r in df.filter(translate("n * 2 + 1 > 4", df)).collect()}
+    assert got == {"b", "c"}  # 2*2+1=5, 3*2+1=7
+    got = {r.key for r in df.filter(translate("n + 2 * 2 == 5", df)).collect()}
+    assert got == {"a"}  # precedence: 1 + 4
+    got = {r.key for r in df.filter(translate("-n < -2", df)).collect()}
+    assert got == {"c"}
+    got = {r.key for r in df.filter(translate("(n + 1) % 2 == 0", df)).collect()}
+    assert got == {"a", "c"}
+    got = {r.key for r in df.filter(translate("n in [-1, 3]", df)).collect()}
+    assert got == {"c"}
+
+
+def test_is_null_and_is_not_null(spark, df):
+    got = {r.key for r in df.filter(translate("tags is null", df)).collect()}
+    assert got == {"c"}
+    got = {r.key for r in df.filter(translate("props is not null and n < 2", df)).collect()}
+    assert got == {"a"}
+
+
+def test_array_contains_and_length(spark):
+    adf = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [4]), ("c", [])],
+        "key string, xs array<int>",
+    )
+    got = {r.key for r in adf.filter(translate("array_contains(xs, 2)", adf)).collect()}
+    assert got == {"a"}
+    got = {r.key for r in adf.filter(translate("array_length(xs) >= 1", adf)).collect()}
+    assert got == {"a", "b"}
+
+
+def test_arithmetic_inside_grouped_boolean_still_parses(spark, df):
+    got = {
+        r.key
+        for r in df.filter(
+            translate("(n - 1 == 0 or n - 2 == 0) and key != 'b'", df)
+        ).collect()
+    }
+    assert got == {"a"}
