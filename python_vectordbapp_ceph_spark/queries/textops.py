@@ -1143,3 +1143,53 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are pytest-pinned against an in-process recomputation."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", X.compression_ratio("text").alias("zlib_ratio"))
+
+
+# --- positional phrase search ----------------------------------------------
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    hits AS (SELECT doc_id,
+                    len(list_filter(range(len(toks) - 1),
+                        i -> toks[i+1] = 'table' AND toks[i+2] = 'hash'))
+                        AS n_hits
+             FROM t)
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits WHERE n_hits > 0
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash" as ADJACENT tokens) via a
+    positional inverted index — the IR operator conjunctive keyword
+    search (q_keyword_search) can't express, because it needs token
+    POSITIONS, not just presence.
+
+    Plan: posexplode to (doc_id, pos, term) postings, filtered to the
+    phrase's terms before anything shuffles (two-term in-list on the
+    exploded output — only phrase-term rows survive the scan stage),
+    then an adjacency self-join on (doc_id, pos+1). A k-word phrase
+    chains k-1 such joins; all joins share the doc_id key so they
+    co-partition. At 100 TB the posting generation is the one full
+    scan — a persisted positional index table turns every later phrase
+    query into the join alone. Emits each matching doc with its
+    occurrence count."""
+    w1, w2 = "table", "hash"
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    postings = (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .filter(F.col("term").isin(w1, w2))
+    )
+    p1 = postings.filter(F.col("term") == w1).select("doc_id", "pos")
+    p2 = postings.filter(F.col("term") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
