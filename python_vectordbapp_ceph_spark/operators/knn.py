@@ -104,3 +104,74 @@ def similarity_topk(
         .orderBy(F.col("similarity").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int,
+    fetch_k: int = 50,
+    lambda_: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) — relevance minus
+    redundancy, the standard RAG reranker when near-duplicate
+    neighbors would waste the context budget.
+
+    Plan: the DISTRIBUTED stage is exact cosine top-``fetch_k``
+    (TakeOrderedAndProject — no shuffle of the base table); the greedy
+    selection is inherently sequential, so it runs on the driver over
+    the fetch_k×dim candidate matrix — bounded by construction
+    (fetch_k defaults to 50; 50×384 floats, not data-scale). This
+    candidates-then-rerank split is how every production vector stack
+    runs MMR; the re-rank never touches the cluster.
+
+    Returns (id, relevance, mmr_score, mmr_rank) for the k selected.
+    """
+    import numpy as np
+
+    cand = (
+        df.withColumn(
+            "_sim",
+            F.round(
+                V.cosine_similarity(F.col(vec_col), _query_vec_literal(qvec)), 6
+            ),
+        )
+        .select(id_col, vec_col, "_sim")
+        .orderBy(F.col("_sim").desc_nulls_last(), F.col(id_col).asc())
+        .limit(fetch_k)
+        .collect()  # bounded: fetch_k rows by construction
+    )
+    if not cand:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, relevance double, mmr_score double, mmr_rank int"
+        )
+    ids = [r[id_col] for r in cand]
+    rel = np.array([r["_sim"] for r in cand], dtype=np.float64)
+    mat = np.array([r[vec_col] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    pair = unit @ unit.T  # candidate-candidate cosine
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(cand)))
+    for _ in range(min(k, len(cand))):
+        if selected:
+            redundancy = pair[np.ix_(remaining, selected)].max(axis=1)
+        else:
+            redundancy = np.zeros(len(remaining))
+        mmr = lambda_ * rel[remaining] - (1.0 - lambda_) * redundancy
+        best = int(np.argmax(mmr))  # ties: lowest index = best relevance
+        scores.append(float(mmr[best]))
+        selected.append(remaining.pop(best))
+    rows = [
+        (ids[i], float(rel[i]), round(s, 6), rank + 1)
+        for rank, (i, s) in enumerate(zip(selected, scores))
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, f"{id_col} long, relevance double, mmr_score double, mmr_rank int"
+    )

@@ -568,3 +568,17 @@ def q_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = fit_bq(e, "embedding", DIM)
     enc = bq_encode(e, "embedding", params)
     return bq_search(enc, QVEC, params, k=5, refine_factor=4)
+
+
+@register("q_mmr_topk")  # greedy rerank on bounded candidates → rows-only
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k: distributed exact cosine top-fetch_k
+    (TakeOrderedAndProject, no shuffle), then the inherently-sequential
+    greedy relevance-vs-redundancy selection over the bounded 50-row
+    candidate set — the standard RAG reranker. Planted diversity
+    behavior is pytest-pinned (a near-duplicate of an already-selected
+    result loses to a diverse candidate)."""
+    from ..operators.knn import mmr_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    return mmr_topk(e, QVEC, k=5, fetch_k=50, lambda_=0.5)

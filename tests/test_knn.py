@@ -536,3 +536,35 @@ def test_rebuild_ivf_refits_drifted_index(vec_df, spark, tmp_path):
     # swap left no scratch dirs behind
     assert not (tmp_path / "ivf._rebuild").exists()
     assert not (tmp_path / "ivf._old").exists()
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    """λ=0.5: after picking the best match, its near-duplicate (cos≈1
+    to the selected) scores below a slightly-less-relevant but
+    orthogonal candidate — the diversity property MMR exists for."""
+    from python_vectordbapp_ceph_spark.operators.knn import mmr_topk
+
+    # q at 15°: candidate 1 (0°) is most relevant; 2 (-5.7°) is its
+    # near-duplicate (cos(1,2)≈0.995 > its relevance 0.935); 3 (60°)
+    # is less relevant but diverse (cos(1,3)=0.5)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.995, -0.0997]),
+        (3, [0.5, 0.866]),
+        (4, [-1.0, 0.0]),
+    ]
+    q = [0.9659, 0.2588]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mmr_topk(df, q, k=2, fetch_k=4, lambda_=0.5)
+    picked = [r.vec_id for r in got.orderBy("mmr_rank").collect()]
+    assert picked == [1, 3]
+
+    # λ=1 degenerates to pure relevance: the near-dup wins again
+    got = mmr_topk(df, q, k=2, fetch_k=4, lambda_=1.0)
+    picked = [r.vec_id for r in got.orderBy("mmr_rank").collect()]
+    assert picked == [1, 2]
+
+    # empty input → empty result with the contract schema
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = mmr_topk(empty, [1.0, 0.0], k=2)
+    assert out.count() == 0 and "mmr_rank" in out.columns
