@@ -1193,3 +1193,31 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# --- keyword-in-context snippets -------------------------------------------
+
+_SNIP_RE = "((?:[^ ]+ ){0,3}table hash(?: [^ ]+){0,3})"
+
+@register(
+    "q_search_snippets",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_extract(lower(text), '{_SNIP_RE}', 1) AS snippet
+    FROM documents
+    WHERE regexp_extract(lower(text), '{_SNIP_RE}', 1) != ''
+    """,
+)
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippet extraction: the ±3-word window
+    around the first 'table hash' occurrence — what a search endpoint
+    returns as the result preview (the formatting step after
+    q_phrase_search finds the docs). One RE2-safe regexp (no
+    lookaround, identical semantics in Java regex and DuckDB/RE2) in
+    one codegen'd projection: scan-speed, no shuffle, no UDF."""
+    d = T(spark, sf_dir, "documents")
+    snip = F.regexp_extract(F.lower(F.col("text")), _SNIP_RE, 1)
+    return (
+        d.select("doc_id", snip.alias("snippet"))
+        .filter(F.col("snippet") != "")
+    )
