@@ -146,3 +146,32 @@ def test_fingerprint_pairs_detect_copied_paragraph(spark):
     # docs, common words) but stay below it — that's what the
     # threshold is for
     assert pairs.get((3, 4), 0) < 3 and pairs.get((1, 3), 0) < 3, pairs
+
+
+def test_winnow_map_in_arrow_equals_pandas_udf(spark):
+    """The Arrow-batch entry point produces byte-identical fingerprint
+    sets to the pandas_udf column expression."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.functions.fingerprint import (
+        winnow_fingerprints,
+        winnow_map_in_arrow,
+    )
+    from python_vectordbapp_ceph_spark.functions.text import (
+        normalize_for_fingerprint,
+    )
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    nrm = d.select("doc_id", normalize_for_fingerprint("text").alias("s"))
+    want = {
+        r.doc_id: tuple(r.fps)
+        for r in nrm.select(
+            "doc_id", winnow_fingerprints(F.col("s")).alias("fps")
+        ).collect()
+    }
+    got = {
+        r.doc_id: tuple(r.fps)
+        for r in winnow_map_in_arrow(nrm, "s", "doc_id").collect()
+    }
+    assert got == want and len(got) == 50
