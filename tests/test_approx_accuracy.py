@@ -87,3 +87,13 @@ def test_hll_sketch_union_matches_exact_within_5pct(spark):
     for k, ex in exact.items():
         rel = abs(got[k] - ex) / max(ex, 1)
         assert rel <= 0.05, f"{k}: approx {got[k]} vs exact {ex} (rel {rel:.3f})"
+
+
+def test_freq_items_support_guarantee(spark):
+    """DataFrameStatFunctions.freqItems contract: any value whose true
+    frequency exceeds the support threshold MUST be in the result
+    (false positives allowed, false negatives not)."""
+    rows = [("hot",)] * 60 + [(f"cold{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    got = df.stat.freqItems(["k"], support=0.5).collect()[0][0]
+    assert "hot" in got
