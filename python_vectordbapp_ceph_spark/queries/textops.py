@@ -1221,3 +1221,54 @@ def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", snip.alias("snippet"))
         .filter(F.col("snippet") != "")
     )
+
+
+# --- proximity (slop) search -----------------------------------------------
+
+@register(
+    "q_proximity_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    p1 AS (SELECT doc_id, unnest(list_filter(range(len(toks)),
+                    i -> toks[i+1] = 'merge')) AS pos FROM t),
+    p2 AS (SELECT doc_id, unnest(list_filter(range(len(toks)),
+                    i -> toks[i+1] = 'window')) AS pos FROM t)
+    SELECT p1.doc_id,
+           CAST(MIN(abs(p1.pos - p2.pos)) AS BIGINT) AS min_gap,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+                   AND abs(p1.pos - p2.pos) <= 4
+    GROUP BY p1.doc_id
+    """,
+)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search (Lucene slop): docs where 'merge' and 'window'
+    occur within 4 tokens of each other, in either order — between
+    conjunctive keyword search (no position) and phrase search
+    (adjacency). Same positional-postings machinery as
+    q_phrase_search, but the adjacency equi-join becomes a per-doc
+    BAND join on |pos₁ − pos₂| ≤ slop; postings are filtered to the
+    two terms before the shuffle and the join key is doc_id, so the
+    band predicate only ever evaluates within one document's
+    postings — never a corpus-level cross product. Emits min gap and
+    qualifying pair count per doc."""
+    w1, w2, slop = "merge", "window", 4
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    postings = d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).filter(F.col("term").isin(w1, w2))
+    p1 = postings.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("pos1"))
+    p2 = postings.filter(F.col("term") == w2).select("doc_id", F.col("pos").alias("pos2"))
+    gap = F.abs(F.col("pos1") - F.col("pos2"))
+    return (
+        p1.join(p2, "doc_id")
+        .filter(gap <= slop)
+        .groupBy("doc_id")
+        .agg(
+            F.min(gap).cast("long").alias("min_gap"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
