@@ -169,3 +169,25 @@ def test_s3events_streaming_reader_drains_and_matches_batch(spark, tmp_path):
     time.sleep(5)
     q2.stop()
     assert spark.read.parquet(out).count() == 40
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived datasets evolve: files written before a column was
+    added must read as null under mergeSchema, and filters on the new
+    column must not resurrect or drop old rows incorrectly."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 1.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    # predicate on the evolved column: old files contribute no matches
+    # but survive an IS NULL scan
+    assert merged.filter("score > 1").count() == 1
+    assert merged.filter("score is null").count() == 2
