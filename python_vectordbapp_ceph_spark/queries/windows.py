@@ -700,3 +700,50 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+# --- churn: active-then-absent users ---------------------------------------
+
+@register(
+    "q_churn",
+    oracle="""
+    WITH early AS (
+        SELECT user_id, COUNT(*) AS n_early
+        FROM events
+        WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY user_id),
+    late AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-28 00:00:00')
+    SELECT e.user_id, e.n_early
+    FROM early e
+    LEFT JOIN late l ON l.user_id = e.user_id
+    WHERE l.user_id IS NULL
+    """,
+)
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-churn cohort: users exhibiting a behavior early in the
+    window (error events in the first 3 days) who no longer exhibit it
+    at the end (none in the last 3) — the complement of
+    q_cohort_retention (which measures who RETURNS; this isolates who
+    STOPPED, with their prior intensity attached). 34 of 116 early
+    error-users churn at sf0.01, so both join outcomes are exercised.
+
+    Plan: both windows are filter-pushed scans of the same table
+    (disjoint ts predicates, so row groups prune by footer stats); the
+    absence check is a left-anti join on user_id — one shuffle per
+    side on the join key, no window function. At 100 TB with
+    date-partitioned events, each side reads only its partitions."""
+    e = T(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error")
+    early = (
+        err.filter(F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+    late = (
+        err.filter(F.col("ts") >= F.lit("2024-01-28 00:00:00").cast("timestamp_ntz"))
+        .select("user_id")
+        .distinct()
+    )
+    return early.join(late, "user_id", "left_anti")
