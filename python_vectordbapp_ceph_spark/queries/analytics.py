@@ -1749,3 +1749,77 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# --- A/B experiment readout (Welch z from exact raw moments) ----------------
+
+@register(
+    "q_abtest",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority, o_orderkey % 2 AS arm,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spp
+      FROM orders GROUP BY 1, 2),
+    w AS (SELECT a.o_orderpriority,
+                 a.n AS n_a, b.n AS n_b,
+                 a.sp / a.n AS mean_a, b.sp / b.n AS mean_b,
+                 (a.spp - a.sp * a.sp / a.n) / (a.n - 1.0) AS var_a,
+                 (b.spp - b.sp * b.sp / b.n) / (b.n - 1.0) AS var_b
+          FROM s a JOIN s b ON a.o_orderpriority = b.o_orderpriority
+                           AND a.arm = 0 AND b.arm = 1)
+    SELECT o_orderpriority,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+               AS welch_z
+    FROM w
+    """,
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's z statistic for the spend
+    difference between two deterministic arms (orderkey parity — the
+    hash-bucket assignment an experimentation system uses), per
+    experiment stratum. Built from EXACT raw moments (decimal sums of
+    2dp money, cast to double once), so the scalar Welch formula — the
+    same fixed-order IEEE ops in both engines, with sqrt correctly
+    rounded by spec — hash-matches the oracle exactly; the
+    q_stats_moments technique applied to experimentation.
+
+    Plan: one partial+final aggregate on (stratum, arm) — 10 groups —
+    then a self-join of the tiny aggregate table. The 100 TB cost is
+    the one scan; everything after is constant-size."""
+    o = T(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy(
+        "o_orderpriority", (F.col("o_orderkey") % 2).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(p * p).cast("double").alias("spp"),
+    )
+    a = s.filter(F.col("arm") == 0).alias("a")
+    b = s.filter(F.col("arm") == 1).alias("b")
+    j = a.join(b, F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+    mean_a = F.col("a.sp") / F.col("a.n")
+    mean_b = F.col("b.sp") / F.col("b.n")
+    var_a = (F.col("a.spp") - F.col("a.sp") * F.col("a.sp") / F.col("a.n")) / (
+        F.col("a.n") - F.lit(1.0)
+    )
+    var_b = (F.col("b.spp") - F.col("b.sp") * F.col("b.sp") / F.col("b.n")) / (
+        F.col("b.n") - F.lit(1.0)
+    )
+    return j.select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("a.n") + var_b / F.col("b.n")),
+            6,
+        ).alias("welch_z"),
+    )
