@@ -133,6 +133,12 @@ def mmr_topk(
     """
     import numpy as np
 
+    # id type follows the input (string keys in the collection path,
+    # longs in the test tables) — never hardcoded
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, relevance double, mmr_score double, mmr_rank int"
+    )
     cand = (
         df.withColumn(
             "_sim",
@@ -146,9 +152,7 @@ def mmr_topk(
         .collect()  # bounded: fetch_k rows by construction
     )
     if not cand:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, relevance double, mmr_score double, mmr_rank int"
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
     ids = [r[id_col] for r in cand]
     rel = np.array([r["_sim"] for r in cand], dtype=np.float64)
     mat = np.array([r[vec_col] for r in cand], dtype=np.float64)
@@ -172,6 +176,4 @@ def mmr_topk(
         (ids[i], float(rel[i]), round(s, 6), rank + 1)
         for rank, (i, s) in enumerate(zip(selected, scores))
     ]
-    return df.sparkSession.createDataFrame(
-        rows, f"{id_col} long, relevance double, mmr_score double, mmr_rank int"
-    )
+    return df.sparkSession.createDataFrame(rows, out_schema)

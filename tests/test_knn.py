@@ -568,3 +568,17 @@ def test_mmr_prefers_diverse_over_near_duplicate(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     out = mmr_topk(empty, [1.0, 0.0], k=2)
     assert out.count() == 0 and "mmr_rank" in out.columns
+
+
+def test_mmr_string_id_column(spark):
+    """MMR output id type follows the input schema (collection keys
+    are strings)."""
+    from python_vectordbapp_ceph_spark.operators.knn import mmr_topk
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "key string, embedding array<float>",
+    )
+    out = mmr_topk(df, [1.0, 0.0], k=2, fetch_k=2, id_col="key")
+    assert dict(out.dtypes)["key"] == "string"
+    assert [r.key for r in out.orderBy("mmr_rank").collect()] == ["a", "b"]
