@@ -1656,3 +1656,31 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "q_mask_columns",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS segment_masked
+    FROM customer
+    """,
+)
+def q_mask_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving column masking (share the SHAPE of the data —
+    lengths, punctuation, character classes — without the values):
+    Spark's builtin mask() maps upper→X, lower→x, digit→n in one
+    codegen'd expression; the oracle states the same map as chained
+    regexp_replace. The de-identification companion to q_pii_scrub's
+    pattern redaction."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.mask("c_mktsegment").alias("segment_masked"),
+    )
