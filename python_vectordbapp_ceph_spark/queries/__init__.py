@@ -36,6 +36,10 @@ def register(name: str, oracle: str | None = None):
     (approximate / non-SQL-expressible operators)."""
 
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite would make one query's oracle grade
+            # another's plan — fail loudly at import time instead
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

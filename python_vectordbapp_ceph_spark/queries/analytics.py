@@ -485,19 +485,22 @@ def q_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_salted_join",
+    "q_salted_join_rows",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
 )
-def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit salted skew join (operators/skew.py): the probe side
-    gets a deterministic xxhash64 salt, the build side replicates
-    salt×, the hot key spreads over salt partitions — and the RESULT
-    is row-identical to the plain equi-join, which is exactly what the
-    oracle states. Registered so the skew path sits in the driver
-    gate, not only in pytest."""
+def q_salted_join_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted skew join (operators/skew.py) at ROW level: the
+    probe side gets a deterministic xxhash64 salt, the build side
+    replicates salt×, the hot key spreads over salt partitions — and
+    the RESULT is row-identical to the plain equi-join, which is
+    exactly what the oracle states. Complements q_salted_join
+    (curation.py), which proves the same identity through an
+    aggregate; this one hash-checks every individual joined row.
+    (Until round 6 both shared one name and the import order silently
+    shadowed this version — the registry now rejects duplicates.)"""
     from ..operators.skew import salted_join
 
     li = T(spark, sf_dir, "lineitem").select(
