@@ -206,3 +206,50 @@ def stream_stream_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond).drop(rw[key])
+
+
+def stateful_ewma_stream(
+    stream: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming EWMA — the TRUE per-key recurrence
+    (ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁, seeded with the first value; pandas
+    ``ewm(adjust=False)``) that the batch q_ewma approximates with an
+    8-lag truncation. The state is ONE (ewma, n) pair per key —
+    constant-size regardless of stream length, which is exactly why
+    the recurrence form is the streaming-native one: batch needs the
+    whole history (or a truncation), the stream needs one double.
+
+    Rows are folded in event-time order within each micro-batch;
+    cross-batch order is the source's delivery order (per-key ordered
+    sources — a keyed queue, a file-per-window drop — keep it exact).
+    Emits the post-batch (key, ewma, n) in update mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, ewma double, n long"
+    state_schema = "ewma double, n long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        for pdf in pdfs:
+            for v in pdf.sort_values(ts_col)[value_col]:
+                v = float(v)
+                ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+                n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame({key_col: [key[0]], "ewma": [ewma], "n": [n]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

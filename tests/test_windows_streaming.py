@@ -462,3 +462,54 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert q.awaitTermination(300), "stream did not finish in 300s"
     got = spark.sql("SELECT k, count(*) AS n FROM ddww_test GROUP BY k").collect()
     assert {r.k: r.n for r in got} == {1: 1, 2: 1, 3: 1}
+
+
+def test_stateful_ewma_stream_matches_pandas_recurrence(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) carry the EWMA state
+    across the batch boundary; the final per-key value equals pandas
+    ewm(adjust=False) over the full ordered series — the exact
+    recurrence the batch q_ewma truncates."""
+    import json
+
+    import pandas as pd
+
+    from python_vectordbapp_ceph_spark.streaming.windows import (
+        stateful_ewma_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    series = {7: [3.0, 1.0, 4.0, 1.0, 5.0], 8: [10.0, 20.0, 30.0]}
+    rows = [
+        {"user_id": u, "seq": i, "value": v}
+        for u, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    half = len(rows) // 2
+    for name, chunk in (("a.json", rows[:half]), ("b.json", rows[half:])):
+        (src / name).write_text("\n".join(json.dumps(r) for r in chunk))
+
+    stream = (
+        spark.readStream.schema("user_id long, seq long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stateful_ewma_stream(stream, alpha=0.5, ts_col="seq")
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.table("ewma_stream").toPandas()
+    final = (
+        out.sort_values("n").groupby("user_id").tail(1).set_index("user_id")
+    )
+    for u, vals in series.items():
+        want = pd.Series(vals).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+        assert abs(final.loc[u, "ewma"] - want) < 1e-12
+        assert final.loc[u, "n"] == len(vals)
+    # update mode emitted one row per key per batch that touched it
+    assert len(out) > len(series)
