@@ -161,3 +161,31 @@ def test_arithmetic_inside_grouped_boolean_still_parses(spark, df):
         ).collect()
     }
     assert got == {"a"}
+
+
+def test_random_arithmetic_expressions_match_spark_sql(spark):
+    """The extended grammar is SQL-compatible for arithmetic
+    comparisons: 60 seeded-random expressions filter identically via
+    translate() and via Spark SQL WHERE (== mapped to =)."""
+    import random
+
+    rng = random.Random(42)
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5 - 7) for i in range(-20, 21)],
+        "n long, v double",
+    )
+    df.createOrReplaceTempView("fx_rand")
+    for _ in range(60):
+        left = rng.choice(["n", "v", "n + 3", "v * 2", "n % 5", "-n",
+                           "(n + 1) * 2", "v - n", "n * n"])
+        op = rng.choice(["==", "!=", ">", ">=", "<", "<="])
+        right = str(rng.randint(-15, 15))
+        expr = f"{left} {op} {right}"
+        want = {
+            r.n
+            for r in spark.sql(
+                f"SELECT n FROM fx_rand WHERE {expr.replace('==', '=')}"
+            ).collect()
+        }
+        got = {r.n for r in df.filter(translate(expr, df)).select("n").collect()}
+        assert got == want, expr
