@@ -421,3 +421,20 @@ class VectorCollection:
             metric=self.metric,
             output_cols=output_fields or ["key", "url", "tags"],
         )
+
+    def search_diverse(self, qvec: list[float], k: int = 2,
+                       fetch_k: int = 20, lambda_: float = 0.5,
+                       filter: str = "") -> DataFrame:
+        """MMR-diversified search: exact cosine top-``fetch_k``
+        (distributed, TakeOrderedAndProject) then the greedy
+        relevance-vs-redundancy rerank on the bounded candidate set —
+        the RAG retrieval mode that refuses to spend the result budget
+        on near-duplicates of the first hit. Optional filter applies
+        before the candidate scan (filter-then-rank, one plan).
+        Returns (key, relevance, mmr_score, mmr_rank)."""
+        snap = self.snapshot()
+        base = snap.filter(filter_expr.translate(filter, snap))
+        return knn.mmr_topk(
+            base, qvec, k=k, fetch_k=fetch_k, lambda_=lambda_,
+            vec_col="embedding", id_col="key",
+        )

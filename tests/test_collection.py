@@ -248,3 +248,33 @@ def test_index_admin_and_load_release(spark, coll):
     coll.release()
     after = [r.key for r in coll.search(q, k=3, output_fields=["key"]).collect()]
     assert after == before
+
+
+def test_search_diverse_skips_near_duplicate(spark, coll):
+    """MMR at the collection API: the near-duplicate of the best hit
+    is passed over for the diverse candidate; plain search would
+    return both dups."""
+    rows = [
+        ("best", [1.0, 0.0, 0.0, 0.0], None),
+        ("dup", [0.995, -0.0997, 0.0, 0.0], None),
+        ("diverse", [0.5, 0.866, 0.0, 0.0], None),
+    ]
+    coll.upsert(make_rows(spark, rows))
+    q = [0.9659, 0.2588, 0.0, 0.0]
+    got = [
+        r.key
+        for r in coll.search_diverse(q, k=2, fetch_k=3)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == ["best", "diverse"]
+
+    # the filter composes: exclude the best hit, the dup then leads
+    got = [
+        r.key
+        for r in coll.search_diverse(q, k=2, fetch_k=3,
+                                     filter='key != "best"')
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got[0] == "dup"
