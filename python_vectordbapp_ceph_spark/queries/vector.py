@@ -582,3 +582,48 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     return mmr_topk(e, QVEC, k=5, fetch_k=50, lambda_=0.5)
+
+
+@register(
+    "q_maxsim",
+    oracle=f"""
+    WITH e AS ({_E}),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1)),
+    s AS (SELECT e.label, q.q_id,
+                 MAX(list_sum(list_transform(list_zip(e.v, q.qv),
+                                             p -> p[1] * p[2]))) AS mx
+          FROM e CROSS JOIN q GROUP BY e.label, q.q_id)
+    SELECT label, round(SUM(mx), 6) AS maxsim
+    FROM s GROUP BY label
+    """,
+)
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction (MaxSim): treat each label group
+    as a multi-vector document and two data-derived vectors as query
+    tokens; score(doc) = Σ over query tokens of max over doc tokens of
+    the dot product. The retrieval scoring modern multi-vector
+    rerankers use, expressed as two hash aggregates: per-(doc, q
+    token) MAX then per-doc SUM — both order-insensitive (max exactly;
+    the sum has two commutative addends), so the oracle hash-matches.
+
+    Plan: the query-token side broadcasts (|Q| rows); the token table
+    is scanned once; the only shuffle carries (label, q_id) partial
+    maxes — map-side combine collapses it to |docs|·|Q| rows
+    regardless of token count. That is the property that lets MaxSim
+    run over billions of token vectors: the interaction matrix is
+    never materialized beyond each task's running max."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id").isin(0, 1)).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    sims = e.crossJoin(q).select(
+        "label", "q_id", V.dot(F.col("v"), F.col("qv")).alias("sim")
+    )
+    per_token = sims.groupBy("label", "q_id").agg(F.max("sim").alias("mx"))
+    return per_token.groupBy("label").agg(
+        F.round(F.sum("mx"), 6).alias("maxsim")
+    )
