@@ -747,3 +747,72 @@ def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return early.join(late, "user_id", "left_anti")
+
+
+# --- conversion latency -----------------------------------------------------
+
+@register(
+    "q_time_to_convert",
+    oracle="""
+    WITH first_click AS (
+        SELECT user_id, MIN(ts) AS click_ts
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+        SELECT f.user_id,
+               MIN(e.ts) AS purchase_ts,
+               ANY_VALUE(f.click_ts) AS click_ts
+        FROM first_click f
+        JOIN events e ON e.user_id = f.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts >= f.click_ts
+        GROUP BY f.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(SUM(epoch_us(purchase_ts) - epoch_us(click_ts)) AS BIGINT)
+               AS total_latency_us,
+           round(CAST(SUM(epoch_us(purchase_ts) - epoch_us(click_ts)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)
+               AS avg_latency_s
+    FROM conv
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: time from each user's FIRST click to their
+    first purchase at-or-after it — the funnel metric q_funnel's
+    ordered-step check doesn't expose (how LONG conversion takes, not
+    just whether it happens). Exact arithmetic: latencies are integer
+    epoch-microsecond differences summed as BIGINT (order-insensitive),
+    divided once at the end.
+
+    Plan: one aggregate for first clicks (map-side combine to one row
+    per user), an equi-join back on user_id with the range predicate
+    ANDed in (no range-join explosion — the predicate filters inside
+    the per-key join), then a MIN aggregate and a single global
+    reduce. Two shuffles on user_id, one scalar result row."""
+    e = T(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("purchase_ts"),
+            F.first("click_ts").alias("click_ts"),
+        )
+    )
+    lat = F.unix_micros(F.col("purchase_ts").cast("timestamp")) - F.unix_micros(
+        F.col("click_ts").cast("timestamp")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum(lat).cast("long").alias("total_latency_us"),
+        F.round(
+            F.sum(lat).cast("double") / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_latency_s"),
+    )
