@@ -816,3 +816,63 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_latency_s"),
     )
+
+
+# --- categorical distribution shift ----------------------------------------
+
+@register(
+    "q_dist_shift",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 0 ELSE 1 END AS half,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT half, SUM(n) AS t FROM halves GROUP BY half),
+    ppm AS (SELECT h.event_type, h.half, (h.n * 1000000) // t.t AS share_ppm
+            FROM halves h JOIN tot t USING (half)),
+    wide AS (SELECT event_type,
+                    SUM(CASE WHEN half = 0 THEN share_ppm ELSE 0 END) AS p0,
+                    SUM(CASE WHEN half = 1 THEN share_ppm ELSE 0 END) AS p1
+             FROM ppm GROUP BY event_type)
+    SELECT event_type, CAST(p0 AS BIGINT) AS share_ppm_first,
+           CAST(p1 AS BIGINT) AS share_ppm_second,
+           CAST(abs(p0 - p1) AS BIGINT) AS abs_delta_ppm
+    FROM wide
+    """,
+)
+def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution shift between the two halves of the
+    window: per-class share in integer parts-per-million and the
+    absolute delta — the drift monitor a training pipeline runs on its
+    label/source mix before each refresh (sum abs_delta_ppm / 2 is the
+    total-variation distance). Integer ppm (floor division of exact
+    counts), not double ratios, so every value is exact and
+    order-insensitive under any partitioning — the q_key_skew trick
+    applied to drift detection. One count aggregate, broadcast-sized
+    totals joined back; a single scan at any scale."""
+    e = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    halves = e.groupBy(
+        "event_type",
+        F.when(F.col("ts") < cut, F.lit(0)).otherwise(F.lit(1)).alias("half"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = halves.groupBy("half").agg(F.sum("n").alias("t"))
+    ppm = halves.join(F.broadcast(tot), "half").select(
+        "event_type",
+        "half",
+        ((F.col("n") * 1000000).cast("long") / F.col("t")).cast("long").alias(
+            "share_ppm"
+        ),
+    )
+    wide = ppm.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("share_ppm")).otherwise(0)).alias("p0"),
+        F.sum(F.when(F.col("half") == 1, F.col("share_ppm")).otherwise(0)).alias("p1"),
+    )
+    return wide.select(
+        "event_type",
+        F.col("p0").cast("long").alias("share_ppm_first"),
+        F.col("p1").cast("long").alias("share_ppm_second"),
+        F.abs(F.col("p0") - F.col("p1")).cast("long").alias("abs_delta_ppm"),
+    )
