@@ -755,3 +755,23 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_cols=["o_orderkey"],
         fk=("o_custkey", c, "c_custkey"),
     )
+
+
+# --- Count-Min Sketch frequency estimation (rows-only) ---------------------
+
+@register("q_cms_counts")  # hash-bucketed sketch → rows-only by design
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimates for 20 probe keys over the
+    lineitem part column — the point-frequency sketch completing the
+    approximate family (HLL: distincts, freqItems: heavy hitters, CMS:
+    per-key counts in depth×width space). The sketch builds in one
+    map-side-combined aggregate, merges by counter addition (the
+    roll-up property, like q_hll_union), and probes via broadcast
+    join. Never-underestimate and exact-merge guarantees are
+    pytest-pinned."""
+    from ..operators.cms import cms_build, cms_estimate
+
+    li = T(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_partkey", depth=5, width=1024)
+    probes = spark.range(1, 21).select(F.col("id").alias("l_partkey"))
+    return cms_estimate(sketch, probes, "l_partkey", depth=5, width=1024)

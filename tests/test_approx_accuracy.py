@@ -97,3 +97,43 @@ def test_freq_items_support_guarantee(spark):
     df = spark.createDataFrame(rows, "k string")
     got = df.stat.freqItems(["k"], support=0.5).collect()[0][0]
     assert "hot" in got
+
+
+def test_cms_never_underestimates_and_merges_exactly(spark):
+    """CMS guarantees: (1) est >= exact for every key; (2) with a
+    small vocabulary vs width, estimates are exact; (3) the merged
+    sketch of two halves equals the sketch of the union."""
+    from python_vectordbapp_ceph_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(200)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    probes = df.select("k").distinct()
+
+    sk = cms_build(df, "k", depth=4, width=64)
+    est = {
+        r.k: r.est_count
+        for r in cms_estimate(sk, probes, "k", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    for k, ex in exact.items():
+        assert est[k] >= ex, (k, est[k], ex)
+    # 8 distinct keys vs 64 buckets x 4 rows: min over rows is exact here
+    assert est == exact
+
+    # merge property: halves sum to the whole
+    a, b = spark.createDataFrame(rows[:150], "k string"), spark.createDataFrame(
+        rows[150:], "k string"
+    )
+    merged = cms_merge(
+        cms_build(a, "k", depth=4, width=64), cms_build(b, "k", depth=4, width=64)
+    )
+    est_m = {
+        r.k: r.est_count
+        for r in cms_estimate(merged, probes, "k", depth=4, width=64).collect()
+    }
+    assert est_m == est
