@@ -1,0 +1,64 @@
+"""Bloom filter over a key column — the membership sketch (fourth of
+the family: HLL distincts, freqItems heavy hitters, CMS frequencies,
+Bloom membership). The classic scale tool for decontamination-style
+"is this key in the reference set" checks when the reference set is
+too large to broadcast exactly but its BIT SET is not.
+
+Pure DataFrame ops, same skeleton as operators/cms.py: k xxhash64
+functions over (key, i) map each key to k bit positions in [0, m);
+the filter is the DISTINCT set of set positions (≤ m rows, usually
+far fewer — kilobytes against a billion-key set with the right m).
+Membership: a probe key is (possibly) present iff ALL k of its
+positions are set — an inner join + count == k. Two filters with the
+same (k, m) union by a distinct over their position sets.
+
+Guarantees (Bloom 1970): NO false negatives, ever; false-positive
+rate ≈ (1 − e^{−kn/m})^k — both pytest-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(df: DataFrame, key_col: str, k: int, m: int) -> DataFrame:
+    out = df.select(
+        key_col,
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+    )
+    return out.withColumn(
+        "pos", F.pmod(F.xxhash64(F.col(key_col), F.col("i").cast("int")), F.lit(m))
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = 5, m: int = 4096) -> DataFrame:
+    """The set-bit table: distinct positions — one shuffle, bounded
+    by m rows regardless of input size."""
+    return _positions(df, key_col, k, m).select("pos").distinct()
+
+
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b).distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame, probes: DataFrame, key_col: str, k: int = 5, m: int = 4096
+) -> DataFrame:
+    """(key, maybe_present): present iff all k positions are set.
+    The bit table broadcasts; the probe side is never shuffled."""
+    pos = _positions(probes, key_col, k, m)
+    hits = (
+        pos.join(F.broadcast(bloom), "pos")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        probes.select(key_col)
+        .distinct()
+        .join(hits, key_col, "left")
+        .select(
+            key_col,
+            (F.coalesce("n_hits", F.lit(0)) == k).alias("maybe_present"),
+        )
+    )

@@ -775,3 +775,26 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(li, "l_partkey", depth=5, width=1024)
     probes = spark.range(1, 21).select(F.col("id").alias("l_partkey"))
     return cms_estimate(sketch, probes, "l_partkey", depth=5, width=1024)
+
+
+@register("q_bloom_decontaminate")  # bit-set sketch → rows-only by design
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark set's normalized
+    fingerprints become a bit-set sketch (operators/bloom.py); corpus
+    rows whose fingerprint may be in the filter are dropped. NO false
+    negatives means no contamination survives; false positives only
+    over-drop (the safe direction for decontamination), at the rate
+    the (k, m) sizing sets. This is the third tier of the decontam
+    ladder — exact anti-join (q_decontaminate_exact) when the set
+    fits a broadcast, LSH (q_decontaminate) for fuzzy overlap, Bloom
+    when the reference set is huge but its BITS are not. Returns the
+    per-source survivor counts."""
+    from ..functions.text import fingerprint
+    from ..operators.bloom import bloom_build, bloom_contains
+
+    d = T(spark, sf_dir, "documents").withColumn("fp", fingerprint("text"))
+    bench = d.filter(F.col("doc_id") % 10 == 0).select("fp")
+    bloom = bloom_build(bench, "fp", k=5, m=8192)
+    flags = bloom_contains(bloom, d.select("fp"), "fp", k=5, m=8192)
+    survivors = d.join(flags, "fp").filter(~F.col("maybe_present"))
+    return survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -137,3 +137,45 @@ def test_cms_never_underestimates_and_merges_exactly(spark):
         for r in cms_estimate(merged, probes, "k", depth=4, width=64).collect()
     }
     assert est_m == est
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Bloom guarantees: every inserted key reports present (no false
+    negatives — the decontamination safety property); false-positive
+    rate over 400 non-members stays near the (k, m, n) formula."""
+    import math
+
+    from python_vectordbapp_ceph_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_union,
+    )
+
+    k, m, n = 5, 2048, 100
+    members = spark.createDataFrame([(f"in{i}",) for i in range(n)], "k string")
+    others = spark.createDataFrame([(f"out{i}",) for i in range(400)], "k string")
+    bloom = bloom_build(members, "k", k=k, m=m)
+
+    got = {
+        r.k: r.maybe_present
+        for r in bloom_contains(bloom, members, "k", k=k, m=m).collect()
+    }
+    assert all(got.values()) and len(got) == n  # zero false negatives
+
+    fp = [
+        r.maybe_present
+        for r in bloom_contains(bloom, others, "k", k=k, m=m).collect()
+    ]
+    rate = sum(fp) / len(fp)
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert rate <= 3 * bound + 0.02, (rate, bound)
+
+    # union keeps the no-false-negative property for both halves
+    h1 = spark.createDataFrame([(f"in{i}",) for i in range(50)], "k string")
+    h2 = spark.createDataFrame([(f"in{i}",) for i in range(50, n)], "k string")
+    u = bloom_union(bloom_build(h1, "k", k=k, m=m), bloom_build(h2, "k", k=k, m=m))
+    got_u = {
+        r.k: r.maybe_present
+        for r in bloom_contains(u, members, "k", k=k, m=m).collect()
+    }
+    assert all(got_u.values())
