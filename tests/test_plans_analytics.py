@@ -233,3 +233,35 @@ def test_observe_metrics_piggyback_on_single_pass(spark):
     assert m["null_cust"] == want.null_cust
     assert m["total"] == want.total
     assert n_f_rows == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_observe_collects_metrics_without_extra_pass(spark):
+    """df.observe(): pipeline health metrics (rows kept, value sums)
+    accumulate DURING the job — no second aggregation scan. The
+    operational pattern for ingest accounting at scale: the write and
+    its audit numbers cost one pass together."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    from conftest import SF_DIR
+
+    obs = Observation("ingest_audit")
+    li = load_table(spark, SF_DIR, "lineitem")
+    kept = (
+        li.filter(F.col("l_quantity") > 10)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_kept"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("price_sum"),
+        )
+    )
+    kept.write.format("noop").mode("overwrite").save()
+    metrics = obs.get
+    want = li.filter(F.col("l_quantity") > 10).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    ).collect()[0]
+    assert metrics["rows_kept"] == want.n
+    assert metrics["price_sum"] == want.s
