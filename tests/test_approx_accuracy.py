@@ -179,3 +179,33 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
         for r in bloom_contains(u, members, "k", k=k, m=m).collect()
     }
     assert all(got_u.values())
+
+
+def test_histogram_sketch_quantiles_within_one_bin(spark):
+    """Mergeable histogram: merged halves equal the whole, and every
+    quantile estimate lands within one bin width of the exact value."""
+    from python_vectordbapp_ceph_spark.operators.hist import (
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    lo, hi, n_bins = 0.0, 120000.0, 64
+    width = (hi - lo) / n_bins
+
+    whole = hist_build(li, "x", lo, hi, n_bins)
+    h1 = hist_build(li.filter("x < 30000"), "x", lo, hi, n_bins)
+    h2 = hist_build(li.filter("x >= 30000"), "x", lo, hi, n_bins)
+    merged = hist_merge(h1, h2)
+    assert {(r.bin, r.cnt) for r in merged.collect()} == {
+        (r.bin, r.cnt) for r in whole.collect()
+    }
+
+    vals = sorted(r.x for r in li.collect())
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = hist_quantile(whole, q, lo, hi, n_bins)
+        exact = vals[min(len(vals) - 1, int(q * len(vals)))]
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
