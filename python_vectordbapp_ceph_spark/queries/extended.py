@@ -798,3 +798,27 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = bloom_contains(bloom, d.select("fp"), "fp", k=5, m=8192)
     survivors = d.join(flags, "fp").filter(~F.col("maybe_present"))
     return survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "q_hist_sketch",
+    oracle="""
+    SELECT LEAST(63, GREATEST(0,
+               CAST(floor(l_extendedprice / 1875.0) AS INTEGER))) AS bin,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable histogram summary (operators/hist.py) as a
+    driver-graded query: 64 equi-width bins over [0, 120000) of
+    extended price — exact integer counts, one map-side-combined
+    aggregate bounded by n_bins output rows. Shard histograms merge by
+    bin addition and answer any quantile within one bin width
+    (pytest-pinned); this is the materialize-once distribution summary
+    a 100 TB profiling pass stores per partition."""
+    from ..operators.hist import hist_build
+
+    li = T(spark, sf_dir, "lineitem")
+    return hist_build(li, "l_extendedprice", 0.0, 120000.0, 64)
