@@ -79,6 +79,8 @@ HEADLINE = [
     "q_compression_ratio", # zlib compressibility, Arrow-batched UDF scan (r6)
     "q_distinctive_terms", # per-source odds-ratio vocabulary, broadcast totals (r6)
     "q_ewma",              # 8-lag shared-window exponential smoothing (r6)
+    "q_maxsim",            # ColBERT late interaction, two hash aggregates (r6)
+    "q_hist_sketch",       # mergeable histogram, n_bins-bounded aggregate (r6)
 ]
 
 
