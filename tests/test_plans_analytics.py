@@ -265,3 +265,45 @@ def test_observe_collects_metrics_without_extra_pass(spark):
     ).collect()[0]
     assert metrics["rows_kept"] == want.n
     assert metrics["price_sum"] == want.s
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The automatic tier of skew handling (manual tier: salted_join):
+    with one key carrying ~98% of a 300k-row probe side, AQE detects
+    the oversized shuffle partition at runtime and splits it — the
+    executed plan shows SortMergeJoin(skew=true) over an
+    'AQEShuffleRead skewed'. This is the runtime re-plan the session
+    enables by default (session.py adaptive confs); thresholds are
+    lowered here only to make test-sized data trip it."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 100 < 98, 7).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 294000  # 98% of left hits key 7<50
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
