@@ -307,3 +307,44 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """session.py enables runtime bloom-filter pushdown: a selective
+    dim filter makes Catalyst build a bloom_filter_agg over the dim
+    keys and inject might_contain onto the fact scan — rows that can't
+    join are dropped BEFORE the shuffle. Thresholds lowered only so
+    test-sized tables qualify."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        spark.range(0, 200000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("p" * 40), F.col("id")).alias("pay"),
+        ).write.parquet(str(tmp_path / "fact"))
+        spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        ).write.parquet(str(tmp_path / "dim"))
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("g") == 3)
+        j = fact.join(dim, "k")
+        n = len(j.collect())
+        assert n == dim.count()  # every selected dim key joins once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
