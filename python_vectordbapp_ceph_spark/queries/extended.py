@@ -822,3 +822,45 @@ def q_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = T(spark, sf_dir, "lineitem")
     return hist_build(li, "l_extendedprice", 0.0, 120000.0, 64)
+
+
+@register(
+    "q_hist_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               LEAST(63, GREATEST(0,
+                   CAST(floor(l_extendedprice / 1875.0) AS INTEGER))) AS bin
+        FROM lineitem),
+    per AS (SELECT l_returnflag, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+    SELECT l_returnflag, bin, cnt FROM per
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag, bin, SUM(cnt) AS cnt
+    FROM per GROUP BY bin
+    """,
+)
+def q_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram ROLLUP with exact arithmetic — the mergeable-summary
+    contract as a driver-graded query: per-returnflag 64-bin histograms
+    plus an ALL row built by MERGING the per-group histograms (bin
+    addition over the ≤ groups×64-row summary table), NOT by
+    rescanning lineitem. The scan happens once; the rollup reads
+    kilobytes. q_hll_union shows the same shape for distincts
+    (approximate, rows-only); integer bin counts make this one
+    hash-exact. (Same bin addition operators/hist.py::hist_merge
+    performs across shards, here expressed inline across groups.)"""
+    li = T(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    b = F.least(
+        F.lit(63),
+        F.greatest(F.lit(0), F.floor(x / F.lit(1875.0)).cast("int")),
+    )
+    per = li.groupBy(F.col("l_returnflag"), b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = (
+        per.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("l_returnflag"), "bin", "cnt")
+    )
+    return per.unionByName(merged)
