@@ -81,6 +81,10 @@ HEADLINE = [
     "q_ewma",              # 8-lag shared-window exponential smoothing (r6)
     "q_maxsim",            # ColBERT late interaction, two hash aggregates (r6)
     "q_hist_sketch",       # mergeable histogram, n_bins-bounded aggregate (r6)
+    "q_auc",               # histogram-based exact ROC AUC (r6 eval tier)
+    "q_ks_drift",          # pairwise two-sample KS, per-source windows (r6)
+    "q_knn_confusion",     # 1-NN confusion over probe sample (r6)
+    "q_boilerplate_ngrams",# corpus boilerplate shingle df top-k (r6)
 ]
 
 

@@ -59,3 +59,4 @@ from . import extended  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import mining  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import evaluation  # noqa: E402,F401

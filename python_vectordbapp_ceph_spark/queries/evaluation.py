@@ -1,0 +1,543 @@
+"""Evaluation & drift tier (round 6, continued): the queries a
+training-data pipeline runs to JUDGE its artifacts — classifier /
+embedding quality (exact ROC AUC, label-MRR retrieval eval),
+distribution drift between corpus slices (two-sample KS), and
+cluster-based semantic dedup (SemDeDup).
+
+Same determinism discipline as the mining/curation tiers: integer or
+decimal arithmetic through every unbounded reduction, one final divide
+rounded to 6 (or integer ppm), total-order tiebreaks on every window.
+No logarithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import register
+from ._common import T
+
+
+# --- exact ROC AUC, one-vs-rest per label ----------------------------------
+
+@register(
+    "q_auc",
+    oracle="""
+    WITH s AS (SELECT label,
+                      round(CAST(embedding[1] AS DOUBLE), 6) AS score
+               FROM embeddings),
+    h AS (SELECT score, COUNT(*) AS c FROM s GROUP BY score),
+    hc AS (SELECT score, c,
+                  COALESCE(SUM(c) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+           FROM h),
+    p AS (SELECT label, score, COUNT(*) AS pc FROM s GROUP BY label, score),
+    r AS (SELECT p.label,
+                 SUM(p.pc * (2 * hc.cum_before + hc.c + 1)) AS r2,
+                 SUM(p.pc) AS npos
+          FROM p JOIN hc ON p.score = hc.score
+          GROUP BY p.label),
+    n AS (SELECT COUNT(*) AS total FROM s)
+    SELECT label, npos, total - npos AS nneg,
+           round(CAST(r2 - npos * (npos + 1) AS DOUBLE)
+                 / CAST(2 * npos * (total - npos) AS DOUBLE), 6) AS auc
+    FROM r CROSS JOIN n
+    ORDER BY label
+    """,
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC, one-vs-rest per label, scored by the
+    first embedding component — the Mann-Whitney identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with R_pos the
+    sum of AVERAGE ranks of the positives (ties averaged). Doubling
+    the rank sum keeps every intermediate an integer: a row whose
+    score has `cum_before` smaller values and `c` ties contributes
+    2*avg_rank = 2*cum_before + c + 1.
+
+    Scale shape: the only global-order window runs over the DISTINCT
+    -score histogram (groupBy score first), not over rows — the
+    standard histogram AUC. At 100 TB the row count is huge but the
+    rounded-6 score cardinality is bounded by value range; the window
+    input is that histogram. All per-label math is a hash aggregate
+    joined to the histogram on score (a shuffle equi-join, never a
+    collect). One final double divide, rounded to 6."""
+    s = T(spark, sf_dir, "embeddings").select(
+        "label",
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+    )
+    h = s.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hc = h.select(
+        "score",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+    )
+    p = s.groupBy("label", "score").agg(F.count(F.lit(1)).alias("pc"))
+    r = (
+        p.join(hc, "score")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.col("pc")
+                * (2 * F.col("cum_before") + F.col("c") + 1)
+            ).alias("r2"),
+            F.sum("pc").alias("npos"),
+        )
+    )
+    n = s.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            "label",
+            "npos",
+            (F.col("total") - F.col("npos")).alias("nneg"),
+            F.round(
+                (F.col("r2") - F.col("npos") * (F.col("npos") + 1)).cast(
+                    "double"
+                )
+                / (2 * F.col("npos") * (F.col("total") - F.col("npos"))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- two-sample Kolmogorov-Smirnov drift between sources --------------------
+
+@register(
+    "q_ks_drift",
+    oracle="""
+    WITH c AS (SELECT source, n_chars, COUNT(*) AS c
+               FROM documents GROUP BY source, n_chars),
+    grid AS (SELECT s.source, v.n_chars
+             FROM (SELECT DISTINCT source FROM documents) s
+             CROSS JOIN (SELECT DISTINCT n_chars FROM documents) v),
+    cum AS (SELECT g.source, g.n_chars,
+                   SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+                       ORDER BY g.n_chars) AS cum
+            FROM grid g LEFT JOIN c
+              ON g.source = c.source AND g.n_chars = c.n_chars),
+    tot AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           ta.n AS n_a, tb.n AS n_b,
+           MAX(abs(a.cum * tb.n - b.cum * ta.n)) * 1000000
+               // (ta.n * tb.n) AS ks_ppm
+    FROM cum a
+    JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source, ta.n, tb.n
+    ORDER BY source_a, source_b
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between every pair of
+    sources over the doc-length distribution — the continuous-drift
+    monitor complementing q_dist_shift's categorical TVD. The KS sup
+    is evaluated exactly on the pooled support:
+    D = max |cdf_a - cdf_b|, integerized as
+    max |cum_a*n_b - cum_b*n_a| so the comparison is exact; reported
+    as integer ppm (floor div) — no float accumulation anywhere.
+
+    Scale shape: counts collapse rows to (source × distinct length)
+    first; the cumulative window is PARTITIONED per source (never a
+    single global partition); the pair join runs on the length key
+    with source<source dedup. Source count is small (it's a corpus
+    slice label), so the pair blow-up is quadratic only in #slices."""
+    d = T(spark, sf_dir, "documents")
+    c = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        d.select("source").distinct()
+        .crossJoin(d.select("n_chars").distinct())
+    )
+    cum = (
+        grid.join(c, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            F.sum("c")
+            .over(Window.partitionBy("source").orderBy("n_chars"))
+            .alias("cum"),
+        )
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = cum.select(
+        F.col("source").alias("source_a"),
+        "n_chars",
+        F.col("cum").alias("cum_a"),
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("n_chars_b"),
+        F.col("cum").alias("cum_b"),
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, (a["n_chars"] == b["n_chars_b"]) & (a["source_a"] < b["source_b"]))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias("_d"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.expr("_d * 1000000 div (n_a * n_b)").alias("ks_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --- label-MRR retrieval evaluation ----------------------------------------
+
+@register(
+    "q_mrr_label",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < 8),
+    d AS (SELECT q.q_id, q.q_label, e.vec_id, e.label,
+                 round(sqrt(list_sum(list_transform(range(64),
+                     i -> (e.v[i+1] - q.qv[i+1])
+                        * (e.v[i+1] - q.qv[i+1])))), 6) AS dist
+          FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    r AS (SELECT q_id, q_label, label,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dist, vec_id) AS rnk
+          FROM d),
+    f AS (SELECT q_id, q_label, MIN(rnk) AS first_hit
+          FROM r WHERE label = q_label GROUP BY q_id, q_label)
+    SELECT q.q_id, q.q_label,
+           COALESCE(f.first_hit, 0) AS first_hit,
+           COALESCE(1000000 // f.first_hit, 0) AS rr_ppm
+    FROM q LEFT JOIN f ON q.q_id = f.q_id
+    ORDER BY q.q_id
+    """,
+)
+def q_mrr_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval of the embedding space itself: for each
+    probe vector, the rank of the first SAME-LABEL neighbor under
+    exact L2 — reciprocal rank in integer ppm (1e6 // rank, exact; no
+    float mean of reciprocals). The mean over probes is left to the
+    caller so the per-probe evidence stays inspectable; a degenerate
+    probe with no same-label neighbor reports 0.
+
+    Plan family = batch exact KNN: broadcast the probe set across the
+    base scan, per-probe rank window (partitioned by q_id — never
+    global), min-rank filter on the label match. At 100 TB the base
+    side swaps for the IVF tier (operators/ivf.search_batch) exactly
+    like q_filtered_knn; the eval harness shape is unchanged."""
+    from ..functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(V.l2_distance("v", "qv"), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    r = d.select("q_id", "q_label", "label", F.row_number().over(w).alias("rnk"))
+    f = (
+        r.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id", "q_label")
+        .agg(F.min("rnk").alias("first_hit"))
+    )
+    return (
+        q.select("q_id", "q_label")
+        .join(f.select("q_id", "first_hit"), "q_id", "left")
+        .select(
+            "q_id",
+            "q_label",
+            F.coalesce(F.col("first_hit"), F.lit(0)).alias("first_hit"),
+            # guard BEFORE the divide: `div 0` raises under the hostile
+            # gate's ANSI mode, so a no-same-label probe must shortcut
+            F.when(
+                F.col("first_hit").isNotNull(),
+                F.expr("1000000 div first_hit"),
+            )
+            .otherwise(F.lit(0))
+            .alias("rr_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# --- SemDeDup: cluster-based semantic dedup ---------------------------------
+
+@register("q_semantic_dedup")  # rows-only: KMeans assignment is model-seeded
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space
+    coarsely, then mark near-duplicate members WITHIN each cluster by
+    cosine similarity, keeping one survivor per dup group. Returns
+    (vec_id, cluster_id, keep) for every vector.
+
+    Spark shape: the KMeans fit + assignment reuses the IVF coarse
+    quantizer (operators/ivf.build_ivf — sampled fit, broadcast
+    centroids, one scan to assign); the quadratic cosine check then
+    runs per cluster inside applyInPandas with a numpy gram matrix —
+    bounded by the cluster size, which nlist controls (at 100 TB:
+    raise nlist so E[cluster] stays ~10k rows → 100M-float gram max,
+    and the per-cluster tasks are embarrassingly parallel). This is
+    the published SemDeDup recipe and the reason it scales where
+    all-pairs cosine cannot. rows-only by design (cluster ids are
+    seed-stable but not SQL-expressible); the pytest plants exact
+    duplicates and asserts one survivor per dup group."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.ivf import build_ivf
+
+    e = T(spark, sf_dir, "embeddings")
+    idx = build_ivf(e, vec_col="embedding", id_col="vec_id", nlist=16, seed=42)
+    assigned = idx.assigned.select(
+        "vec_id", "cluster_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    out_schema = "vec_id long, cluster_id int, keep boolean"
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)  # deterministic survivor choice: min id
+        ids = ids[order]
+        m = np.asarray(pdf["v"].to_list(), dtype=np.float64)[order]
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        m = m / nrm[:, None]
+        sim = m @ m.T
+        keep = np.ones(len(ids), dtype=bool)
+        for i in range(len(ids)):
+            if not keep[i]:
+                continue
+            dup = sim[i] >= 0.99
+            dup[: i + 1] = False
+            keep &= ~dup
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "keep": keep,
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(dedup_cluster, out_schema)
+        .orderBy("vec_id")
+    )
+
+
+# --- calibration bins (reliability diagram) ---------------------------------
+
+@register(
+    "q_calibration",
+    oracle="""
+    WITH s AS (SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+                      round(CAST(embedding[1] AS DOUBLE), 6) AS score
+               FROM embeddings),
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
+    b AS (SELECT y,
+                 LEAST(CAST(floor((score - lo) / (hi - lo) * 10)
+                            AS BIGINT), 9) AS bin
+          FROM s CROSS JOIN mm)
+    SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
+           SUM(y) * 1000000 // COUNT(*) AS pos_ppm
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a scored binary outcome (here:
+    score = first embedding component, outcome = label 0 one-vs-rest):
+    10 equal-width score bins, each with its exact positive rate in
+    integer ppm. The drift/calibration readout every model-scored
+    filter (quality classifier, toxicity scorer) gets audited with
+    before its threshold is trusted. Min/max are a broadcast scalar
+    agg; binning is a per-row map; the rest is one hash aggregate —
+    no window, no collect, scale-free."""
+    s = T(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+    )
+    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    b = s.crossJoin(F.broadcast(mm)).select(
+        "y",
+        F.least(
+            F.floor((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast(
+                "long"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n").alias("pos_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- 1-NN confusion matrix over a probe sample ------------------------------
+
+@register(
+    "q_knn_confusion",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv
+          FROM e WHERE vec_id % 5 = 0),
+    d AS (SELECT q.q_id, q.true_label, e.label AS pred_label,
+                 round(sqrt(list_sum(list_transform(range(64),
+                     i -> (e.v[i+1] - q.qv[i+1])
+                        * (e.v[i+1] - q.qv[i+1])))), 6) AS dist,
+                 e.vec_id
+          FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    r AS (SELECT q_id, true_label, pred_label,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dist, vec_id) AS rn
+          FROM d)
+    SELECT true_label, pred_label, COUNT(*) AS n
+    FROM r WHERE rn = 1
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the 1-NN classifier the embedding space
+    implies, over a deterministic probe sample (vec_id % 5 = 0) — the
+    standard embedding-quality eval (a good space routes probes to
+    same-label neighbors; off-diagonal mass localizes which classes
+    bleed together). Plan family = batch exact KNN: broadcast probes
+    across one base scan, per-probe rank window, rank-1 filter, hash
+    aggregate. At 100 TB the probe set stays a sample (that's the
+    point of an eval) and the base side swaps for the IVF tier."""
+    from ..functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            F.round(V.l2_distance("v", "qv"), 6).alias("dist"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        d.select("true_label", "pred_label", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+# --- corpus boilerplate n-grams ---------------------------------------------
+
+@register(
+    "q_boilerplate_ngrams",
+    oracle="""
+    WITH tk AS (SELECT doc_id,
+                       list_filter(string_split(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                               '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')), ' '),
+                           x -> x != '') AS tk
+                FROM documents),
+    g AS (SELECT DISTINCT doc_id, s
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - 3),
+                           i -> array_to_string(tk[i:i+4], ' '))) AS s
+                FROM tk WHERE len(tk) >= 5)),
+    df AS (SELECT s, COUNT(*) AS n_docs FROM g GROUP BY s)
+    SELECT s AS ngram, n_docs FROM df
+    WHERE n_docs >= 3
+    ORDER BY n_docs DESC, ngram
+    LIMIT 20
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: the 5-token shingles shared
+    by the most documents (headers, footers, license blurbs, template
+    chrome — the strings an exact-substring dedup pass à la Lee et al.
+    2022 would remove from every training document). The inverse view
+    of q_ngram_novelty: that reports per-doc novelty, this surfaces
+    the offending n-grams themselves with their document frequency.
+    Plan: per-doc shingle explode (partition-local), distinct, one
+    map-side-combinable count on the shingle key, global top-20 via
+    TakeOrderedAndProject. The shingle vocabulary shuffles on its own
+    key — never through the driver, no broadcast of anything
+    unbounded."""
+    from ..functions.text import normalize_for_fingerprint
+
+    d = T(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(normalize_for_fingerprint(F.col("text")), " "),
+        lambda x: x != "",
+    )
+    sh = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 4),"
+                    " i -> array_join(slice(tk, i, 5), ' '))"
+                )
+            ).alias("ngram"),
+        )
+        .distinct()
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "ngram")
+        .limit(20)
+    )
