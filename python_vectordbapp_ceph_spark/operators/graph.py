@@ -85,3 +85,63 @@ def pagerank(
             checkpoint_dir,
         )
     return ranks
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove
+    nodes of degree < k (with their edges) until the graph is stable;
+    the survivors are the k-core. On a similarity/interaction graph
+    the dense core is the spam-farm / template-cluster signal the
+    degree histogram (q_degree_hist) only hints at — SEO link farms
+    and mass-produced boilerplate form tight cores; organic content
+    does not.
+
+    Returns (id,) — the nodes of the k-core. Deterministic for any
+    input (the k-core is unique: it is the maximal subgraph with
+    min-degree ≥ k, independent of peel order).
+
+    Scale shape, same loop discipline as pagerank/dedup_components:
+    each round is one degree aggregation + one semi-join edge filter,
+    both shuffling on node id (AQE coalesces the tail rounds as the
+    frontier collapses); the loop-carried edge set is checkpointed so
+    plans don't nest. Rounds needed = peel depth, typically O(10) on
+    heavy-tailed graphs; every round strictly shrinks the edge set or
+    terminates, and each round's cost is proportional to the CURRENT
+    (shrinking) edge set, not the input."""
+    p0 = materialize(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        checkpoint_dir,
+    )
+    edges = materialize(
+        p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        checkpoint_dir,
+    )
+    for _ in range(max_iter):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.filter(F.col("deg") < k).select("src")
+        n_weak = weak.count()
+        if n_weak == 0:
+            break
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        new_edges = materialize(
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            ),
+            checkpoint_dir,
+        )
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"kcore: not stable after {max_iter} peel rounds; raise max_iter"
+        )
+    return edges.select(F.col("src").alias("id")).distinct()

@@ -894,3 +894,115 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "term", F.round("odds", 6).alias("odds_ratio"), "rnk")
     )
+
+
+# --- join blow-up forecast (self-join cardinality planning) -----------------
+
+@register(
+    "q_join_blowup",
+    oracle="""
+    WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem
+               GROUP BY l_partkey),
+    tot AS (SELECT SUM(n * n) AS total_pairs FROM c)
+    SELECT l_partkey, n, n * n AS pairs,
+           (n * n) * 1000000 // total_pairs AS share_ppm
+    FROM c CROSS JOIN tot
+    ORDER BY pairs DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join output-size forecast: |A ⋈_k A| = Σ_k c(k)² computed
+    EXACTLY from the key histogram, plus the top-20 keys by their
+    pair contribution and integer-ppm share of the total. This is the
+    planning query you run BEFORE any similarity/blocking self-join at
+    100 TB — it costs one aggregation of the key column, and its
+    output tells you whether the join is feasible at all, which keys
+    need a df-cap (q_fingerprint_pairs' guard) or salting, and what
+    shuffle volume to expect. Complements q_key_skew (per-side
+    hotness) with the JOIN-OUTPUT view (hotness squared). One hash
+    aggregate + broadcast scalar + TakeOrderedAndProject; scale-free."""
+    li = T(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum(F.col("n") * F.col("n")).alias("total_pairs"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "n",
+            (F.col("n") * F.col("n")).alias("pairs"),
+            F.expr("(n * n) * 1000000 div total_pairs").alias("share_ppm"),
+        )
+        .orderBy(F.col("pairs").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
+# --- k-core of the co-purchase graph ---------------------------------------
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling fixpoint: each round removes degree<k nodes.
+    Peeling is idempotent once stable, so unrolling MORE rounds than
+    the actual peel depth is exact (extra rounds are no-ops); the
+    Spark side raises if the depth ever exceeds its max_iter."""
+    sql = [
+        """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+    e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p WHERE n >= 2
+           UNION ALL
+           SELECT pb AS src, pa AS dst FROM p WHERE n >= 2)"""
+    ]
+    for i in range(1, rounds + 1):
+        sql.append(
+            f""",
+    k{i} AS MATERIALIZED (SELECT src FROM (SELECT src, COUNT(*) AS c
+             FROM e{i-1} GROUP BY src) WHERE c >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e
+             JOIN k{i} a ON e.src = a.src
+             JOIN k{i} b ON e.dst = b.src)"""
+        )
+    sql.append(
+        f"""
+    SELECT DISTINCT src AS id FROM e{rounds} ORDER BY id"""
+    )
+    return "".join(sql)
+
+
+@register("q_kcore", oracle=_kcore_oracle(k=3, rounds=14))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (parts linked when bought
+    together in ≥2 orders): the maximal subgraph where every node
+    keeps ≥3 such links — the dense-cluster detector. On a document
+    similarity graph the same operator flags template farms / SEO
+    clusters (organic near-dup pairs don't assemble into tight cores);
+    here it mines the persistently co-bought assortment. Exact oracle
+    = the peeling fixpoint unrolled past its measured depth (≤10
+    rounds across SFs; 14 unrolled — extra rounds are identity).
+    operators/graph.py::kcore does the distributed peel: per round one
+    degree aggregate + two semi-joins, all keyed on node id, edge set
+    checkpointed so plans don't nest, cost tracking the SHRINKING
+    frontier."""
+    from ..operators.graph import kcore
+
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    return kcore(pairs, k=3, id_a="pa", id_b="pb").orderBy("id")

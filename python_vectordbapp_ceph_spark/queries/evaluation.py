@@ -420,7 +420,7 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv
-          FROM e WHERE vec_id % 5 = 0),
+          FROM e WHERE vec_id % 25 = 0),
     d AS (SELECT q.q_id, q.true_label, e.label AS pred_label,
                  round(sqrt(list_sum(list_transform(range(64),
                      i -> (e.v[i+1] - q.qv[i+1])
@@ -439,7 +439,7 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the 1-NN classifier the embedding space
-    implies, over a deterministic probe sample (vec_id % 5 = 0) — the
+    implies, over a deterministic probe sample (vec_id % 25 = 0 — a fixed-RATE sample, so the eval cost stays a constant fraction of one scan at any SF) — the
     standard embedding-quality eval (a good space routes probes to
     same-label neighbors; off-diagonal mass localizes which classes
     bleed together). Plan family = batch exact KNN: broadcast probes
@@ -451,7 +451,7 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = e.filter(F.col("vec_id") % 5 == 0).select(
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),

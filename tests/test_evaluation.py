@@ -220,7 +220,7 @@ def test_knn_confusion_covers_every_probe_once(spark):
     rows = q_knn_confusion(spark, SF_DIR).collect()
     n_probes = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        .filter("vec_id % 5 = 0")
+        .filter("vec_id % 25 = 0")
         .count()
     )
     assert sum(r.n for r in rows) == n_probes

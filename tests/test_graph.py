@@ -64,3 +64,28 @@ def test_pagerank_reliable_checkpoint_identical(spark, tmp_path):
     finally:
         release_caches()
     assert a == b
+
+
+def test_kcore_planted_core_survives_and_tail_peels(spark):
+    """A 5-clique (every node degree 4) plus a chain of pendants
+    hanging off it: 3-core = exactly the clique, and the chain must
+    peel over MULTIPLE rounds (each round only exposes the next chain
+    node), exercising the iterative path."""
+    from python_vectordbapp_ceph_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12), (12, 13)]
+    pairs = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+    got = sorted(r.id for r in kcore(pairs, k=3).collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_kcore_empty_when_k_exceeds_connectivity(spark):
+    from python_vectordbapp_ceph_spark.operators.graph import kcore
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "id_a long, id_b long"
+    )
+    # every ring node has degree 2 → 3-core is empty, 2-core is the ring
+    assert kcore(ring, k=3).count() == 0
+    assert sorted(r.id for r in kcore(ring, k=2).collect()) == list(range(6))
