@@ -208,6 +208,35 @@ def stream_stream_join(
     return lw.join(rw, cond).drop(rw[key])
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join bounded to ±``within``
+    — the "did a matching event arrive in time?" shape (click with no
+    purchase, request with no response). Spark emits the unmatched
+    left row with NULL right columns only once the watermark passes
+    the end of its match window, i.e. the join is also a TIMEOUT
+    detector: null rows are late-arrival-proof negatives, not
+    maybe-still-coming rows. Same eviction bound as the inner form;
+    outer emission is why BOTH the watermark and the time-range
+    condition are mandatory here (Spark rejects an unbounded outer
+    stream-stream join outright)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "left_outer").drop(rw[key])
+
+
 def stateful_ewma_stream(
     stream: DataFrame,
     alpha: float = 0.5,

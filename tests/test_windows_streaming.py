@@ -513,3 +513,70 @@ def test_stateful_ewma_stream_matches_pandas_recurrence(spark, tmp_path):
         assert final.loc[u, "n"] == len(vals)
     # update mode emitted one row per key per batch that touched it
     assert len(out) > len(series)
+
+
+def test_stream_stream_left_join_emits_timeout_nulls(spark, tmp_path):
+    """Left-outer stream-stream join: a left row with no match inside
+    ±1h must surface with NULL right columns once the watermark passes
+    its match window — the timeout-detector contract. Data arrives in
+    two file-batches so the second advances the watermark far enough
+    to close the first batch's windows."""
+    import datetime as dt
+
+    from python_vectordbapp_ceph_spark.streaming.windows import (
+        stream_stream_left_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*specs):
+        return [
+            (uid, t0 + dt.timedelta(minutes=m), eid) for uid, m, eid in specs
+        ]
+
+    schema_l = "user_id long, s_ts timestamp, s_id long"
+    schema_r = "user_id long, p_ts timestamp, p_id long"
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch 1: user 1 will match, user 2 never will
+    spark.createDataFrame(rows((1, 0, 100), (2, 5, 101)), schema_l).coalesce(
+        1
+    ).write.mode("append").parquet(lpath)
+    spark.createDataFrame(rows((1, 30, 200)), schema_r).coalesce(1).write.mode(
+        "append"
+    ).parquet(rpath)
+    # batch 2: far-future rows on BOTH sides push the global watermark
+    # (min across inputs) past user 2's match-window close
+    far = 10 * 60  # +10h
+    spark.createDataFrame(rows((99, far, 102)), schema_l).coalesce(1).write.mode(
+        "append"
+    ).parquet(lpath)
+    spark.createDataFrame(rows((98, far, 201)), schema_r).coalesce(1).write.mode(
+        "append"
+    ).parquet(rpath)
+
+    ls = spark.readStream.schema(schema_l).option("maxFilesPerTrigger", 1).parquet(
+        lpath
+    )
+    rs = spark.readStream.schema(schema_r).option("maxFilesPerTrigger", 1).parquet(
+        rpath
+    )
+    joined = stream_stream_left_join(
+        ls, rs, key="user_id", left_ts="s_ts", right_ts="p_ts",
+        watermark="10 minutes", within="1 hour",
+    ).select("user_id", "s_id", "p_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssljoin_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = {
+        (r.user_id, r.s_id, r.p_id)
+        for r in spark.sql("SELECT * FROM ssljoin_test").collect()
+    }
+    assert (1, 100, 200) in got, "matched pair missing"
+    assert (2, 101, None) in got, "timeout null row missing"
+    assert all(u != 98 for u, _, _ in got), "right-unmatched must not emit"
