@@ -420,7 +420,7 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv
-          FROM e WHERE vec_id % 25 = 0),
+          FROM e WHERE vec_id % 25 = 0 AND vec_id < 5000),
     d AS (SELECT q.q_id, q.true_label, e.label AS pred_label,
                  round(sqrt(list_sum(list_transform(range(64),
                      i -> (e.v[i+1] - q.qv[i+1])
@@ -439,7 +439,7 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the 1-NN classifier the embedding space
-    implies, over a deterministic probe sample (vec_id % 25 = 0 — a fixed-RATE sample, so the eval cost stays a constant fraction of one scan at any SF) — the
+    implies, over a deterministic probe sample (vec_id % 25 = 0, capped at id 5000 — a fixed-SIZE probe set, so the eval cost stays ONE scan times a constant at any SF; a fixed-rate sample measured quadratic, 31.8 s at the x10 point) — the
     standard embedding-quality eval (a good space routes probes to
     same-label neighbors; off-diagonal mass localizes which classes
     bleed together). Plan family = batch exact KNN: broadcast probes
@@ -451,7 +451,7 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = e.filter(F.col("vec_id") % 25 == 0).select(
+    q = e.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
@@ -540,4 +540,88 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 3)
         .orderBy(F.col("n_docs").desc(), "ngram")
         .limit(20)
+    )
+
+
+# --- quantile normalization across sources ----------------------------------
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+    ng AS (SELECT COUNT(*) AS n_g FROM d),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS rnk
+          FROM d),
+    hist AS (SELECT n_chars AS v, COUNT(*) AS c FROM d GROUP BY n_chars),
+    cumh AS (SELECT v, c,
+                    SUM(c) OVER (ORDER BY v) AS cum,
+                    COALESCE(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+             FROM hist),
+    t AS (SELECT r.doc_id, r.source, r.n_chars,
+                 (r.rnk * ng.n_g + ns.n_s - 1) // ns.n_s AS idx
+          FROM r JOIN ns ON r.source = ns.source CROSS JOIN ng)
+    SELECT t.doc_id, t.source, t.n_chars, h.v AS norm_chars
+    FROM t JOIN cumh h ON t.idx > h.cum_before AND t.idx <= h.cum
+    ORDER BY doc_id
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-doc metric across sources
+    (batch-effect correction): each doc's length is replaced by the
+    GLOBAL distribution's value at the doc's within-source quantile,
+    so every source ends up with the same marginal distribution — the
+    standard fix when per-source scoring pipelines drift and their
+    outputs must be pooled. Integer-exact: within-source rank r of
+    n_s maps to global position ceil(r·n_g/n_s) via
+    (r·n_g + n_s − 1) div n_s, then position→value resolves against
+    the global DISTINCT-value histogram's cumulative spans.
+
+    Scale shape: the within-source rank window is PARTITIONED by
+    source; the only global-order window builds the distinct-value
+    histogram (bounded by value cardinality, the q_auc discipline);
+    the position lookup is a broadcast interval join against that
+    small histogram — each row matches exactly one span."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    ng = d.agg(F.count(F.lit(1)).alias("n_g"))
+    r = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rnk"),
+    )
+    hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("n_chars")
+    cumh = hist.select(
+        F.col("n_chars").alias("v"),
+        F.sum("c").over(wv).alias("cum"),
+        F.coalesce(
+            F.sum("c").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    t = (
+        r.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("(rnk * n_g + n_s - 1) div n_s").alias("idx"),
+        )
+    )
+    return (
+        t.join(
+            F.broadcast(cumh),
+            (t["idx"] > cumh["cum_before"]) & (t["idx"] <= cumh["cum"]),
+        )
+        .select("doc_id", "source", "n_chars", F.col("v").alias("norm_chars"))
+        .orderBy("doc_id")
     )

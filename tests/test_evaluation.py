@@ -220,7 +220,7 @@ def test_knn_confusion_covers_every_probe_once(spark):
     rows = q_knn_confusion(spark, SF_DIR).collect()
     n_probes = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        .filter("vec_id % 25 = 0")
+        .filter("vec_id % 25 = 0 AND vec_id < 5000")
         .count()
     )
     assert sum(r.n for r in rows) == n_probes
@@ -238,3 +238,24 @@ def test_boilerplate_ngrams_are_5grams_with_min_df(spark):
     for r in rows:
         assert len(r.ngram.split(" ")) == 5
         assert r.n_docs >= 3
+
+
+def test_quantile_normalize_invariants(spark):
+    from python_vectordbapp_ceph_spark.queries.evaluation import (
+        q_quantile_normalize,
+    )
+
+    rows = q_quantile_normalize(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    global_max = max(d.n_chars for d in docs)
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.n_chars, r.norm_chars))
+    for source, vals in by_source.items():
+        vals.sort()
+        # monotone: higher raw value never maps to a lower normalized one
+        norms = [n for _, n in vals]
+        assert norms == sorted(norms), f"{source}: normalization not monotone"
+        # the top-ranked doc of EVERY source maps to the global maximum
+        assert norms[-1] == global_max
