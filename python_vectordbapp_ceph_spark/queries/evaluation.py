@@ -625,3 +625,55 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", F.col("v").alias("norm_chars"))
         .orderBy("doc_id")
     )
+
+
+# --- per-label embedding centroids ------------------------------------------
+
+@register(
+    "q_label_centroids",
+    oracle="""
+    WITH x AS (SELECT label, i AS dim,
+                      CAST(round(CAST(embedding[i + 1] AS DOUBLE), 6)
+                           AS DECIMAL(18,6)) AS v
+               FROM embeddings, range(64) t(i))
+    SELECT label, dim, COUNT(*) AS n,
+           round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM x GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: the per-label mean embedding, one row per
+    (label, dimension) — the centroid table behind prototype
+    classifiers, per-class drift monitors (compare against last
+    week's centroids), and SemDeDup's cluster seeds. Components are
+    rounded to 6 then summed in DECIMAL(18,6), so the unbounded
+    reduction is exact and order-insensitive (q_embedding_stats'
+    discipline); the single divide happens in double AFTER the exact
+    sum. posexplode fans each vector into (dim, value) rows that
+    combine map-side — the shuffle carries |labels|·|dims| partials
+    per partition, independent of row count."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "_x"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("_x").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("v"),
+    )
+    return (
+        x.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("_s"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(F.col("_s").cast("double") / F.col("n"), 6).alias(
+                "centroid"
+            ),
+        )
+        .orderBy("label", "dim")
+    )
