@@ -125,11 +125,18 @@ def kcore(
         .distinct(),
         checkpoint_dir,
     )
+    from ..cache import tracked_persist
+
     for _ in range(max_iter):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        weak = deg.filter(F.col("deg") < k).select("src")
-        n_weak = weak.count()
+        # persisted: the degree table feeds BOTH the stop-check count
+        # and the keep-filter semi-joins — unpersisted it would be
+        # recomputed (one extra shuffle over the frontier) per round
+        deg = tracked_persist(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        n_weak = deg.filter(F.col("deg") < k).count()
         if n_weak == 0:
+            deg.unpersist()
             break
         keep = deg.filter(F.col("deg") >= k).select("src")
         new_edges = materialize(
@@ -139,6 +146,7 @@ def kcore(
             ),
             checkpoint_dir,
         )
+        deg.unpersist()
         edges = new_edges
     else:
         raise RuntimeError(

@@ -192,32 +192,3 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert merged.filter("score > 1").count() == 1
     assert merged.filter("score is null").count() == 2
 
-
-def test_audit_jsonl_writer_two_phase_commit(spark, tmp_path):
-    """Python DataSource writer: staged files become visible only via
-    commit's rename, the manifest records exact per-file row counts,
-    and the data round-trips through spark.read.json."""
-    from python_vectordbapp_ceph_spark.sources import audit_sink
-
-    audit_sink.register(spark)
-    out = str(tmp_path / "audit")
-    df = spark.range(100).selectExpr("id", "id * 2 AS doubled").repartition(4)
-    df.write.format("audit_jsonl").option("path", out).mode("append").save()
-
-    import json as _json
-    import os as _os
-
-    files = sorted(_os.listdir(out))
-    assert "_MANIFEST.json" in files
-    assert not any(f.endswith(".tmp") for f in files), "stage files leaked"
-    man = _json.load(open(_os.path.join(out, "_MANIFEST.json")))
-    assert man["total_rows"] == 100
-    assert len(man["files"]) == 4
-    assert sorted(x["file"] for x in man["files"]) == [
-        f for f in files if f != "_MANIFEST.json"
-    ]
-
-    back = spark.read.json(_os.path.join(out, "part-*.jsonl"))
-    assert back.count() == 100
-    assert {r.id for r in back.collect()} == set(range(100))
-    assert all(r.doubled == r.id * 2 for r in back.collect())
