@@ -677,3 +677,84 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# --- embedding dimension covariance matrix ----------------------------------
+
+@register(
+    "q_embed_covariance",
+    oracle="""
+    WITH x AS (SELECT vec_id, i AS dim,
+                      round(CAST(embedding[i + 1] AS DOUBLE), 6) AS v
+               FROM embeddings, range(8) t(i)),
+    p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                 COUNT(*) AS n,
+                 SUM(CAST(a.v AS DECIMAL(18,6))) AS sx,
+                 SUM(CAST(b.v AS DECIMAL(18,6))) AS sy,
+                 SUM(CAST(a.v * b.v AS DECIMAL(24,12))) AS sxy
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY a.dim, b.dim)
+    SELECT dim_i, dim_j,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 6)
+               AS cov
+    FROM p ORDER BY dim_i, dim_j
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the leading embedding dimensions (upper
+    triangle, first 8 dims) — the dimension-collapse detector: a
+    broken encoder shows near-zero variance rows or rank-deficient
+    off-diagonal structure long before retrieval metrics degrade.
+    Exact despite floats: components round to the 1e-6 grid, so
+    pairwise products live exactly on the 1e-12 grid — Σx in
+    DECIMAL(18,6) and Σxy in DECIMAL(24,12) are exact
+    order-insensitive reductions; the covariance assembles from those
+    exact sums in one fixed double chain rounded to 6.
+
+    Scale shape: one scan fans each row into d chosen dims
+    (posexplode), the pair join is per-row (equi-join on vec_id,
+    bounded d²/2 fan-out — a constant, not data-dependent), and the
+    aggregate collapses to d²/2 groups with map-side partials. At
+    100 TB: still one shuffle whose row count is d²/2 × partitions."""
+    e = T(spark, sf_dir, "embeddings")
+    x = (
+        e.select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "_x"))
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("_x").cast("double"), 6).alias("v"),
+        )
+    )
+    a = x.select("vec_id", F.col("dim").alias("dim_i"), F.col("v").alias("va"))
+    b = x.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("dim").alias("dim_j"),
+        F.col("v").alias("vb"),
+    )
+    p = (
+        a.join(b, (a["vec_id"] == b["vid_b"]) & (a["dim_i"] <= b["dim_j"]))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("va").cast("decimal(18,6)")).alias("sx"),
+            F.sum(F.col("vb").cast("decimal(18,6)")).alias("sy"),
+            F.sum((F.col("va") * F.col("vb")).cast("decimal(24,12)")).alias(
+                "sxy"
+            ),
+        )
+    )
+    return p.select(
+        "dim_i",
+        "dim_j",
+        F.round(
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double")
+                * F.col("sy").cast("double")
+                / F.col("n")
+            )
+            / F.col("n"),
+            6,
+        ).alias("cov"),
+    ).orderBy("dim_i", "dim_j")
