@@ -1272,3 +1272,22 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
         )
     )
+
+
+# --- BPE tokenizer training -------------------------------------------------
+
+@register("q_bpe_train")  # rows-only: iterative argmax isn't SQL-expressible
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 20-rule BPE vocabulary on the corpus
+    (operators/bpe.py::bpe_train — Sennrich et al. 2016). Returns the
+    merge table (rank, left, right) in learning order. Deterministic
+    under any partitioning (total-order tie-break on the pair count),
+    pinned by pytest against a pure-Python reference trainer; rows-
+    only because 20 rounds of argmax-and-rewrite aren't expressible
+    as one SQL query. Scale: merges are learned on the WORD-FREQUENCY
+    table (vocabulary-sized), so the corpus is scanned exactly once;
+    each round moves one 3-field row to the driver."""
+    from ..operators.bpe import bpe_train
+
+    d = T(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=20, min_freq=2)
