@@ -1006,3 +1006,72 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return kcore(pairs, k=3, id_a="pa", id_b="pb").orderBy("id")
+
+
+# --- Gini coefficient of spend concentration --------------------------------
+
+@register(
+    "q_gini_spend",
+    oracle="""
+    WITH s AS (SELECT c.c_nationkey AS nation, o.o_custkey,
+                      SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+    r AS (SELECT nation, x,
+                 row_number() OVER (PARTITION BY nation
+                                    ORDER BY x, o_custkey) AS rnk
+          FROM s),
+    g AS (SELECT nation, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(rnk * x) AS srx
+          FROM r GROUP BY nation)
+    SELECT nation, n,
+           CAST(sx AS DOUBLE) AS total_spend,
+           round((2.0 * CAST(srx AS DOUBLE)
+                  - (n + 1) * CAST(sx AS DOUBLE))
+                 / (n * CAST(sx AS DOUBLE)), 6) AS gini
+    FROM g ORDER BY nation
+    """,
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend within each nation —
+    the concentration/imbalance diagnostic (the same statistic audits
+    a training mix: Gini of per-source token counts says whether one
+    source dominates the corpus). Exact rank formulation
+    G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with DECIMAL spend sums and a
+    total-order rank tiebreak; one double division at the end.
+    Scale shape: the rank window is PARTITIONED per nation over the
+    customer-level aggregate (already reduced by the first groupBy),
+    and the Gini assembly is a per-nation hash aggregate — the
+    aggregate-before-window discipline throughout."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    r = s.select(
+        "nation",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy("x", "o_custkey"))
+        .alias("rnk"),
+    )
+    g = r.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rnk") * F.col("x")).alias("srx"),
+    )
+    return g.select(
+        "nation",
+        "n",
+        F.col("sx").cast("double").alias("total_spend"),
+        F.round(
+            (
+                2.0 * F.col("srx").cast("double")
+                - (F.col("n") + 1) * F.col("sx").cast("double")
+            )
+            / (F.col("n") * F.col("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    ).orderBy("nation")
