@@ -1075,3 +1075,99 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("nation")
+
+
+# --- per-source duplicate rate ----------------------------------------------
+
+@register(
+    "q_dup_rate_by_source",
+    oracle="""
+    WITH f AS (SELECT doc_id, source,
+                      md5(trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+                          AS fp
+               FROM documents),
+    df AS (SELECT fp, COUNT(*) AS n_docs FROM f GROUP BY fp)
+    SELECT f.source,
+           COUNT(*) AS n,
+           SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup,
+           SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 1000000
+               // COUNT(*) AS dup_ppm
+    FROM f JOIN df ON f.fp = df.fp
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source (integer ppm) — the
+    corpus-health scoreboard that decides which feeds need dedup
+    attention BEFORE paying for near-dup LSH on everything. One
+    fingerprint projection, one df aggregate on the fingerprint key,
+    one join back on that same key (both sides hash-partitioned on fp
+    — Catalyst plans a single exchange each), one per-source
+    aggregate. All counts integer end-to-end."""
+    from ..functions.text import fingerprint
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    df_ = d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        d.join(df_, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n",
+            "n_dup",
+            F.expr("n_dup * 1000000 div n").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- cross-source syndication -----------------------------------------------
+
+@register(
+    "q_cross_source_dups",
+    oracle="""
+    WITH f AS (SELECT DISTINCT source,
+                      md5(trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+                          AS fp
+               FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_docs
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY shared_docs DESC, source_a, source_b
+    LIMIT 20
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication detection: source pairs sharing identical
+    (fingerprint-equal) documents — mirror sites, wire-copy reposts,
+    scraped aggregators. Exactly the q_containment_pairs question at
+    the whole-document level, answered with one distinct projection
+    and a fingerprint-keyed self-join (per-fp fan-out bounded by the
+    source count, so no df-cap is needed — the key's cardinality
+    ceiling is structural). Top-20 via TakeOrderedAndProject."""
+    from ..functions.text import fingerprint
+
+    f = (
+        T(spark, sf_dir, "documents")
+        .select("source", fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    a = f.select(F.col("source").alias("source_a"), "fp")
+    b = f.select(F.col("source").alias("source_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, (a["fp"] == b["fp_b"]) & (a["source_a"] < b["source_b"]))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+        .orderBy(F.col("shared_docs").desc(), "source_a", "source_b")
+        .limit(20)
+    )

@@ -125,3 +125,73 @@ def test_dedup_best_quality_keeps_longest(spark):
         assert docs[w] == best, f"component {c} kept {w} (len {docs[w]}) over {best}"
     unpaired = set(docs) - set(comps)
     assert unpaired <= kept
+
+
+def test_dup_rate_and_syndication_on_planted_corpus(spark):
+    """The sf0.01 corpus has no exact dups (all fingerprints unique),
+    so the per-source rate and cross-source pair queries prove their
+    detection on planted data: same text under different sources must
+    count as dup rows AND as a shared-doc source pair."""
+    from python_vectordbapp_ceph_spark.functions.text import fingerprint
+
+    rows = [
+        (1, "alpha beta gamma", "src_a"),
+        (2, "Alpha  beta GAMMA!", "src_b"),   # same after normalization
+        (3, "alpha beta gamma", "src_a"),     # intra-source dup too
+        (4, "unique document one", "src_a"),
+        (5, "another unique doc", "src_b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    f = d.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    df_ = f.groupBy("fp").count().withColumnRenamed("count", "n_docs")
+    per_src = {
+        r.source: (r.n, r.n_dup)
+        for r in f.join(df_, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .collect()
+    }
+    assert per_src["src_a"] == (3, 2)   # docs 1,3 are dups of the group
+    assert per_src["src_b"] == (2, 1)   # doc 2 matches across source
+
+    dist = f.select("source", "fp").distinct()
+    a = dist.select(F.col("source").alias("sa"), "fp")
+    b = dist.select(F.col("source").alias("sb"), F.col("fp").alias("fpb"))
+    pairs = {
+        (r.sa, r.sb, r.shared)
+        for r in a.join(b, (a["fp"] == b["fpb"]) & (a["sa"] < b["sb"]))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .collect()
+    }
+    assert pairs == {("src_a", "src_b", 1)}
+
+
+def test_gini_spend_bounds_and_equality_case(spark):
+    from python_vectordbapp_ceph_spark.queries.curation import q_gini_spend
+
+    rows = q_gini_spend(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+    # perfectly equal planted spend → Gini exactly 0
+    s = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 100.0), (4, 100.0)],
+        "cust long, x double",
+    )
+    from pyspark.sql.window import Window as W
+
+    r = s.select(
+        F.col("x").cast("decimal(18,2)").alias("x"),
+        F.row_number().over(W.orderBy("x", "cust")).alias("rnk"),
+    )
+    g = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rnk") * F.col("x")).alias("srx"),
+    ).collect()[0]
+    gini = (2.0 * float(g.srx) - (g.n + 1) * float(g.sx)) / (g.n * float(g.sx))
+    assert gini == 0.0
