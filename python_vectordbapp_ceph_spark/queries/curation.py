@@ -1171,3 +1171,90 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_docs").desc(), "source_a", "source_b")
         .limit(20)
     )
+
+
+# --- grid-bucketed spatial radius join --------------------------------------
+
+@register(
+    "q_spatial_radius_join",
+    oracle="""
+    WITH p AS (SELECT c_custkey AS id,
+                      round(CAST(c_acctbal AS DOUBLE) / 100.0, 6) AS x,
+                      round(CAST((c_custkey * 2654435761) % 100000 AS DOUBLE)
+                            / 1000.0, 6) AS y
+               FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+    ORDER BY id_a, id_b
+    """,
+)
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (all point pairs within r=2) via
+    GRID-CELL BUCKETING — the geohash-join pattern: each point lands
+    in an r×r cell; one side additionally explodes into its 3×3
+    neighbor cells; the join is then an EQUI-join on cell id and only
+    cell-local pairs pay the exact distance check. The oracle computes
+    the same result the naive quadratic way — the point is that the
+    Spark plan is the one that survives 100 TB: candidate fan-out is
+    9×(points per cell) per point instead of N, shuffles hash on the
+    cell key, and skewed (dense) cells are visible to AQE like any
+    hot key. Points derive deterministically from customer columns
+    (synthetic coordinates — the tables carry no geo data; the
+    OPERATOR is the deliverable)."""
+    r = 2.0
+    c = T(spark, sf_dir, "customer")
+    p = c.select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal").cast("double") / 100.0, 6).alias("x"),
+        F.round(
+            ((F.col("c_custkey") * F.lit(2654435761)) % 100000).cast("double")
+            / 1000.0,
+            6,
+        ).alias("y"),
+    )
+    cellx = F.floor(F.col("x") / r)
+    celly = F.floor(F.col("y") / r)
+    a = p.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(-1, 2)])
+        ).alias("dx"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        "dx",
+        F.explode(F.array(*[F.lit(d) for d in range(-1, 2)])).alias("dy"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.floor(F.col("xa") / r) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("ya") / r) + F.col("dy")).alias("cy"),
+    )
+    b = p.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cellx.alias("cx"),
+        celly.alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= r * r)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
