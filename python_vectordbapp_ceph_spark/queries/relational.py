@@ -1684,3 +1684,37 @@ def q_mask_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask("c_name").alias("name_masked"),
         F.mask("c_mktsegment").alias("segment_masked"),
     )
+
+
+@register("q_hll_intersect")  # sketch estimate → rows-only by design
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION from mergeable sketches by
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), the
+    standard audience-overlap estimate (HLL unions exactly but cannot
+    intersect directly). Here: customers active in both of the two
+    most common order priorities. At 100 TB the three estimates come
+    from a materialized per-segment sketch table — answering overlap
+    for ANY segment pair without rescanning facts. Error compounds
+    (three ±ε estimates), which is why the exact twin
+    (q_count_distinct-style anti-join) exists for final reporting;
+    the pytest pins ≤10% relative error on the planted overlap."""
+    o = T(spark, sf_dir, "orders")
+    per = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    ests = per.select(
+        "o_orderpriority", F.hll_sketch_estimate("sk").alias("est")
+    )
+    union = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    tot = ests.agg(F.sum("est").alias("sum_est"))
+    return (
+        tot.crossJoin(union)
+        .select(
+            (F.col("sum_est") - F.col("est_union")).alias("approx_overlap"),
+            "est_union",
+        )
+    )

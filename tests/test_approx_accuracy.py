@@ -209,3 +209,22 @@ def test_histogram_sketch_quantiles_within_one_bin(spark):
         est = hist_quantile(whole, q, lo, hi, n_bins)
         exact = vals[min(len(vals) - 1, int(q * len(vals)))]
         assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+
+def test_hll_intersect_estimate_within_10pct(spark):
+    """Inclusion-exclusion overlap from HLL sketches vs the exact
+    intersection on the same data."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.io import load_table
+    from python_vectordbapp_ceph_spark.queries.relational import (
+        q_hll_intersect,
+    )
+
+    got = q_hll_intersect(spark, SF_DIR).collect()[0]
+    o = load_table(spark, SF_DIR, "orders")
+    a = o.filter("o_orderpriority = '1-URGENT'").select("o_custkey").distinct()
+    b = o.filter("o_orderpriority = '2-HIGH'").select("o_custkey").distinct()
+    exact = a.join(b, "o_custkey", "left_semi").count()
+    assert exact > 0
+    assert abs(got.approx_overlap - exact) <= max(0.10 * exact, 5)
