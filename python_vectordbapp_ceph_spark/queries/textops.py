@@ -1291,3 +1291,47 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return bpe_train(d, n_merges=20, min_freq=2)
+
+
+# --- feature hashing (hashing-trick vectorizer) -----------------------------
+
+@register(
+    "q_feature_hash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_LOWER}) AS tok FROM documents)
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+           COUNT(*) AS tf
+    FROM t GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): tokens hash
+    into a fixed 64-bucket feature space, per-doc term frequencies per
+    bucket — the vocabulary-free featurization that never needs a fit
+    pass or a dictionary broadcast, which is exactly why it scales: at
+    100 TB there is no vocab table to build, ship, or go stale; the
+    output dimensionality is a constant decided up front. Bucket =
+    md5-prefix-as-int mod 64 so Spark (conv base16) and any SQL engine
+    agree bit-for-bit. One explode + one hash aggregate keyed
+    (doc_id, bucket) with map-side partials."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    return (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % 64
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )
