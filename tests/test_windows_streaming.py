@@ -580,3 +580,49 @@ def test_stream_stream_left_join_emits_timeout_nulls(spark, tmp_path):
     assert (1, 100, 200) in got, "matched pair missing"
     assert (2, 101, None) in got, "timeout null row missing"
     assert all(u != 98 for u, _, _ in got), "right-unmatched must not emit"
+
+
+def test_chained_stateful_windowed_aggs_equal_batch(spark, tmp_path):
+    """Two stateful operators in ONE streaming query (Spark 4 chained
+    time-window aggregations): per-(user, 1h-window) counts feed a
+    second aggregate over the same window — distinct active users and
+    total events per hour. Stream (availableNow) must equal batch."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    path = str(tmp_path / "ev")
+    events.write.parquet(path)
+
+    def pipeline(df):
+        per_user = (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return per_user.groupBy("w").agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum("n").alias("total_events"),
+        ).select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "active_users",
+            "total_events",
+        )
+
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("chained_agg_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = rows_set(spark.sql("SELECT * FROM chained_agg_test"))
+    want_full = rows_set(pipeline(events))
+    # append mode only emits windows the watermark closed; everything
+    # emitted must match batch exactly, and most windows must close
+    assert got <= want_full
+    assert len(got) >= 0.8 * len(want_full)
+    assert len(got) > 0
