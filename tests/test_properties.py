@@ -232,3 +232,104 @@ def test_salted_join_equals_plain_join(spark, rows):
                              salt_cols=["k", "v"]).collect()
     }
     assert salted == plain
+
+
+# --- round-6 evaluation-tier invariants -------------------------------------
+
+def _auc_from_pairs(spark, pairs):
+    """The q_auc histogram rank-sum assembly on planted (label, score)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    s = spark.createDataFrame(pairs, "label int, score double")
+    h = s.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    hc = h.select("score", "c",
+                  F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb"))
+    p = s.groupBy("label", "score").agg(F.count(F.lit(1)).alias("pc"))
+    r = (p.join(hc, "score").groupBy("label")
+         .agg(F.sum(F.col("pc") * (2 * F.col("cb") + F.col("c") + 1)).alias("r2"),
+              F.sum("pc").alias("npos")))
+    total = s.count()
+    return {
+        row.label: (row.r2 - row.npos * (row.npos + 1))
+        / (2 * row.npos * (total - row.npos))
+        for row in r.collect()
+        if 0 < row.npos < total
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(-5, 5)),
+                min_size=4, max_size=24))
+def test_auc_complement_symmetry(spark, rows):
+    """AUC(class 0) + AUC(class 1) == 1 exactly (one-vs-rest on two
+    classes scores the same ranking from both ends), for ANY score
+    multiset including heavy ties."""
+    pairs = [(l, float(s)) for l, s in rows]
+    auc = _auc_from_pairs(spark, pairs)
+    if len(auc) == 2:
+        assert abs(auc[0] + auc[1] - 1.0) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(-5, 5)),
+                min_size=4, max_size=24))
+def test_auc_invariant_under_monotone_score_transform(spark, rows):
+    """AUC depends only on the ranking: x -> 3x+7 must not change it."""
+    pairs = [(l, float(s)) for l, s in rows]
+    moved = [(l, 3.0 * s + 7.0) for l, s in pairs]
+    assert _auc_from_pairs(spark, pairs) == _auc_from_pairs(spark, moved)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(1, 30), min_size=2, max_size=20),
+       st.lists(st.integers(1, 30), min_size=2, max_size=20))
+def test_ks_statistic_bounds_and_identity(spark, xs, ys):
+    """Integerized KS: 0 <= D_ppm <= 1e6 for any two samples, and
+    D(x, x) == 0 exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def ks_ppm(a, b):
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        d = spark.createDataFrame(rows, "source string, v long")
+        c = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+        grid = d.select("source").distinct().crossJoin(d.select("v").distinct())
+        cum = (grid.join(c, ["source", "v"], "left")
+               .select("source", "v", F.coalesce("c", F.lit(0)).alias("c"))
+               .select("source", "v",
+                       F.sum("c").over(
+                           Window.partitionBy("source").orderBy("v")
+                       ).alias("cum")))
+        na, nb = len(a), len(b)
+        ca = cum.filter("source = 'a'").select(F.col("v"), F.col("cum").alias("ca"))
+        cb = cum.filter("source = 'b'").select(F.col("v").alias("vb"), F.col("cum").alias("cb"))
+        j = ca.join(cb, ca["v"] == cb["vb"])
+        m = j.agg(F.max(F.abs(F.col("ca") * nb - F.col("cb") * na)).alias("m")).collect()[0].m
+        return m * 1_000_000 // (na * nb)
+
+    d = ks_ppm(xs, ys)
+    assert 0 <= d <= 1_000_000
+    assert ks_ppm(xs, xs) == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+                min_size=1, max_size=12))
+def test_feature_hash_bucket_range_and_stability(spark, toks):
+    """Hashed buckets always land in [0, 64) and are a pure function
+    of the token (same token -> same bucket across rows)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(toks)],
+                               "i long, tok string")
+    out = df.select(
+        "tok",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 64
+         ).alias("b"),
+    ).collect()
+    seen = {}
+    for r in out:
+        assert 0 <= r.b < 64
+        assert seen.setdefault(r.tok, r.b) == r.b
