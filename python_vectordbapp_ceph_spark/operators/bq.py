@@ -59,6 +59,11 @@ def fit_bq(df: DataFrame, vec_col: str, dim: int) -> BQParams:
     row = df.agg(
         *[F.avg(F.element_at(v, i + 1)).alias(f"_m{i}") for i in range(dim)]
     ).collect()[0]
+    if row["_m0"] is None:
+        raise ValueError(
+            "fit_bq: input has no rows — thresholds are undefined on an "
+            "empty table (defer quantizer fit until data arrives)"
+        )
     return BQParams(means=[float(row[f"_m{i}"]) for i in range(dim)])
 
 

@@ -56,6 +56,46 @@ def _delta_agg(delta: DataFrame, keys: list[str], value_col: str,
     )
 
 
+def _write_schema_sidecar(spark: SparkSession, path: str, schema_json: str) -> None:
+    """Persist the view schema beside the data: a partitionBy write of
+    an EMPTY view emits no parquet files at all (only _SUCCESS), so a
+    later read cannot infer the schema — the sidecar makes a view
+    initialized before any data arrives readable and delta-appendable.
+    Written through the Hadoop FS of the path (works on s3a/hdfs/file
+    alike, same idiom as collection.compact)."""
+    jvm = spark._jvm  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path + "_schema.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    out = fs.create(p, True)
+    out.write(bytearray(schema_json.encode("utf-8")))
+    out.close()
+
+
+def _read_with_sidecar(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import StructType
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        jvm = spark._jvm  # noqa: SLF001
+        p = jvm.org.apache.hadoop.fs.Path(path + "_schema.json")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        if not fs.exists(p):
+            raise
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8")
+        finally:
+            stream.close()
+        schema = StructType.fromJson(__import__("json").loads(data))
+        return spark.createDataFrame([], schema)
+
+
 def init_agg_view(
     df: DataFrame,
     keys: list[str],
@@ -70,9 +110,11 @@ def init_agg_view(
         .cast("decimal(38,2)")
         .alias("total"),
     )
-    _bucketed(view, keys, n_buckets).write.mode("overwrite").partitionBy(
-        "_kb"
-    ).parquet(path)
+    b = _bucketed(view, keys, n_buckets)
+    b.write.mode("overwrite").partitionBy("_kb").parquet(path)
+    # _kb rejoins as a partition column (long in data, string-inferred
+    # on read of an empty set is avoided by recording it explicitly)
+    _write_schema_sidecar(df.sparkSession, path, b.schema.json())
 
 
 def apply_delta(
@@ -95,7 +137,7 @@ def apply_delta(
     if not buckets:
         return []
 
-    view = spark.read.parquet(path).filter(F.col("_kb").isin(buckets))
+    view = _read_with_sidecar(spark, path).filter(F.col("_kb").isin(buckets))
     merged = (
         view.unionByName(d)
         .groupBy("_kb", *keys)
@@ -112,4 +154,4 @@ def apply_delta(
 
 
 def read_view(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("_kb")
+    return _read_with_sidecar(spark, path).drop("_kb")

@@ -101,6 +101,11 @@ def build_ivf(
     # count BEFORE the projection: over parquet this resolves from row-
     # group statistics (no data scan), so sizing the sample is ~free
     n = df.count()
+    if n == 0:
+        raise ValueError(
+            "build_ivf: input has no rows — an IVF quantizer cannot be "
+            "fitted on an empty table (defer index build until data arrives)"
+        )
     if n > fit_sample_rows:
         fit_df = feats.sample(fraction=min(1.0, fit_sample_rows / n * 1.1), seed=seed)
     else:

@@ -54,7 +54,12 @@ def quality_report(
     """
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (_, pred) in enumerate(row_checks):
-        aggs.append(F.sum(pred.cast("long")).alias(f"_v{i}"))
+        # coalesce: SUM over an EMPTY table is NULL, but "violations
+        # among zero rows" is 0 — without this an empty drop of data
+        # reports NULL violation counts and breaks >0 alert predicates
+        aggs.append(
+            F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias(f"_v{i}")
+        )
     if unique_cols:
         aggs.append(
             (

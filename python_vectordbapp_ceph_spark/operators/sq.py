@@ -58,6 +58,11 @@ def fit_sq8(df: DataFrame, vec_col: str, dim: int) -> SQ8Params:
         aggs.append(F.min(F.element_at(v, i + 1)).alias(f"_mn{i}"))
         aggs.append(F.max(F.element_at(v, i + 1)).alias(f"_mx{i}"))
     row = df.agg(*aggs).collect()[0]
+    if row["_mn0"] is None:
+        raise ValueError(
+            "fit_sq8: input has no rows — per-dimension ranges are "
+            "undefined on an empty table (defer quantizer fit)"
+        )
     mins = [float(row[f"_mn{i}"]) for i in range(dim)]
     maxs = [float(row[f"_mx{i}"]) for i in range(dim)]
     scales = [max((mx - mn) / 255.0, 1e-12) for mn, mx in zip(mins, maxs)]

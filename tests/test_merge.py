@@ -255,3 +255,32 @@ def test_quality_report_detects_planted_violations(spark):
     assert rep["unique(k)"] == (2, 7)
     # anti-join on k: the null row never matches, so 9 and None both miss
     assert rep["fk(k)"] == (2, 7)
+
+
+def test_incremental_view_initialized_on_empty_base(spark, tmp_path):
+    """A view created BEFORE any data exists must be readable and
+    delta-appendable: a partitioned write of an empty aggregate emits
+    zero parquet files, so the schema sidecar is what keeps the view
+    alive until the first delta arrives."""
+    from python_vectordbapp_ceph_spark.operators.incremental import (
+        apply_delta,
+        init_agg_view,
+        read_view,
+    )
+
+    empty = spark.createDataFrame([], "custkey long, price double")
+    path = str(tmp_path / "view")
+    init_agg_view(empty, ["custkey"], "price", path, n_buckets=8)
+    assert read_view(spark, path).count() == 0
+
+    delta = spark.createDataFrame(
+        [(1, 10.0, 1), (1, 5.0, 1), (2, 7.0, 1)],
+        "custkey long, price double, sign int",
+    )
+    touched = apply_delta(spark, path, delta, ["custkey"], "price", n_buckets=8)
+    assert touched
+    got = {
+        r.custkey: (r.cnt, float(r.total))
+        for r in read_view(spark, path).collect()
+    }
+    assert got == {1: (2, 15.0), 2: (1, 7.0)}
