@@ -19,6 +19,7 @@ Usage: python tools/check_oracles.py [--hostile] [--twice] [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -49,7 +50,10 @@ def main() -> int:
             SparkSession.builder.appName("hostile-gate")
             .master("local[4]")
             .config("spark.sql.ansi.enabled", "true")
-            .config("spark.sql.session.timeZone", "America/New_York")
+            .config(
+                "spark.sql.session.timeZone",
+                os.environ.get("SPARK_GRAFT_HOSTILE_TZ", "America/New_York"),
+            )
             .config("spark.sql.shuffle.partitions", "7")
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
