@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import register
 from ._common import T, ts_str
@@ -875,4 +876,104 @@ def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p0").cast("long").alias("share_ppm_first"),
         F.col("p1").cast("long").alias("share_ppm_second"),
         F.abs(F.col("p0") - F.col("p1")).cast("long").alias("abs_delta_ppm"),
+    )
+
+
+# --- period-over-period growth ----------------------------------------------
+
+@register(
+    "q_period_growth",
+    oracle="""
+    WITH m AS (SELECT o_orderpriority AS priority,
+                      date_trunc('month', o_orderdate) AS mon,
+                      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+               FROM orders GROUP BY 1, 2)
+    SELECT priority, strftime(mon, '%Y-%m') AS mon,
+           CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN lag(rev) OVER w IS NULL
+                     OR lag(rev) OVER w = 0 THEN NULL
+                ELSE CAST(round((rev - lag(rev) OVER w) * 1000000
+                          / lag(rev) OVER w) AS BIGINT)
+           END AS growth_ppm
+    FROM m
+    WINDOW w AS (PARTITION BY priority ORDER BY mon)
+    ORDER BY priority, mon
+    """,
+)
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority — the
+    period-over-period readout layered on a time rollup: aggregate
+    FIRST (months × priorities rows), lag window over the tiny rollup
+    AFTER. Growth is integer ppm via decimal arithmetic — the delta
+    and the divisor are exact DECIMAL sums, one rounded division at
+    the end; first month (and a zero base) report NULL rather than a
+    fake infinity. The window is partitioned per priority over ~7×5
+    rows: the aggregate-before-window discipline means the fact scan
+    never feeds a window."""
+    o = T(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("priority").orderBy("mon")
+    prev = F.lag("rev").over(w)
+    return (
+        m.select(
+            "priority",
+            F.date_format("mon", "yyyy-MM").alias("mon"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.when(
+                prev.isNull() | (prev == 0), F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.round((F.col("rev") - prev) * 1000000 / prev).cast("long")
+            )
+            .alias("growth_ppm"),
+        )
+        .orderBy("priority", "mon")
+    )
+
+
+# --- cumulative distinct users over time ------------------------------------
+
+@register(
+    "q_cumulative_users",
+    oracle="""
+    WITH fs AS (SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id),
+    d AS (SELECT first_day, COUNT(*) AS new_users FROM fs GROUP BY first_day)
+    SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+           SUM(new_users) OVER (ORDER BY first_day) AS cum_users
+    FROM d ORDER BY first_day
+    """,
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct BUYERS by day (first-purchase attribution)
+    — the audience-growth curve.
+    A naive COUNT(DISTINCT) per expanding window recounts the whole
+    history every day; the scalable identity is first-seen
+    attribution: each user contributes exactly once, on their first
+    day (one per-user aggregate), the daily new-user counts are a
+    day-keyed aggregate, and the cumulative sum runs over the DAY
+    table (calendar-bounded — the q_auc histogram-window discipline).
+    Every stage is map-side combinable; nothing rescans history."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    d = fs.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    return (
+        d.select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users")
+            .over(
+                Window.orderBy("first_day").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum_users"),
+        )
+        .orderBy("day")
     )
