@@ -85,6 +85,14 @@ HEADLINE = [
     "q_ks_drift",          # pairwise two-sample KS, per-source windows (r6)
     "q_knn_confusion",     # 1-NN confusion over probe sample (r6)
     "q_boilerplate_ngrams",# corpus boilerplate shingle df top-k (r6)
+    "q_gini_spend",        # per-nation Gini over aggregated totals (r6)
+    "q_dup_rate_by_source",# fingerprint dup-rate scoreboard (r6)
+    "q_feature_hash",      # hashing-trick vectorizer, vocab-free (r6)
+    "q_period_growth",     # MoM growth ppm over month rollup (r6)
+    "q_cumulative_users",  # first-purchase cumulative buyers (r6)
+    "q_quantile_normalize",# histogram-span quantile mapping (r6)
+    "q_label_centroids",   # exact decimal per-label centroids (r6)
+    "q_spatial_radius_join", # grid-cell bucketed spatial join (r6)
 ]
 
 

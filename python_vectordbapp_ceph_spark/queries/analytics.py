@@ -1123,8 +1123,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH price AS (
         SELECT l.l_partkey, s.s_suppkey, s.s_name, n.n_name,
-               round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                     / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                    AS unit_cost
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1132,7 +1134,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r   ON r.r_regionkey = n.n_regionkey
         WHERE r.r_name = 'EUROPE'
         GROUP BY 1, 2, 3, 4)
-    SELECT p.p_partkey, p.p_name, pr.s_name, pr.n_name, pr.unit_cost
+    SELECT p.p_partkey, p.p_name, pr.s_name, pr.n_name,
+           CAST(pr.rev AS DOUBLE) AS sum_rev,
+           CAST(pr.qty AS DOUBLE) AS sum_qty
     FROM part p
     JOIN price pr ON pr.l_partkey = p.p_partkey
     WHERE p.p_size = 9
@@ -1170,11 +1174,17 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(eu_supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
         .agg(
-            F.round(
-                F.sum(dec2("l_extendedprice")).cast("double")
-                / F.sum(dec2("l_quantity")).cast("double"),
-                6,
-            ).alias("unit_cost")
+            F.sum(dec2("l_extendedprice")).alias("rev"),
+            F.sum(dec2("l_quantity")).alias("qty"),
+        )
+        # UNROUNDED double ratio for ordering/selection only (identical
+        # IEEE value in both engines); the OUTPUT carries the exact
+        # decimal sums — a rounded quotient hash-diverged at sf0.1 when
+        # one value sat on a 5e-7 representation boundary (Spark rounds
+        # the shortest-repr BigDecimal, DuckDB the scaled binary).
+        .withColumn(
+            "unit_cost",
+            F.col("rev").cast("double") / F.col("qty").cast("double"),
         )
     )
     w = Window.partitionBy("l_partkey").orderBy(
@@ -1190,7 +1200,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(p.filter(F.col("p_size") == 9)),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("rev").cast("double").alias("sum_rev"),
+            F.col("qty").cast("double").alias("sum_qty"),
+        )
         .orderBy("p_partkey")
     )
 

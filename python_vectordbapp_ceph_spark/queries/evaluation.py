@@ -637,7 +637,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS DECIMAL(18,6)) AS v
                FROM embeddings, range(64) t(i))
     SELECT label, dim, COUNT(*) AS n,
-           round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid
+           CAST(SUM(v) AS DOUBLE) AS sum_v
     FROM x GROUP BY label, dim
     ORDER BY label, dim
     """,
@@ -649,8 +649,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     week's centroids), and SemDeDup's cluster seeds. Components are
     rounded to 6 then summed in DECIMAL(18,6), so the unbounded
     reduction is exact and order-insensitive (q_embedding_stats'
-    discipline); the single divide happens in double AFTER the exact
-    sum. posexplode fans each vector into (dim, value) rows that
+    discipline); the OUTPUT is (n, sum) — the caller derives the
+    mean, because a rounded quotient can land on a 5e-7
+    representation boundary where engines' rounding of the same
+    double diverges (observed once at sf0.1). posexplode fans each vector into (dim, value) rows that
     combine map-side — the shuffle carries |labels|·|dims| partials
     per partition, independent of row count."""
     e = T(spark, sf_dir, "embeddings")
@@ -671,9 +673,11 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "dim",
             "n",
-            F.round(F.col("_s").cast("double") / F.col("n"), 6).alias(
-                "centroid"
-            ),
+            # exact decimal sum, NOT the derived mean: round(sum/n, 6)
+            # hash-diverged at sf0.1 on a 5e-7 representation boundary
+            # (q_winsorize's emit-sums-not-means lesson); the caller
+            # divides
+            F.col("_s").cast("double").alias("sum_v"),
         )
         .orderBy("label", "dim")
     )
