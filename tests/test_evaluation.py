@@ -259,3 +259,25 @@ def test_quantile_normalize_invariants(spark):
         assert norms == sorted(norms), f"{source}: normalization not monotone"
         # the top-ranked doc of EVERY source maps to the global maximum
         assert norms[-1] == global_max
+
+
+def test_label_centroids_sums_match_numpy(spark):
+    import numpy as np
+
+    from python_vectordbapp_ceph_spark.queries.evaluation import (
+        q_label_centroids,
+    )
+
+    rows = q_label_centroids(spark, SF_DIR).collect()
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label = {}
+    for r in e:
+        by_label.setdefault(r.label, []).append(
+            np.round(np.array(r.embedding, dtype=np.float64), 6)
+        )
+    for r in rows:
+        vecs = by_label[r.label]
+        assert r.n == len(vecs)
+        # decimal(18,6) sums of rounded-6 values are exact: equality, not isclose
+        want = float(sum(v[r.dim] for v in vecs))
+        assert abs(r.sum_v - want) < 1e-9
