@@ -762,3 +762,105 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cov"),
     ).orderBy("dim_i", "dim_j")
+
+
+# --- Spearman rank correlation (monotone-trend detector) --------------------
+
+@register(
+    "q_spearman_trend",
+    oracle="""
+    WITH e AS (SELECT event_type AS g, epoch_us(ts) AS x, value AS y
+               FROM events),
+    hx AS (SELECT g, x, COUNT(*) AS c,
+                  COALESCE(SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+           FROM e GROUP BY g, x),
+    hy AS (SELECT g, y, COUNT(*) AS c,
+                  COALESCE(SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+           FROM e GROUP BY g, y),
+    r AS (SELECT e.g,
+                 (2 * hx.cb + hx.c + 1) AS ax,
+                 (2 * hy.cb + hy.c + 1) AS ay
+          FROM e JOIN hx ON e.g = hx.g AND e.x = hx.x
+                 JOIN hy ON e.g = hy.g AND e.y = hy.y),
+    s AS (SELECT g, COUNT(*) AS n,
+                 SUM(ax) AS sx, SUM(ay) AS sy,
+                 SUM(ax * ax) AS sxx, SUM(ay * ay) AS syy,
+                 SUM(ax * ay) AS sxy
+          FROM r GROUP BY g)
+    SELECT g AS event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS spearman
+    FROM s ORDER BY g
+    """,
+)
+def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of value vs time per event type — the
+    outlier-robust monotone-trend detector (Pearson on RANKS; a
+    single 1000× spike that drags q_corr_groups' Pearson barely moves
+    Spearman). Tie-correct and exact: doubled average ranks
+    A = 2·cum_before + c + 1 are integers (the q_auc identity), every
+    reduction is an integer sum, and ρ assembles from six exact sums
+    in one fixed double chain with a final round — engines cannot
+    diverge before the last operation.
+
+    Scale shape: both rank computations are per-group DISTINCT-value
+    histograms (windows PARTITIONED by group over the histogram, not
+    rows); rows join their two ranks back by (group, value) equi-keys
+    and collapse to six sums per group with map-side partials."""
+    e = T(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.unix_micros("ts").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def ranks(col):
+        h = e.groupBy("g", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            "g",
+            col,
+            (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+                f"a{col}"
+            ),
+        )
+
+    # DECIMAL(38,0) through every product/sum: Σa² ~ 4n³ and n·Σa²−(Σa)²
+    # ~ 4n⁴ overflow int64 near n ≈ 1.3M rows per group — DuckDB's SUM
+    # already promotes to 128-bit HUGEINT, so the Spark side must match
+    # in decimal or the hostile (ANSI) gate raises at scale
+    r = (
+        e.join(ranks("x"), ["g", "x"])
+        .join(ranks("y"), ["g", "y"])
+        .select(
+            "g",
+            F.col("ax").cast("decimal(19,0)").alias("ax"),
+            F.col("ay").cast("decimal(19,0)").alias("ay"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    s = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("ax").cast(d38).alias("sx"),
+        F.sum("ay").cast(d38).alias("sy"),
+        F.sum((F.col("ax") * F.col("ay")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("ax") * F.col("ax")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("ay") * F.col("ay")).cast(d38)).cast(d38).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("spearman"),
+    ).orderBy("event_type")

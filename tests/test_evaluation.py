@@ -281,3 +281,64 @@ def test_label_centroids_sums_match_numpy(spark):
         # decimal(18,6) sums of rounded-6 values are exact: equality, not isclose
         want = float(sum(v[r.dim] for v in vecs))
         assert abs(r.sum_v - want) < 1e-9
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """Spearman via the doubled-average-rank identity vs a direct
+    Python computation (average ranks, Pearson on ranks) on planted
+    data with heavy ties and a perfect monotone subgroup."""
+    import numpy as np
+
+    rows = (
+        [("mono", float(i), float(i * i)) for i in range(1, 9)]  # rho = 1
+        + [("ties", float(i % 3), float((i + 1) % 3)) for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def ranks(col):
+        h = df.groupBy("g", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("g").orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            "g", col,
+            (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+             ).alias(f"a{col}"),
+        )
+
+    r = df.join(ranks("x"), ["g", "x"]).join(ranks("y"), ["g", "y"])
+    got = {}
+    for row in r.collect():
+        got.setdefault(row.g, []).append((row.ax, row.ay))
+    for g, pairs in got.items():
+        ax = np.array([p[0] for p in pairs], dtype=float)
+        ay = np.array([p[1] for p in pairs], dtype=float)
+        n = len(ax)
+        num = n * (ax * ay).sum() - ax.sum() * ay.sum()
+        den = np.sqrt(
+            (n * (ax * ax).sum() - ax.sum() ** 2)
+            * (n * (ay * ay).sum() - ay.sum() ** 2)
+        )
+        rho = num / den
+        # reference: average ranks + Pearson
+        def avg_rank(v):
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(n)
+            i = 0
+            sv = v[order]
+            while i < n:
+                j = i
+                while j < n and sv[j] == sv[i]:
+                    j += 1
+                ranks[order[i:j]] = (i + j + 1) / 2.0
+                i = j
+            return ranks
+        rx, ry = avg_rank(ax), avg_rank(ay)  # ranks of ranks = same order
+        ref = np.corrcoef(rx, ry)[0, 1]
+        assert abs(rho - ref) < 1e-12, (g, rho, ref)
+        if g == "mono":
+            assert rho == 1.0
