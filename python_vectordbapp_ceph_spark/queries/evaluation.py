@@ -864,3 +864,74 @@ def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / F.sqrt(vx * vy), 6).alias("spearman"),
     ).orderBy("event_type")
+
+
+# --- chi-squared association ------------------------------------------------
+
+@register(
+    "q_chi2_assoc",
+    oracle="""
+    WITH b AS (SELECT event_type AS r,
+                      CASE WHEN value < 10 THEN 'lo'
+                           WHEN value < 100 THEN 'mid'
+                           ELSE 'hi' END AS c
+               FROM events),
+    o AS (SELECT r, c, COUNT(*) AS obs FROM b GROUP BY r, c),
+    rm AS (SELECT r, SUM(obs) AS rn FROM o GROUP BY r),
+    cm AS (SELECT c, SUM(obs) AS cn FROM o GROUP BY c),
+    n AS (SELECT SUM(obs) AS total FROM o)
+    SELECT o.r AS event_type, o.c AS bucket, o.obs,
+           round(CAST(total * obs - rn * cn AS DOUBLE)
+                 * CAST(total * obs - rn * cn AS DOUBLE)
+                 / (CAST(rn AS DOUBLE) * cn * total), 6) AS chi2_term
+    FROM o JOIN rm ON o.r = rm.r
+           JOIN cm ON o.c = cm.c
+           CROSS JOIN n
+    ORDER BY event_type, bucket
+    """,
+)
+def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared association between event type and value bucket —
+    the categorical feature-selection statistic, emitted per cell so
+    the analyst sees WHICH cells drive the dependence (the summed
+    statistic is one more aggregate away). Exact despite the ratio:
+    each cell's (n·obs − rn·cn)² numerator is integer arithmetic
+    (the identity (obs − e)²/e = (n·obs − rn·cn)²/(rn·cn·n) clears
+    the fractional expected count), so engines agree bit-for-bit
+    until one double division, rounded. Counts, margins, and total
+    are three reuses of one hash aggregate; margins broadcast back."""
+    e = T(spark, sf_dir, "events")
+    b = e.select(
+        F.col("event_type").alias("r"),
+        F.when(F.col("value") < 10, "lo")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("hi")
+        .alias("c"),
+    )
+    o = b.groupBy("r", "c").agg(F.count(F.lit(1)).alias("obs"))
+    rm = o.groupBy("r").agg(F.sum("obs").alias("rn"))
+    cm = o.groupBy("c").agg(F.sum("obs").alias("cn"))
+    n = o.agg(F.sum("obs").alias("total"))
+    num = (F.col("total") * F.col("obs") - F.col("rn") * F.col("cn")).cast(
+        "double"
+    )
+    return (
+        o.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("r").alias("event_type"),
+            F.col("c").alias("bucket"),
+            "obs",
+            F.round(
+                num * num
+                / (
+                    F.col("rn").cast("double")
+                    * F.col("cn")
+                    * F.col("total")
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("event_type", "bucket")
+    )
