@@ -626,3 +626,50 @@ def test_chained_stateful_windowed_aggs_equal_batch(spark, tmp_path):
     assert got <= want_full
     assert len(got) >= 0.8 * len(want_full)
     assert len(got) > 0
+
+
+def test_drift_monitor_stream_flags_skewed_batch(spark, tmp_path):
+    """Per-micro-batch TVD vs a frozen reference: a batch matching the
+    reference mix reads ~0 ppm; a batch collapsed onto one category
+    reads the exact analytic TVD. maxFilesPerTrigger=1 makes each
+    planted file its own micro-batch."""
+    from python_vectordbapp_ceph_spark.streaming.drift import (
+        batch_tvd_ppm,
+        drift_monitor_stream,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", 50), ("b", 30), ("c", 20)], "cat string, cnt long"
+    )
+    src = str(tmp_path / "src")
+    # batch 0: exactly the reference mix (scaled down)
+    b0 = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    # batch 1: everything in category a  → TVD = 1 - 0.5 = 0.5
+    b1 = [("a",)] * 10
+    spark.createDataFrame(b0, "cat string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b1, "cat string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # exact batch-level check first (no stream)
+    row = batch_tvd_ppm(
+        spark.createDataFrame(b1, "cat string"), ref, "cat"
+    ).collect()[0]
+    assert row.n_rows == 10
+    assert row.tvd_ppm == 500_000
+
+    stream = spark.readStream.schema("cat string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    mon = str(tmp_path / "mon")
+    q = drift_monitor_stream(
+        stream, ref, "cat", mon, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    rows = {r.batch_id: r for r in spark.read.parquet(mon).collect()}
+    assert len(rows) == 2
+    tvds = sorted(r.tvd_ppm for r in rows.values())
+    assert tvds[0] == 0          # matching batch: zero drift
+    assert tvds[1] == 500_000    # collapsed batch: exact analytic TVD
