@@ -1335,3 +1335,80 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# --- dedup threshold tuning curve -------------------------------------------
+
+@register(
+    "q_dedup_threshold_curve",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, source,
+                      list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
+               FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                       6) AS j
+          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id),
+    f AS (SELECT id_a, id_b, j FROM p WHERE j >= 0.30),
+    pb AS (SELECT CAST(floor(j * 20) * 5 AS BIGINT) AS bucket_pct,
+                  COUNT(*) AS pairs
+           FROM f GROUP BY 1),
+    dm AS (SELECT id_b, MAX(j) AS mj FROM f GROUP BY id_b),
+    db AS (SELECT CAST(floor(mj * 20) * 5 AS BIGINT) AS bucket_pct,
+                  COUNT(*) AS docs
+           FROM dm GROUP BY 1)
+    SELECT COALESCE(pb.bucket_pct, db.bucket_pct) AS threshold_pct,
+           SUM(COALESCE(pb.pairs, 0)) OVER w AS pairs_at_or_above,
+           SUM(COALESCE(db.docs, 0)) OVER w AS docs_removed
+    FROM pb FULL OUTER JOIN db ON pb.bucket_pct = db.bucket_pct
+    WINDOW w AS (ORDER BY COALESCE(pb.bucket_pct, db.bucket_pct) DESC)
+    ORDER BY threshold_pct
+    """,
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tuning curve: for each Jaccard threshold (5% buckets
+    from 0.30), how many near-dup PAIRS survive the cutoff and how
+    many DOCUMENTS the drop-later-of-pair rule would remove — the
+    evidence an operator picks τ from before committing a corpus-wide
+    dedup (too low: collateral deletions; too high: dup leakage).
+    Docs attribute by their MAX similarity to an earlier doc, so each
+    doc counts once, at the highest threshold that still removes it;
+    cumulative sums run DESC over the 14-bucket histogram. Pair
+    generation reuses the blocked exact-Jaccard verify join; the
+    curve itself adds only bucket aggregates and a 14-row window."""
+    from ..operators.dedup import jaccard_pairs as jp
+
+    d = T(spark, sf_dir, "documents")
+    f = jp(d, block_col="source", shingle_n=1, threshold=0.30).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
+    )
+    pb = f.groupBy(
+        (F.floor(F.col("j") * 20) * 5).cast("long").alias("bucket_pct")
+    ).agg(F.count(F.lit(1)).alias("pairs"))
+    db = (
+        f.groupBy("id_b")
+        .agg(F.max("j").alias("j"))
+        .groupBy((F.floor(F.col("j") * 20) * 5).cast("long").alias("bucket_pct"))
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    from pyspark.sql.window import Window
+
+    jn = pb.join(db, "bucket_pct", "full_outer").select(
+        "bucket_pct",
+        F.coalesce("pairs", F.lit(0)).alias("pairs"),
+        F.coalesce("docs", F.lit(0)).alias("docs"),
+    )
+    w = (
+        Window.orderBy(F.col("bucket_pct").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        jn.select(
+            F.col("bucket_pct").alias("threshold_pct"),
+            F.sum("pairs").over(w).alias("pairs_at_or_above"),
+            F.sum("docs").over(w).alias("docs_removed"),
+        )
+        .orderBy("threshold_pct")
+    )
