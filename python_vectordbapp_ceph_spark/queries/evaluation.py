@@ -935,3 +935,62 @@ def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --- inter-arrival burstiness (Fano factor) ---------------------------------
+
+@register(
+    "q_burstiness",
+    oracle="""
+    WITH g AS (SELECT event_type,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS gap
+               FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(gap AS HUGEINT)) AS sg,
+                 SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
+          FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sg AS DOUBLE)), 6) AS fano_us
+    FROM s ORDER BY event_type
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: the Fano factor
+    (variance/mean of the per-user gap sequence, microseconds) — a
+    Poisson process reads ≈ its mean; bot bursts and thundering herds
+    read far above it. Gaps are exact integer micros from a
+    per-(user, type) lag window (partitioned — never global); the
+    raw moments Σg and Σg² reduce in DECIMAL(38,0) because a squared
+    µs gap is ~1e18 and the sum overflows int64 immediately (DuckDB's
+    HUGEINT matches); the Fano assembly is one double chain off two
+    exact sums, rounded."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    d38 = "decimal(38,0)"
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap").cast(d38)).alias("sg"),
+        F.sum(
+            (F.col("gap").cast(d38) * F.col("gap").cast(d38)).cast(d38)
+        ).alias("sgg"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sgg").cast("double")
+                - F.col("sg").cast("double") * F.col("sg").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("sg").cast("double")),
+            6,
+        ).alias("fano_us"),
+    ).orderBy("event_type")
