@@ -252,3 +252,13 @@ def test_prefix_filter_path_equals_cross_join_path(spark):
         for r in jaccard_pairs(d, prefix_filter=True, **kw).collect()
     }
     assert cross == prefix and len(cross) > 0
+
+
+def test_lsh_recall_query_floor(spark):
+    from conftest import SF_DIR
+
+    from python_vectordbapp_ceph_spark.queries.textops import q_lsh_recall
+
+    row = q_lsh_recall(spark, SF_DIR).collect()[0]
+    assert row.n_exact > 0
+    assert row.recall_ppm >= 950_000, row
