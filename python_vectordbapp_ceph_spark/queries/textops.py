@@ -1458,3 +1458,125 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+# --- Heaps-law vocabulary growth --------------------------------------------
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+          FROM tk WHERE len(t) >= 3),
+    fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM g GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    b AS (SELECT LEAST(first_doc * 10 // n_docs, 9) AS decile,
+                 COUNT(*) AS new_terms
+          FROM fs CROSS JOIN nd GROUP BY 1)
+    SELECT decile, new_terms,
+           SUM(new_terms) OVER (ORDER BY decile) AS vocab_size
+    FROM b ORDER BY decile
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law growth of the 3-token SHINGLE vocabulary: distinct
+    shingles seen after each decile of the corpus (in doc_id order) —
+    the curve that says whether more data still buys novel phrasing
+    or the corpus has saturated (the empirical basis for corpus-size
+    decisions; unigram vocab saturates in the first docs on any
+    templated corpus — this synthetic one closes its 31-token unigram
+    vocabulary by doc 8 — while shingles keep discriminating). Scale
+    discipline = first-seen attribution (q_cumulative_users): each
+    term counts once at the min doc_id that introduces it — one
+    vocab-keyed aggregate — then a 10-row decile histogram and a
+    10-row cumulative window. Never an expanding-window distinct."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    sh = F.expr(
+        "transform(sequence(1, size(_t) - 2),"
+        " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1),"
+        "             ' ', element_at(_t, i + 2)))"
+    )
+    fs = (
+        d.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select("doc_id", F.explode(sh).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    b = (
+        fs.crossJoin(F.broadcast(nd))
+        .groupBy(
+            F.least(
+                F.expr("first_doc * 10 div n_docs"), F.lit(9).cast("long")
+            ).alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return b.select(
+        "decile", "new_terms", F.sum("new_terms").over(w).alias("vocab_size")
+    ).orderBy("decile")
+
+
+# --- token budget vs quality cutoff -----------------------------------------
+
+@register(
+    "q_token_budget",
+    oracle=f"""
+    WITH q AS (SELECT doc_id,
+                      round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                             + greatest(1.0 - abs(({_STOP_RATIO}) - 0.4) / 0.4, 0.0)
+                             + (1.0 - least(({_PUNCT_RATIO}) * 5.0, 1.0))) / 3.0, 6)
+                          AS quality,
+                      CAST(len({_TOKS_LOWER}) AS BIGINT) AS n_tokens
+               FROM documents),
+    b AS (SELECT LEAST(CAST(floor(quality * 10) AS BIGINT), 9) AS qbucket,
+                 COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+          FROM q GROUP BY 1)
+    SELECT qbucket, n_docs, tokens,
+           SUM(tokens) OVER (ORDER BY qbucket DESC) AS tokens_at_or_above
+    FROM b ORDER BY qbucket
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget vs quality cutoff: how many training tokens
+    survive each quality-score decile threshold — the curve that
+    prices a filtering decision in tokens before committing it (the
+    quality twin of q_dedup_threshold_curve's τ sweep). Reuses the
+    exact quality formula (q_quality_score) and whitespace token
+    counts; per-bucket integer sums, a 10-row DESC cumulative
+    window. One scan, one hash aggregate, scale-free."""
+    d = T(spark, sf_dir, "documents")
+    q = d.select(
+        X.quality_score("text").alias("quality"),
+        X.token_count_ws("text").cast("long").alias("n_tokens"),
+    )
+    b = q.groupBy(
+        F.least(
+            F.floor(F.col("quality") * 10).cast("long"), F.lit(9).cast("long")
+        ).alias("qbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("qbucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return b.select(
+        "qbucket",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(w).alias("tokens_at_or_above"),
+    ).orderBy("qbucket")
