@@ -924,14 +924,22 @@ def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + broadcast scalar + TakeOrderedAndProject; scale-free."""
     li = T(spark, sf_dir, "lineitem")
     c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.agg(F.sum(F.col("n") * F.col("n")).alias("total_pairs"))
+    # n² and Σn² promoted to decimal(38,0) BEFORE multiplying: a hot key
+    # with n ≳ 96k rows overflows int64 at (n²)·10⁶ — exactly the skew
+    # regime this diagnostic exists to catch (DuckDB auto-promotes to
+    # HUGEINT, so staying in int64 also diverges from the oracle at
+    # scale). Same promotion discipline as q_spearman_trend /
+    # streaming/drift.py::batch_tvd_ppm.
+    d38 = "decimal(38,0)"
+    nsq = F.col("n").cast(d38) * F.col("n").cast(d38)
+    tot = c.agg(F.sum(nsq).cast(d38).alias("total_pairs"))
     return (
         c.crossJoin(F.broadcast(tot))
         .select(
             "l_partkey",
             "n",
-            (F.col("n") * F.col("n")).alias("pairs"),
-            F.expr("(n * n) * 1000000 div total_pairs").alias("share_ppm"),
+            nsq.cast("long").alias("pairs"),
+            (nsq * 1000000 / F.col("total_pairs")).cast("long").alias("share_ppm"),
         )
         .orderBy(F.col("pairs").desc(), "l_partkey")
         .limit(20)
@@ -972,7 +980,12 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     return "".join(sql)
 
 
-@register("q_kcore", oracle=_kcore_oracle(k=3, rounds=14))
+# rounds=50 matches operators/graph.py::kcore's max_iter=50 exactly:
+# peeling is idempotent once stable, so unrolling to the Spark side's
+# iteration cap means the oracle can never be under-peeled relative to
+# any run the Spark side completes (it raises past max_iter). Extra
+# rounds on an already-stable edge set are cheap identity passes.
+@register("q_kcore", oracle=_kcore_oracle(k=3, rounds=50))
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph (parts linked when bought
     together in ≥2 orders): the maximal subgraph where every node

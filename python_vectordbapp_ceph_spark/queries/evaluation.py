@@ -187,18 +187,36 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    # Cross-products promoted to decimal(38,0) BEFORE multiplying: _d can
+    # reach n_a·n_b, so _d·10⁶ overflows int64 once n_a·n_b > ~9.2e12
+    # (~3M docs per source — well inside the 100 TB regime). Same
+    # discipline as streaming/drift.py::batch_tvd_ppm; DuckDB's oracle
+    # auto-promotes to HUGEINT so exact parity holds at any volume.
+    d38 = "decimal(38,0)"
     return (
         a.join(b, (a["n_chars"] == b["n_chars_b"]) & (a["source_a"] < b["source_b"]))
         .join(F.broadcast(ta), "source_a")
         .join(F.broadcast(tb), "source_b")
         .groupBy("source_a", "source_b", "n_a", "n_b")
-        .agg(F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias("_d"))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast(d38) * F.col("n_b")
+                    - F.col("cum_b").cast(d38) * F.col("n_a")
+                )
+            ).alias("_d")
+        )
         .select(
             "source_a",
             "source_b",
             "n_a",
             "n_b",
-            F.expr("_d * 1000000 div (n_a * n_b)").alias("ks_ppm"),
+            (
+                F.col("_d") * 1000000
+                / (F.col("n_a").cast(d38) * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("ks_ppm"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -367,8 +385,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings),
     mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
     b AS (SELECT y,
-                 LEAST(CAST(floor((score - lo) / (hi - lo) * 10)
-                            AS BIGINT), 9) AS bin
+                 CASE WHEN hi = lo THEN 0
+                      ELSE LEAST(CAST(floor((score - lo) / (hi - lo) * 10)
+                                 AS BIGINT), 9) END AS bin
           FROM s CROSS JOIN mm)
     SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
            SUM(y) * 1000000 // COUNT(*) AS pos_ppm
@@ -389,14 +408,23 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
     )
     mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    # hi == lo (constant score column) makes the width 0 → 0/0 = NaN,
+    # and ANSI mode raises on floor(NaN)→long; collapse to a single
+    # bin 0 instead — matching the oracle's CASE guard.
     b = s.crossJoin(F.broadcast(mm)).select(
         "y",
-        F.least(
-            F.floor((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast(
-                "long"
-            ),
-            F.lit(9).cast("long"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+        .alias("bin"),
     )
     return (
         b.groupBy("bin")
