@@ -729,11 +729,20 @@ def q_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     of total token mass — the tokenizer-budget question. A token is
     kept iff the mass BEFORE it is still under the threshold, so the
     crossing token is included; the 90% test multiplies integers
-    ((cum-freq)*10 < total*9) — no float division anywhere. The
-    ranking window runs over the AGGREGATED vocabulary (corpus-scale
-    tokens never sort globally); ties break on the token string for a
-    total order."""
+    ((cum-freq)*10 < total*9) — no float division anywhere.
+
+    The global cumulative sum is NOT one unpartitioned window (Spark
+    runs that on a single task; vocabulary grows Heaps-law with the
+    corpus — q_vocab_growth measures it — so at 100 TB that's 10⁸–10⁹
+    rows through one partition). Same two-phase distributed rank as
+    q_shuffle_order (mining.py): range-repartition the vocab on
+    (freq desc, tok) so each partition holds a contiguous rank range,
+    cumsum WITHIN partitions, then add broadcast per-partition prefix
+    offsets (a window over ≤num-partitions rows of partial sums).
+    Every phase is bounded by one partition's slice of the vocab."""
     from pyspark.sql.window import Window
+
+    from ..cache import tracked_persist
 
     d = T(spark, sf_dir, "documents")
     toks = F.filter(
@@ -744,13 +753,30 @@ def q_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), "tok").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    npart = max(spark.sparkContext.defaultParallelism, 2)
+    # persist pins the sampled range boundaries: the partial-sums pass
+    # and the final cumsum pass must see the SAME partitioning
+    parts = tracked_persist(
+        vocab.repartitionByRange(npart, F.col("freq").desc(), F.col("tok"))
+        .withColumn("_pid", F.spark_partition_id())
     )
-    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    partials = parts.groupBy("_pid").agg(F.sum("freq").alias("_mass"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "_pid",
+        F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off"),
+    )
+    total = partials.agg(F.sum("_mass").alias("_total"))
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("freq").desc(), "tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        vocab.withColumn("cum", F.sum("freq").over(w))
-        .withColumn("_total", F.sum("freq").over(wt))
+        parts.withColumn("_cum_in", F.sum("freq").over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum", F.col("_off") + F.col("_cum_in"))
         .filter((F.col("cum") - F.col("freq")) * 10 < F.col("_total") * 9)
         .select("tok", "freq", "cum")
     )

@@ -348,3 +348,27 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_nucleus_vocab_window_is_partitioned(spark):
+    """q_nucleus_vocab's cumulative-mass window must NEVER run
+    unpartitioned over the vocabulary: vocab grows Heaps-law with the
+    corpus, so a global Window.orderBy(freq desc) funnels 10⁸–10⁹ rows
+    through one task at 100 TB. The two-phase rewrite cumsums within
+    _pid partitions and adds broadcast prefix offsets; the only
+    allowed unpartitioned window runs over the ≤num-partitions partial
+    sums. Pin: every Window node ordered by freq carries _pid in its
+    partition spec."""
+    import re
+
+    from python_vectordbapp_ceph_spark.queries.textops import q_nucleus_vocab
+
+    plan = explain_str(q_nucleus_vocab(spark, SF_DIR), "simple")
+    vocab_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln and re.search(r"freq#\d+L? DESC", ln)
+    ]
+    assert vocab_windows, "expected the cumulative-mass Window in the plan"
+    for ln in vocab_windows:
+        assert "windowspecdefinition(_pid#" in ln, ln
