@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .merge import overwrite_touched_buckets
+from .merge import overwrite_touched_buckets, read_buckets, replace_base
 
 N_BUCKETS_DEFAULT = 64
 
@@ -72,28 +72,28 @@ def _write_schema_sidecar(spark: SparkSession, path: str, schema_json: str) -> N
 
 
 def _read_with_sidecar(spark: SparkSession, path: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
+    """Manifest-resolved view read; an empty manifest (never populated,
+    or every group retracted) falls back to the schema sidecar so the
+    view stays readable and delta-appendable."""
     from pyspark.sql.types import StructType
 
+    df = read_buckets(spark, path)
+    if df is not None:
+        return df
+    jvm = spark._jvm  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path + "_schema.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(p):
+        raise FileNotFoundError(f"empty view at {path} with no schema sidecar")
+    stream = fs.open(p)
     try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
-            raise
-        jvm = spark._jvm  # noqa: SLF001
-        p = jvm.org.apache.hadoop.fs.Path(path + "_schema.json")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-        if not fs.exists(p):
-            raise
-        stream = fs.open(p)
-        try:
-            data = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            ).decode("utf-8")
-        finally:
-            stream.close()
-        schema = StructType.fromJson(__import__("json").loads(data))
-        return spark.createDataFrame([], schema)
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    schema = StructType.fromJson(__import__("json").loads(data))
+    return spark.createDataFrame([], schema)
 
 
 def init_agg_view(
@@ -111,10 +111,16 @@ def init_agg_view(
         .alias("total"),
     )
     b = _bucketed(view, keys, n_buckets)
-    b.write.mode("overwrite").partitionBy("_kb").parquet(path)
-    # _kb rejoins as a partition column (long in data, string-inferred
-    # on read of an empty set is avoided by recording it explicitly)
-    _write_schema_sidecar(df.sparkSession, path, b.schema.json())
+    spark = df.sparkSession
+    # staged generation + manifest publish (merge.py protocol): the
+    # view is unreadable until the commit lands, so a crashed init
+    # never exposes a partial rollup, and a re-init atomically
+    # replaces the old view
+    replace_base(b, path, n_buckets, 1)
+    # the sidecar keeps a never-populated or fully-emptied view
+    # readable (a staged write of zero groups emits no files to infer
+    # a schema from)
+    _write_schema_sidecar(spark, path, b.schema.json())
 
 
 def apply_delta(
@@ -137,7 +143,11 @@ def apply_delta(
     if not buckets:
         return []
 
-    view = _read_with_sidecar(spark, path).filter(F.col("_kb").isin(buckets))
+    # manifest-pruned read: only the touched buckets' directories are
+    # even LISTED; None = none of them exist yet (pure insert)
+    view = read_buckets(spark, path, buckets)
+    if view is None:
+        view = spark.createDataFrame([], d.schema)
     merged = (
         view.unionByName(d)
         .groupBy("_kb", *keys)

@@ -1,24 +1,65 @@
-"""Partition-pruned MERGE: upsert/delete into a bucketed parquet base
-rewriting ONLY the partitions the changes touch.
+"""Partition-pruned, CRASH-ATOMIC MERGE: upsert/delete into a bucketed
+parquet base rewriting ONLY the partitions the changes touch, with a
+manifest commit protocol so a mid-merge crash can never expose a mix
+of old and new buckets.
 
 The append-log collection (collection.py) is the streaming-friendly
 write path; this is the batch MERGE INTO equivalent for a compacted
 base at rest. Layout: the base is partitioned by a stable hash bucket
-of the key (`_kb = pmod(xxhash64(key), n_buckets)`). A merge:
+of the key (`_kb = pmod(xxhash64(key), n_buckets)`), and each bucket's
+current files live in the GENERATION directory that last rewrote it:
+
+    path/gen=<G>/_kb=<B>/part-*.parquet
+    path/_commits/v000000000007.json   <- the visibility point
+
+A commit file maps bucket id -> generation; the CURRENT state is the
+highest-numbered commit. Readers resolve the manifest and list only
+the referenced directories — nothing outside the manifest is ever
+visible. A merge:
 
   1. derives the affected bucket set from the (small) change set —
      driver gets only bucket ids, never rows;
-  2. reads ONLY those partitions of the base (partition pruning),
+  2. reads ONLY those buckets' directories (pruned at file-listing
+     time via the manifest — untouched buckets are never even listed),
      resolves last-writer-wins against the changes, drops deletes;
-  3. rewrites just those partitions via dynamic partition overwrite.
+  3. stages the rewritten buckets into a FRESH `gen=<G>` directory —
+     invisible to every reader, because no commit references it;
+  4. publishes by renaming a temp JSON onto `_commits/v<G>.json` —
+     one atomic filesystem rename (HDFS/POSIX) is the whole commit.
+     Crash before it: readers see generation G-1 in full. Crash after:
+     generation G in full. Never a mix. This is the same
+     stage-then-manifest two-phase-commit discipline as the
+     sources/vector_sink.py DataSource writer, applied to the table
+     layout;
+  5. lazily deletes the superseded bucket directories — a crash here
+     leaves orphans that no manifest references (invisible);
+     `vacuum()` reclaims them.
+
+Rename-without-overwrite also makes the commit a first-writer-wins
+concurrency guard: two racing merges computing the same target version
+cannot both publish — the loser's rename fails and raises (its staged
+generation is never referenced and is vacuumable). Retrying a crashed
+merge is self-healing: the retry recomputes the same generation number
+and its static overwrite of the staging directory clears any partial
+files the crashed attempt left.
 
 At 100 TB with n_buckets≈4096 and a typical batch touching a few
 hundred buckets, the merge reads and writes a few percent of the
-table instead of all of it. xxhash64 (not `hash()`/rand) keeps bucket
-assignment stable across Spark versions and retries.
+table instead of all of it; the manifest is O(n_buckets) ids — bytes,
+not data — and the commit is one rename regardless of volume.
+xxhash64 (not `hash()`/rand) keeps bucket assignment stable across
+Spark versions and retries.
+
+Reference parity: the reference gets per-key atomic upsert/delete from
+its backend (milvus-app/pythonvectordbceph_milvus.py:154 delegates to
+Milvus); this module supplies the equivalent all-or-nothing batch
+contract on plain parquet, no table-format dependency.
 """
 
 from __future__ import annotations
+
+import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +68,115 @@ from ..cache import materialize
 from .mutation import upsert_last_writer
 
 N_BUCKETS_DEFAULT = 64
+_COMMITS = "_commits"
+
+
+# --- manifest protocol ------------------------------------------------------
+
+
+def _fs(spark: SparkSession, path: str):
+    """(hadoop FS, Path factory) resolved FROM the path (s3a://,
+    hdfs://, file://) — not the cluster default FS; they routinely
+    differ."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    return hpath(path).getFileSystem(spark._jsc.hadoopConfiguration()), hpath  # noqa: SLF001
+
+
+def _commit_file(v: int) -> str:
+    return f"v{v:012d}.json"
+
+
+def current_manifest(spark: SparkSession, path: str):
+    """(version, {bucket_id(int) -> gen(int)}) of the highest commit,
+    or (None, {}) if the base has never been committed. Listing
+    `_commits/` is O(#merges) tiny JSON names; no data dirs are
+    touched."""
+    fs, hpath = _fs(spark, path)
+    cdir = hpath(f"{path}/{_COMMITS}")
+    if not fs.exists(cdir):
+        return None, {}
+    best, best_name = None, None
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            v = int(name[1:-5])
+            if best is None or v > best:
+                best, best_name = v, name
+    if best is None:
+        return None, {}
+    stream = fs.open(hpath(f"{path}/{_COMMITS}/{best_name}"))
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    m = json.loads(data)
+    return best, {int(k): int(g) for k, g in m["buckets"].items()}
+
+
+def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> None:
+    """THE commit: stage the manifest JSON to a temp name, then one
+    rename onto its final versioned name. Rename-without-overwrite is
+    atomic on HDFS/POSIX; on object stores without atomic rename,
+    point this at a conditional-put (the file is immutable and
+    versioned, so the swap is still a single all-or-nothing op)."""
+    fs, hpath = _fs(spark, path)
+    cdir = f"{path}/{_COMMITS}"
+    fs.mkdirs(hpath(cdir))
+    tmp = hpath(f"{cdir}/.tmp-{uuid.uuid4().hex}.json")
+    out = fs.create(tmp, True)
+    try:
+        payload = {
+            "version": version,
+            "buckets": {str(b): g for b, g in sorted(buckets.items())},
+        }
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    final = hpath(f"{cdir}/{_commit_file(version)}")
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"merge commit v{version} lost the publish race for {path} "
+            "(another writer committed this version); retry the merge"
+        )
+
+
+def vacuum(spark: SparkSession, path: str) -> int:
+    """Delete every `gen=*/_kb=*` directory the CURRENT manifest does
+    not reference (crashed stages, superseded generations whose lazy
+    cleanup was interrupted). Returns the number of dirs removed.
+    Safe for readers pinned to the current manifest; callers running
+    time-travel readers own their retention window."""
+    fs, hpath = _fs(spark, path)
+    _, live = current_manifest(spark, path)
+    keep = {(g, b) for b, g in live.items()}
+    removed = 0
+    root = hpath(path)
+    if not fs.exists(root):
+        return 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("gen="):
+            continue
+        g = int(name.split("=", 1)[1])
+        for sub in fs.listStatus(st.getPath()):
+            sname = sub.getPath().getName()
+            if not sname.startswith("_kb="):
+                continue
+            b = int(sname.split("=", 1)[1])
+            if (g, b) not in keep:
+                fs.delete(sub.getPath(), True)
+                removed += 1
+        if not fs.listStatus(st.getPath()):
+            fs.delete(st.getPath(), True)
+    return removed
+
+
+# --- bucket layout ----------------------------------------------------------
 
 
 def _with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
@@ -49,6 +199,59 @@ def _bucket_aligned(df: DataFrame, n_buckets: int, files_per_bucket: int) -> Dat
     )
 
 
+def read_buckets(
+    spark: SparkSession, path: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Manifest-resolved read. ``buckets=None`` reads the whole base;
+    a bucket list prunes at the FILE-LISTING level — untouched bucket
+    directories are never listed, cheaper than partition pruning over
+    a full listing. Returns the data with its `_kb` partition column.
+
+    Raises if the base has never been committed; returns an empty
+    frame via the schema sidecar path in read_base for the all-deleted
+    case (manifest present, zero buckets)."""
+    version, live = current_manifest(spark, path)
+    if version is None:
+        raise FileNotFoundError(
+            f"no committed manifest under {path} — not a merge base "
+            "(write it with write_bucketed_base)"
+        )
+    if buckets is not None:
+        want = set(buckets)
+        live = {b: g for b, g in live.items() if b in want}
+    if not live:
+        return None
+    dirs = [f"{path}/gen={g}/_kb={b}" for b, g in sorted(live.items())]
+    return (
+        spark.read.option("basePath", path).parquet(*dirs).drop("gen")
+    )
+
+
+def _staged_write(
+    spark: SparkSession,
+    path: str,
+    result: DataFrame,
+    gen: int,
+    n_buckets: int,
+    files_per_bucket: int,
+) -> list[int]:
+    """Stage ``result`` (bucket-aligned, one dir per surviving bucket)
+    into `path/gen=<gen>/`. Static overwrite of the WHOLE staging dir:
+    it is private to this generation, and a retry after a crash must
+    clear the partial files of the previous attempt. Returns the
+    surviving bucket ids (ids only reach the driver)."""
+    # repartition on the partition column first: without it every
+    # shuffle partition writes a sliver into every bucket dir
+    # (buckets × partitions small files — measured 512 files for a
+    # 16-bucket base on local[32]); with it, the write tasks stay
+    # bucket-aligned at any cluster size (see _bucket_aligned for
+    # the giant-bucket multiplier)
+    _bucket_aligned(result, n_buckets, files_per_bucket).write.mode(
+        "overwrite"
+    ).partitionBy("_kb").parquet(f"{path}/gen={gen}")
+    return [r._kb for r in result.select("_kb").distinct().collect()]
+
+
 def overwrite_touched_buckets(
     spark: SparkSession,
     path: str,
@@ -57,35 +260,31 @@ def overwrite_touched_buckets(
     n_buckets: int = N_BUCKETS_DEFAULT,
     files_per_bucket: int = 1,
 ) -> None:
-    """Dynamic-overwrite the `_kb` partitions present in ``result`` and
-    delete the directories of touched buckets that emptied out (dynamic
-    mode writes no partition for them, leaving stale files). ``result``
-    must already be materialized (checkpointed) if its lineage reads
-    ``path``."""
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # repartition on the partition column first: without it every
-        # shuffle partition writes a sliver into every bucket dir
-        # (buckets × partitions small files — measured 512 files for a
-        # 16-bucket base on local[32]); with it, the write tasks stay
-        # bucket-aligned at any cluster size (see _bucket_aligned for
-        # the giant-bucket multiplier)
-        _bucket_aligned(result, n_buckets, files_per_bucket).write.mode(
-            "overwrite"
-        ).partitionBy("_kb").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-
-    survivors = {r._kb for r in result.select("_kb").distinct().collect()}
-    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    # resolve the filesystem FROM the path (s3a://, hdfs://, file://),
-    # not the cluster default FS — they routinely differ
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    for b in set(buckets) - survivors:
-        fs.delete(hpath(f"{path}/_kb={b}"), True)
-    # the session caches the path's file listing; later reads must see
-    # the rewritten partitions
+    """Atomically replace the ``buckets`` of the base with ``result``
+    (which holds their new contents; a touched bucket absent from
+    ``result`` emptied out and is dropped from the manifest). Stage →
+    publish → lazy cleanup; the publish rename is the only visibility
+    transition. ``result`` must already be materialized (checkpointed)
+    if its lineage reads ``path``."""
+    version, live = current_manifest(spark, path)
+    if version is None:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    gen = version + 1
+    survivors = _staged_write(
+        spark, path, result, gen, n_buckets, files_per_bucket
+    )
+    new_map = {b: g for b, g in live.items() if b not in set(buckets)}
+    new_map.update({b: gen for b in survivors})
+    _publish(spark, path, gen, new_map)
+    # lazy cleanup of superseded directories — crash-safe: nothing
+    # below is referenced by any manifest anymore
+    fs, hpath = _fs(spark, path)
+    for b in set(buckets):
+        old = live.get(b)
+        if old is not None:
+            fs.delete(hpath(f"{path}/gen={old}/_kb={b}"), True)
+    # the session caches file listings; later reads must see the new
+    # generation
     spark.catalog.refreshByPath(path)
 
 
@@ -96,13 +295,37 @@ def write_bucketed_base(
     n_buckets: int = N_BUCKETS_DEFAULT,
     files_per_bucket: int = 1,
 ) -> None:
-    """Initial layout: parquet partitioned by the key's hash bucket
-    (repartitioned onto the bucket key first — `files_per_bucket`
-    files per bucket, not one per bucket per task; see
-    overwrite_touched_buckets)."""
-    _bucket_aligned(
-        _with_bucket(df, key_col, n_buckets), n_buckets, files_per_bucket
-    ).write.mode("overwrite").partitionBy("_kb").parquet(path)
+    """Initial layout (create-or-replace): stage a fresh generation
+    and publish a full-replacement commit — the new base is invisible
+    until the commit lands, so a crashed (re)load never exposes a
+    partial table, and a reload atomically supersedes the old one."""
+    replace_base(
+        _with_bucket(df, key_col, n_buckets), path, n_buckets, files_per_bucket
+    )
+
+
+def replace_base(
+    bucketed: DataFrame,
+    path: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    files_per_bucket: int = 1,
+) -> None:
+    """Create-or-replace the whole base from an already `_kb`-bucketed
+    frame: stage at (current version + 1), publish a full map, lazily
+    delete the superseded generations (orphans if interrupted;
+    vacuum() reclaims)."""
+    spark = bucketed.sparkSession
+    version, live = current_manifest(spark, path)
+    gen = 0 if version is None else version + 1
+    survivors = _staged_write(
+        spark, path, bucketed, gen, n_buckets, files_per_bucket
+    )
+    _publish(spark, path, gen, {b: gen for b in survivors})
+    fs, hpath = _fs(spark, path)
+    for b, g in live.items():
+        if g != gen:
+            fs.delete(hpath(f"{path}/gen={g}/_kb={b}"), True)
+    spark.catalog.refreshByPath(path)
 
 
 def merge_into(
@@ -134,23 +357,37 @@ def merge_into(
     if not buckets:
         return []
 
-    base = spark.read.parquet(path).filter(F.col("_kb").isin(buckets))
-    base_cols = [c for c in base.columns]
-    # changes beat base rows on timestamp ties (the MERGE contract):
-    # explicit priority, not op-name ordering
-    ch_aligned = ch.select(*base_cols, F.col(op_col)).withColumn("_prio", F.lit(1))
-    base_log = base.withColumn(op_col, F.lit("upsert")).withColumn("_prio", F.lit(0))
-    # tiebreak chain: change beats base (_prio), and within one change
-    # set an upsert beats a delete at the same ts ('upsert' > 'delete'
-    # descending) — fully deterministic even for conflicting same-key
-    # same-ts change rows
-    merged = upsert_last_writer(
-        base_log.unionByName(ch_aligned),
-        [key_col],
-        ts_col,
-        tiebreak_cols=["_prio", op_col],
-    )
-    result = merged.filter(F.col(op_col) != delete_op).drop(op_col, "_prio")
+    base = read_buckets(spark, path, buckets)
+    if base is None:
+        # none of the touched buckets exist yet: pure insert
+        base_cols = ch.drop(op_col).columns
+        result = (
+            upsert_last_writer(ch, [key_col], ts_col, tiebreak_cols=[op_col])
+            .filter(F.col(op_col) != delete_op)
+            .drop(op_col)
+            .select(*base_cols)
+        )
+    else:
+        base_cols = list(base.columns)
+        # changes beat base rows on timestamp ties (the MERGE
+        # contract): explicit priority, not op-name ordering
+        ch_aligned = ch.select(*base_cols, F.col(op_col)).withColumn(
+            "_prio", F.lit(1)
+        )
+        base_log = base.withColumn(op_col, F.lit("upsert")).withColumn(
+            "_prio", F.lit(0)
+        )
+        # tiebreak chain: change beats base (_prio), and within one
+        # change set an upsert beats a delete at the same ts
+        # ('upsert' > 'delete' descending) — fully deterministic even
+        # for conflicting same-key same-ts change rows
+        merged = upsert_last_writer(
+            base_log.unionByName(ch_aligned),
+            [key_col],
+            ts_col,
+            tiebreak_cols=["_prio", op_col],
+        )
+        result = merged.filter(F.col(op_col) != delete_op).drop(op_col, "_prio")
     # materialize BEFORE overwriting the path we just read (truncates
     # the lineage back to the files being replaced); eager by default
     result = materialize(result, checkpoint_dir)
@@ -161,7 +398,16 @@ def merge_into(
 
 
 def read_base(spark: SparkSession, path: str, schema=None) -> DataFrame:
-    """Read the merged base. Pass ``schema`` for the degenerate case
-    where every row has been deleted (no files left to infer from)."""
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(path).drop("_kb")
+    """Read the merged base (manifest-resolved). Pass ``schema`` for
+    the degenerate case where every row has been deleted (an empty
+    manifest leaves no files to infer from)."""
+    df = read_buckets(spark, path)
+    if df is None:
+        if schema is None:
+            raise ValueError(
+                f"base at {path} is empty; pass schema= to read it"
+            )
+        empty = spark.createDataFrame([], schema)
+        drop = [c for c in ("_kb", "gen") if c in empty.columns]
+        return empty.drop(*drop) if drop else empty
+    return df.drop("_kb")

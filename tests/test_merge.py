@@ -20,12 +20,25 @@ def _base_rows(spark):
     )
 
 
+def _manifest(path):
+    """Parse the highest commit file directly (no Spark): the manifest
+    IS the visibility point, so the tests assert through it."""
+    import json
+
+    cdir = os.path.join(path, "_commits")
+    names = sorted(
+        n for n in os.listdir(cdir) if n.startswith("v") and n.endswith(".json")
+    )
+    with open(os.path.join(cdir, names[-1])) as f:
+        return json.load(f)
+
+
 def _list_partition_files(path):
+    """bucket dir -> files, resolved through the CURRENT manifest."""
     out = {}
-    for d in os.listdir(path):
-        if d.startswith("_kb="):
-            full = os.path.join(path, d)
-            out[d] = sorted(os.listdir(full))
+    for b, g in _manifest(path)["buckets"].items():
+        full = os.path.join(path, f"gen={g}", f"_kb={b}")
+        out[f"_kb={b}"] = sorted(os.listdir(full))
     return out
 
 
@@ -76,7 +89,7 @@ def test_merge_empties_fully_deleted_bucket(spark, tmp_path):
         [("solo", 0, 1, "delete")], "key string, val long, ts long, op string"
     )
     merge_into(spark, path, changes, key_col="key", ts_col="ts", n_buckets=N_BUCKETS)
-    assert not any(d.startswith("_kb=") for d in os.listdir(path))
+    assert _manifest(path)["buckets"] == {}
     empty = read_base(spark, path, schema="key string, val long, ts long, _kb int")
     assert empty.count() == 0
 
@@ -193,24 +206,26 @@ def test_incremental_view_footprint_is_delta_buckets(spark, tmp_path):
     path = str(tmp_path / "ivm_fp")
     init_agg_view(o, ["custkey"], "o_totalprice", path, n_buckets=8)
 
-    def bucket_mtimes():
+    def bucket_state():
+        """bucket -> (generation, files, max mtime), manifest-resolved."""
         out = {}
-        for d in os.listdir(path):
-            if d.startswith("_kb="):
-                full = os.path.join(path, d)
-                out[d] = max(
-                    os.path.getmtime(os.path.join(full, f))
-                    for f in os.listdir(full) if f.endswith(".parquet")
-                )
+        for b, g in _manifest(path)["buckets"].items():
+            full = os.path.join(path, f"gen={g}", f"_kb={b}")
+            parquets = [f for f in os.listdir(full) if f.endswith(".parquet")]
+            out[f"_kb={b}"] = (
+                g,
+                sorted(parquets),
+                max(os.path.getmtime(os.path.join(full, f)) for f in parquets),
+            )
         return out
 
-    before = bucket_mtimes()
+    before = bucket_state()
     one_key = o.limit(1).withColumn("sign", F.lit(1))
     touched = apply_delta(
         spark, path, one_key, ["custkey"], "o_totalprice", n_buckets=8
     )
     assert len(touched) == 1
-    after = bucket_mtimes()
+    after = bucket_state()
     changed = {d for d in after if after[d] != before.get(d)}
     assert changed == {f"_kb={touched[0]}"}
 
@@ -284,3 +299,89 @@ def test_incremental_view_initialized_on_empty_base(spark, tmp_path):
         for r in read_view(spark, path).collect()
     }
     assert got == {1: (2, 15.0), 2: (1, 7.0)}
+
+
+def test_merge_crash_before_publish_leaves_old_state(spark, tmp_path, monkeypatch):
+    """Crash-atomicity: kill the merge AFTER the rewritten buckets are
+    staged but BEFORE the manifest publish (the single visibility
+    transition). The base must read back EXACTLY its old contents —
+    never a mix — the staged generation must be invisible, and a
+    retried merge must self-heal to exactly the new contents."""
+    import python_vectordbapp_ceph_spark.operators.merge as M
+
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    old = {(r.key, r.val) for r in read_base(spark, path).collect()}
+
+    changes = spark.createDataFrame(
+        [("k1", 111, 1, "upsert"), ("k2", 0, 1, "delete"),
+         ("new1", 999, 1, "upsert")],
+        "key string, val long, ts long, op string",
+    )
+
+    real_publish = M._publish
+
+    def crash_publish(*a, **kw):
+        raise RuntimeError("injected crash between stage and publish")
+
+    monkeypatch.setattr(M, "_publish", crash_publish)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_into(spark, path, changes, key_col="key", ts_col="ts",
+                   n_buckets=N_BUCKETS)
+
+    # old state intact, staged gen=1 invisible
+    spark.catalog.refreshByPath(path)
+    assert {(r.key, r.val) for r in read_base(spark, path).collect()} == old
+    assert os.path.isdir(os.path.join(path, "gen=1")), "stage should exist"
+    assert _manifest(path)["version"] == 0
+
+    # retry self-heals: same generation recomputed, committed, visible
+    monkeypatch.setattr(M, "_publish", real_publish)
+    merge_into(spark, path, changes, key_col="key", ts_col="ts",
+               n_buckets=N_BUCKETS)
+    got = {(r.key, r.val) for r in read_base(spark, path).collect()}
+    want = {(f"k{i}", i * 10) for i in range(40) if i not in (1, 2)}
+    want |= {("k1", 111), ("new1", 999)}
+    assert got == want
+    assert _manifest(path)["version"] == 1
+
+
+def test_merge_crash_mid_stage_then_vacuum(spark, tmp_path):
+    """A partially-written staging directory (crash mid bucket writes)
+    is invisible to readers and reclaimed by vacuum()."""
+    from python_vectordbapp_ceph_spark.operators.merge import vacuum
+
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    old = {(r.key, r.val) for r in read_base(spark, path).collect()}
+
+    # simulate a crashed stage: orphan generation with partial buckets
+    orphan = os.path.join(path, "gen=1", "_kb=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn write")
+
+    spark.catalog.refreshByPath(path)
+    assert {(r.key, r.val) for r in read_base(spark, path).collect()} == old
+
+    assert vacuum(spark, path) == 1
+    assert not os.path.exists(os.path.join(path, "gen=1"))
+    # live data untouched
+    assert {(r.key, r.val) for r in read_base(spark, path).collect()} == old
+
+
+def test_merge_publish_race_first_writer_wins(spark, tmp_path):
+    """Two writers publishing the same version: the second rename must
+    fail loudly (first-writer-wins), never silently clobber."""
+    import pytest
+
+    from python_vectordbapp_ceph_spark.operators.merge import _publish
+
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    _publish(spark, path, 1, {0: 1})
+    with pytest.raises(RuntimeError, match="publish race"):
+        _publish(spark, path, 1, {0: 1})
+    assert _manifest(path)["buckets"] == {"0": 1}
