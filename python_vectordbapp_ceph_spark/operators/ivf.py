@@ -266,44 +266,84 @@ def search_batch(
     nprobe: int = 4,
     q_vec_col: str = "q_embedding",
     q_id_col: str = "q_id",
+    max_driver_batch: int = 10_000,
 ) -> DataFrame:
     """Batch IVF probe: top-k per query for MANY queries in one plan.
 
-    Per query the nprobe nearest centroids resolve driver-side (the
-    centroid table is tiny), producing a (q_id, cluster_id) probe
-    list. The index joins that list on cluster_id — so each query
-    only meets the rows of its own probed inverted lists (an equi-join,
-    NOT the crossJoin of the exact batch path) — and a per-query
-    window takes the k nearest survivors.
+    Per query the nprobe nearest centroids resolve to a
+    (q_id, cluster_id) probe list. The index joins that list on
+    cluster_id — so each query only meets the rows of its own probed
+    inverted lists (an equi-join, NOT the crossJoin of the exact batch
+    path) — and a per-query window takes the k nearest survivors.
 
-    At scale: the probe list broadcasts, the join is partition-pruned
-    to the union of probed clusters, and the shuffle for the window
-    carries only candidate rows — nprobe/nlist of the data."""
+    Probe-list derivation is sized to the batch: up to
+    ``max_driver_batch`` queries it resolves DRIVER-side (|Q| × nlist
+    × dim flops on tiny tables, broadcast back). Above the cap — the
+    API accepts any DataFrame, and a million-row "query batch" must
+    not materialize on the driver — it switches to the same
+    broadcast-centroid crossJoin + per-query rank the incremental-add
+    path (assign_new) uses: fully distributed, no collect anywhere,
+    and the probe join loses its broadcast hint (a corpus-sized probe
+    side shouldn't broadcast; AQE picks the join strategy).
+
+    At scale: the probe list is nprobe rows per query, the join is
+    partition-pruned to the union of probed clusters, and the shuffle
+    for the window carries only candidate rows — nprobe/nlist of the
+    data."""
     from pyspark.sql import Window
 
     from ..functions import vector as V
 
-    qrows = queries.select(q_id_col, q_vec_col).collect()
-    # driver-side centroid ranking per query: |Q| × nlist × dim flops
-    probe_rows = [
-        (row[q_id_col], cid, [float(x) for x in row[q_vec_col]])
-        for row in qrows
-        for cid in index.probe_clusters([float(x) for x in row[q_vec_col]], nprobe)
-    ]
     spark = queries.sparkSession
-    # derive the q_id field type from the input schema — string or
-    # other non-long id columns must round-trip unchanged (ADVICE r4)
-    qid_type = StructField(q_id_col, queries.schema[q_id_col].dataType)
-    probes = spark.createDataFrame(
-        probe_rows,
-        StructType([
-            qid_type,
-            StructField("cluster_id", IntegerType()),
-            StructField("_qv", ArrayType(DoubleType())),
-        ]),
-    )
+    # size probe, not a count of the full set: limit(cap+1) stops the
+    # scan as soon as the cap is provably exceeded
+    small = queries.limit(max_driver_batch + 1).count() <= max_driver_batch
+    if small:
+        qrows = queries.select(q_id_col, q_vec_col).collect()
+        # driver-side centroid ranking per query: |Q| × nlist × dim flops
+        probe_rows = [
+            (row[q_id_col], cid, [float(x) for x in row[q_vec_col]])
+            for row in qrows
+            for cid in index.probe_clusters(
+                [float(x) for x in row[q_vec_col]], nprobe
+            )
+        ]
+        # derive the q_id field type from the input schema — string or
+        # other non-long id columns must round-trip unchanged (ADVICE r4)
+        qid_type = StructField(q_id_col, queries.schema[q_id_col].dataType)
+        probes = spark.createDataFrame(
+            probe_rows,
+            StructType([
+                qid_type,
+                StructField("cluster_id", IntegerType()),
+                StructField("_qv", ArrayType(DoubleType())),
+            ]),
+        )
+        probes_join = F.broadcast(probes)
+    else:
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(cid, c) for cid, c in enumerate(index.centroids)],
+                "cluster_id int, _cent array<double>",
+            )
+        )
+        d2 = V.squared_l2(F.col("_qv"), F.col("_cent"))
+        w_probe = Window.partitionBy(q_id_col).orderBy(
+            F.col("_d2").asc(), F.col("cluster_id").asc()
+        )
+        probes = (
+            queries.select(
+                q_id_col, F.col(q_vec_col).cast("array<double>").alias("_qv")
+            )
+            .crossJoin(cents)
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w_probe))
+            .filter(F.col("_rn") <= nprobe)
+            .select(q_id_col, "cluster_id", "_qv")
+        )
+        probes_join = probes
     cand = index.assigned.join(
-        F.broadcast(probes),
+        probes_join,
         index.assigned["cluster_id"] == probes["cluster_id"],
     ).drop(probes["cluster_id"])
     dist = F.round(

@@ -132,6 +132,72 @@ def test_ivf_search_batch_matches_single_probe(vec_df, spark):
     }
 
 
+def test_ivf_search_batch_distributed_equals_driver_path(vec_df, spark):
+    """Above max_driver_batch the probe list derives DISTRIBUTED
+    (broadcast-centroid crossJoin + rank), never via collect(): the
+    driver-side probe_clusters helper must not be called, and the
+    results must be row-identical to the driver path on the same
+    queries."""
+    from python_vectordbapp_ceph_spark.operators import ivf as IVF
+
+    index = IVF.build_ivf(vec_df, nlist=4)
+    queries = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding])
+         for r in vec_df.orderBy("vec_id").limit(8).collect()],
+        "q_id long, q_embedding array<double>",
+    )
+    want = {(r.q_id, r.vec_id, r.distance)
+            for r in IVF.search_batch(index, queries, k=3, nprobe=2).collect()}
+
+    def boom(self, qvec, nprobe):
+        raise AssertionError("driver-side probe ranking in distributed path")
+
+    orig = IVF.IVFIndex.probe_clusters
+    IVF.IVFIndex.probe_clusters = boom
+    try:
+        got_df = IVF.search_batch(
+            index, queries, k=3, nprobe=2, max_driver_batch=0
+        )
+        got = {(r.q_id, r.vec_id, r.distance) for r in got_df.collect()}
+    finally:
+        IVF.IVFIndex.probe_clusters = orig
+    assert got == want
+
+
+def test_ivf_search_batch_large_query_set_never_collects(vec_df, spark):
+    """A 100k-row query DataFrame must flow through search_batch with
+    no driver-side materialization of vectors (the guard the API needs
+    because it accepts ANY DataFrame, not just real query batches).
+    Synthetic queries are built JVM-side from range() — creating them
+    costs no driver memory either."""
+    from pyspark.sql import functions as F
+
+    from python_vectordbapp_ceph_spark.operators import ivf as IVF
+
+    index = IVF.build_ivf(vec_df, nlist=4)
+    dim = len(vec_df.select("embedding").first()[0])
+    queries = spark.range(100_000).select(
+        F.col("id").alias("q_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: ((F.col("id") + i) % 7).cast("double") / 7.0,
+        ).alias("q_embedding"),
+    )
+
+    def boom(self, qvec, nprobe):
+        raise AssertionError("driver-side probe ranking on a 100k batch")
+
+    orig = IVF.IVFIndex.probe_clusters
+    IVF.IVFIndex.probe_clusters = boom
+    try:
+        out = IVF.search_batch(index, queries, k=2, nprobe=1)
+        # aggregate-only check: k rows per query, no collect of rows
+        n = out.groupBy().count().first()[0]
+    finally:
+        IVF.IVFIndex.probe_clusters = orig
+    assert n == 200_000
+
+
 # --- SQ8 scalar quantization ------------------------------------------------
 
 def test_sq8_reconstruction_error_bounded(vec_df):
