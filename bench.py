@@ -3,11 +3,22 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": ...}
+   "queries": {"q1": sec, ...}, "queries_cold": {...},
+   "cold_total": sec, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full column
 evaluation — a bare count() would let Catalyst prune the computed
 columns and under-report).
+
+Every query runs TWICE and both times are recorded; the headline
+total (and "queries") is the WARM run. Rationale (r6 verdict): cold
+first-execution times in a long shared-JVM session absorb whatever
+JIT/GC/file-listing state the preceding queries left behind — r6
+showed 11 phantom "regressions" on sub-second queries that warm
+re-runs disproved. Warm times are the comparable signal
+round-over-round; cold times stay in the artifact for startup-cost
+visibility. Caches are released between the two runs, so the warm run
+re-executes the full plan (JVM warmth, not result reuse).
 """
 
 from __future__ import annotations
@@ -111,21 +122,27 @@ def main() -> None:
 
     from python_vectordbapp_ceph_spark.operators.dedup import release_caches
 
-    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_caches()  # LSH/shingle intermediates don't accumulate
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            release_caches()  # LSH/shingle intermediates don't accumulate
+        cold[name], warm[name] = runs[0], runs[1]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
