@@ -1,0 +1,83 @@
+"""Two-phase (distributed) global running sums.
+
+Spark executes an UNPARTITIONED `Window.orderBy(...)` on a single
+task — range partitioning applies to global SORTS, not windows — so
+any global cumulative sum written naively caps the operator at one
+task's memory. Histograms over rounded scores are "bounded by value
+cardinality", but a heavy-tailed continuous column (raw doc lengths at
+100 TB) can still push that histogram to 10⁸ rows; vocabulary tables
+grow with the corpus outright. The distributed answer is the classic
+two-phase rank (used by q_shuffle_order since r6, generalized here):
+
+  1. range-repartition on the order key — one sampled wide exchange;
+     each partition owns a contiguous key range (persisted, so both
+     passes see the SAME partitioning);
+  2. per-partition partial masses → cumulative prefix offsets via a
+     window over ≤num-partitions rows (the ONLY single-partition
+     window, bounded by cluster width, never by data);
+  3. broadcast the offsets back and add a WITHIN-partition running
+     sum.
+
+Every phase is bounded by a single partition's slice of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..cache import tracked_persist
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str | Column,
+    cum_col: str | None = "cum",
+    before_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus distributed global running sum(s) of ``val_col`` in
+    ``order_cols`` order: ``cum_col`` includes the current row,
+    ``before_col`` is the strictly-preceding sum (either may be None
+    to skip). ``order_cols`` accepts names or Columns (e.g.
+    ``F.col("freq").desc()``) and must be a TOTAL order for the
+    result to be deterministic.
+
+    The caller's ``df`` is persisted (tracked_persist) to pin the
+    sampled range boundaries; release via cache.release_caches() as
+    usual."""
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    spark = df.sparkSession
+    npart = max(spark.sparkContext.defaultParallelism, 2)
+    parts = tracked_persist(
+        df.repartitionByRange(npart, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    partials = parts.groupBy("_pid").agg(F.sum(val).alias("_mass"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "_pid",
+        F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = parts.join(F.broadcast(offsets), "_pid")
+    if cum_col is not None:
+        out = out.withColumn(
+            cum_col,
+            F.col("_off")
+            + F.sum(val).over(
+                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    if before_col is not None:
+        out = out.withColumn(
+            before_col,
+            F.col("_off")
+            + F.coalesce(
+                F.sum(val).over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    return out.drop("_pid", "_off")

@@ -57,27 +57,25 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     score has `cum_before` smaller values and `c` ties contributes
     2*avg_rank = 2*cum_before + c + 1.
 
-    Scale shape: the only global-order window runs over the DISTINCT
+    Scale shape: the global cumulative count runs over the DISTINCT
     -score histogram (groupBy score first), not over rows — the
-    standard histogram AUC. At 100 TB the row count is huge but the
-    rounded-6 score cardinality is bounded by value range; the window
-    input is that histogram. All per-label math is a hash aggregate
-    joined to the histogram on score (a shuffle equi-join, never a
-    collect). One final double divide, rounded to 6."""
+    standard histogram AUC — and is TWO-PHASED
+    (operators/twophase.py): range-partitioned per-partition cumsums
+    plus broadcast prefix offsets, so even an adversarially
+    heavy-tailed score column whose rounded-6 histogram reaches 10⁸
+    rows never funnels through one task. All per-label math is a hash
+    aggregate joined to the histogram on score (a shuffle equi-join,
+    never a collect). One final double divide, rounded to 6."""
+    from ..operators.twophase import global_cumsum
+
     s = T(spark, sf_dir, "embeddings").select(
         "label",
         F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
     )
     h = s.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
-    w = (
-        Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    hc = h.select(
-        "score",
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
-    )
+    hc = global_cumsum(
+        h, ["score"], "c", cum_col=None, before_col="cum_before"
+    ).select("score", "c", "cum_before")
     p = s.groupBy("label", "score").agg(F.count(F.lit(1)).alias("pc"))
     r = (
         p.join(hc, "score")
@@ -610,10 +608,15 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global DISTINCT-value histogram's cumulative spans.
 
     Scale shape: the within-source rank window is PARTITIONED by
-    source; the only global-order window builds the distinct-value
-    histogram (bounded by value cardinality, the q_auc discipline);
-    the position lookup is a broadcast interval join against that
-    small histogram — each row matches exactly one span."""
+    source; the global cumulative spans over the distinct-value
+    histogram are TWO-PHASED (operators/twophase.py — per-partition
+    cumsums + broadcast prefix offsets), so a heavy-tailed value
+    column never funnels its histogram through one task. The
+    position→value lookup broadcasts the histogram for the interval
+    join; that broadcast (not the window) is the surviving cardinality
+    contract — it holds while distinct values fit an executor
+    (~10⁷ spans ≈ hundreds of MB); beyond that, swap the broadcast
+    for a range join on idx between cum_before and cum."""
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     ng = d.agg(F.count(F.lit(1)).alias("n_g"))
@@ -625,16 +628,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
         .alias("rnk"),
     )
+    from ..operators.twophase import global_cumsum
+
     hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy("n_chars")
-    cumh = hist.select(
-        F.col("n_chars").alias("v"),
-        F.sum("c").over(wv).alias("cum"),
-        F.coalesce(
-            F.sum("c").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("cum_before"),
-    )
+    cumh = global_cumsum(
+        hist, ["n_chars"], "c", cum_col="cum", before_col="cum_before"
+    ).select(F.col("n_chars").alias("v"), "cum", "cum_before")
     t = (
         r.join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(ng))

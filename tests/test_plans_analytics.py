@@ -372,3 +372,33 @@ def test_nucleus_vocab_window_is_partitioned(spark):
     assert vocab_windows, "expected the cumulative-mass Window in the plan"
     for ln in vocab_windows:
         assert "windowspecdefinition(_pid#" in ln, ln
+
+
+def test_histogram_cumsum_windows_are_partitioned(spark):
+    """q_auc / q_quantile_normalize global histogram cumsums must be
+    two-phased: every Window node ordered by the histogram key carries
+    the _pid partition spec (the only allowed unpartitioned window is
+    the prefix-offset one over ≤num-partitions partial sums). Guards
+    against heavy-tailed continuous columns blowing the histogram past
+    one task's memory at 100 TB."""
+    import re
+
+    from python_vectordbapp_ceph_spark.queries.evaluation import (
+        q_auc,
+        q_quantile_normalize,
+    )
+
+    for q, key in ((q_auc, r"score#\d+"), (q_quantile_normalize, r"n_chars#\d+L?")):
+        plan = explain_str(q(spark, SF_DIR), "simple")
+        key_windows = [
+            ln
+            for ln in plan.splitlines()
+            if "Window [" in ln
+            and re.search(key + r" ASC", ln)
+            # the within-source rank window of quantile_normalize is
+            # partitioned by source — fine
+            and "source#" not in ln
+        ]
+        assert key_windows, f"expected the histogram cumsum Window in {q.__name__}"
+        bad = [ln for ln in key_windows if "windowspecdefinition(_pid#" not in ln]
+        assert bad == [], bad
