@@ -104,6 +104,10 @@ HEADLINE = [
     "q_quantile_normalize",# histogram-span quantile mapping (r6)
     "q_label_centroids",   # exact decimal per-label centroids (r6)
     "q_spatial_radius_join", # grid-cell bucketed spatial join (r6)
+    "q_token_shards",      # two-phase token cumsum shard packing (r7)
+    "q_hapax_share",       # posting-list df join, vocab-keyed (r7)
+    "q_balanced_sample",   # WindowGroupLimit per-label cap (r7)
+    "q_dataset_card",      # single-scan multi-distinct card (r7)
 ]
 
 

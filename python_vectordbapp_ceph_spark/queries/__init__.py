@@ -60,3 +60,4 @@ from . import analytics  # noqa: E402,F401
 from . import mining  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import evaluation  # noqa: E402,F401
+from . import assembly  # noqa: E402,F401

@@ -979,9 +979,7 @@ def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
           FROM g WHERE gap IS NOT NULL GROUP BY event_type)
     SELECT event_type, n,
-           round((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)
-                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sg AS DOUBLE)), 6) AS fano_us
+           (n * sgg - sg * sg) // (n * sg) AS fano_floor_us
     FROM s ORDER BY event_type
     """,
 )
@@ -993,8 +991,13 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(user, type) lag window (partitioned — never global); the
     raw moments Σg and Σg² reduce in DECIMAL(38,0) because a squared
     µs gap is ~1e18 and the sum overflows int64 immediately (DuckDB's
-    HUGEINT matches); the Fano assembly is one double chain off two
-    exact sums, rounded."""
+    HUGEINT matches); the Fano assembly is EXACT integer floor
+    division (n·Σg² − (Σg)²) div (n·Σg) — a double chain here
+    diverged between engines at sf1 (round(…,6) on a 1e11-magnitude
+    value is ulp-unstable: DuckDB scales by 10⁶ before rounding, the
+    r7 sf1 sweep caught it), and at µs scale the integer part IS the
+    signal. Bound: the decimal-38 products hold to ~1e10 gap samples
+    per event type; Cauchy-Schwarz keeps the numerator ≥ 0."""
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     g = e.select(
@@ -1009,15 +1012,14 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gap").cast(d38) * F.col("gap").cast(d38)).cast(d38)
         ).alias("sgg"),
     )
+    n38 = F.col("n").cast(d38)
     return s.select(
         "event_type",
         "n",
-        F.round(
-            (
-                F.col("n").cast("double") * F.col("sgg").cast("double")
-                - F.col("sg").cast("double") * F.col("sg").cast("double")
-            )
-            / (F.col("n").cast("double") * F.col("sg").cast("double")),
-            6,
-        ).alias("fano_us"),
+        (
+            (n38 * F.col("sgg") - F.col("sg") * F.col("sg"))
+            / (n38 * F.col("sg"))
+        )
+        .cast("long")
+        .alias("fano_floor_us"),
     ).orderBy("event_type")

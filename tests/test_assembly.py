@@ -1,0 +1,216 @@
+"""Round-7 assembly tier: semantic properties the oracle hash can't
+express (budget invariants, cap invariants, distribution sanity) plus
+the plan pins that make these shapes survive a 100× scale-up."""
+
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+from python_vectordbapp_ceph_spark.queries.assembly import (
+    _BALANCE_CAP,
+    _SHARD_BUDGET,
+    q_balanced_sample,
+    q_benford_digits,
+    q_cusum_changepoint,
+    q_dataset_card,
+    q_prefix_groups,
+    q_token_shards,
+    q_weighted_quantiles,
+)
+
+from conftest import SF_DIR
+
+
+def test_token_shards_budget_invariants(spark):
+    """Every shard except the last must carry >= the token budget
+    (documents are never split, so shards only ever OVERSHOOT), and
+    shard ids must be a contiguous 0..max range."""
+    rows = q_token_shards(spark, SF_DIR).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, 0)
+        by_shard[r.shard_id] += r.n_tokens
+    ids = sorted(by_shard)
+    assert ids == list(range(len(ids)))
+    for sid in ids[:-1]:
+        assert by_shard[sid] >= _SHARD_BUDGET, (sid, by_shard[sid])
+    # total conservation: no token lost or double-counted
+    total = sum(r.n_tokens for r in rows)
+    assert total == sum(by_shard.values())
+
+
+def test_token_shards_assignment_is_partitioning_invariant(spark):
+    """The shard assignment must not depend on the physical layout:
+    recomputing over a repartitioned input gives identical rows."""
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    base = q_token_shards(spark, SF_DIR)
+    got = {(r.doc_id, r.shard_id) for r in base.collect()}
+    # same computation, shuffled input
+    d = load_table(spark, SF_DIR, "documents").repartition(13)
+    d.createOrReplaceTempView("_shard_probe")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    from python_vectordbapp_ceph_spark.operators.twophase import global_cumsum
+
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))).alias("_k"),
+    )
+    c = global_cumsum(t, ["_k", "doc_id"], "n_tokens", cum_col="cum")
+    again = {
+        (r.doc_id, r.shard_id)
+        for r in c.select(
+            "doc_id",
+            F.expr(f"(cum - n_tokens) div {_SHARD_BUDGET}").alias("shard_id"),
+        ).collect()
+    }
+    assert got == again
+
+
+def test_weighted_quantiles_are_monotone_and_bracketed(spark):
+    rows = {r.pct: r.value for r in q_weighted_quantiles(spark, SF_DIR).collect()}
+    assert sorted(rows) == [25, 50, 75, 90]
+    vals = [rows[p] for p in (25, 50, 75, 90)]
+    assert vals == sorted(vals)
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    lo, hi = d.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert lo <= vals[0] and vals[-1] <= hi
+
+
+def test_benford_shares_sum_to_a_million(spark):
+    rows = q_benford_digits(spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    total_ppm = sum(r.share_ppm for r in rows)
+    # floor-div truncation loses < 9 ppm total
+    assert 1_000_000 - 9 <= total_ppm <= 1_000_000
+    assert sum(r.benford_ppm for r in rows) == 1_000_000
+    for r in rows:
+        assert r.dev_ppm == r.share_ppm - r.benford_ppm
+
+
+def test_balanced_sample_caps_every_label(spark):
+    rows = q_balanced_sample(spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.label, []).append(r.rnk)
+    for label, rnks in per.items():
+        assert len(rnks) <= _BALANCE_CAP
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_balanced_sample_plan_uses_window_group_limit(spark):
+    """rank<=k must compile to WindowGroupLimit: map-side pre-pruning
+    to local top-k per label BEFORE the shuffle — the property that
+    keeps the exchange at O(labels*k) rows per task at 100 TB."""
+    plan = explain_str(q_balanced_sample(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_token_shards_cumsum_window_is_partitioned(spark):
+    """The global token cumsum must be two-phased — no corpus-ordered
+    Window without the _pid partition spec."""
+    import re
+
+    plan = explain_str(q_token_shards(spark, SF_DIR), "simple")
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and re.search(r"_k#\d+ ASC", ln)
+        and "windowspecdefinition(_pid#" not in ln
+    ]
+    assert bad == [], bad
+
+
+def test_prefix_groups_on_crafted_rows(spark):
+    """Two docs sharing an 8-token opener group together; a doc
+    shorter than the prefix is excluded; distinct openers don't."""
+    opener = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, opener + " tail one"),
+        (2, opener + " completely different continuation here"),
+        (3, "some other opener entirely with eight tokens padding x"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_pref")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    p = df.filter(F.size(toks) >= 8).select(
+        "doc_id", F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("h")
+    )
+    groups = (
+        p.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("ex"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    assert len(groups) == 1 and groups[0].n == 2 and groups[0].ex == 1
+
+
+def test_dataset_card_metrics_are_consistent(spark):
+    card = {r.metric: r.value for r in q_dataset_card(spark, SF_DIR).collect()}
+    from python_vectordbapp_ceph_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    n = d.count()
+    assert card["n_docs"] == n
+    assert card["min_chars"] <= card["mean_chars_ppm"] / 1_000_000 <= card["max_chars"]
+    assert 0 <= card["exact_dup_ppm"] < 1_000_000
+    assert card["total_tokens"] > 0
+    assert card["n_sources"] == d.select("source").distinct().count()
+
+
+def test_dataset_card_single_scan(spark):
+    """The card must stay one scan of documents — no per-metric
+    re-scan creep. All aggregates (incl. both count-distincts) reduce
+    through Spark's expand in a single pass."""
+    plan = explain_str(q_dataset_card(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_cusum_flags_a_planted_changepoint(spark):
+    """A series uniform for 20 days then 5x for 10 days must place the
+    changepoint at (or adjacent to) the rate switch."""
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        rate = 2 if day <= 20 else 10
+        for _ in range(rate):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", "probe"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string")
+    e = df.select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    s = daily.select(
+        "event_type", "day",
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("c").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("nd"),
+    )
+    top = (
+        s.select(
+            "day",
+            F.abs(
+                F.col("cum").cast("decimal(38,0)") * F.col("nd")
+                - F.col("i").cast("decimal(38,0)") * F.col("total")
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").desc(), "day")
+        .first()
+    )
+    # uniform-share deviation peaks exactly at the last low-rate day
+    assert top.day == "2024-03-20"

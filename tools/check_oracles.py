@@ -63,8 +63,12 @@ def main() -> int:
         spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; Spark-written scale
+        # points (tools/make_sf1.py) are directories of part files
+        tp = f"{sf_dir}/{t}.parquet"
+        pattern = f"{tp}/*.parquet" if os.path.isdir(tp) else tp
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
 
     qs = entrymod.queries()
