@@ -87,23 +87,34 @@ def _commit_file(v: int) -> str:
     return f"v{v:012d}.json"
 
 
-def current_manifest(spark: SparkSession, path: str):
-    """(version, {bucket_id(int) -> gen(int)}) of the highest commit,
-    or (None, {}) if the base has never been committed. Listing
-    `_commits/` is O(#merges) tiny JSON names; no data dirs are
-    touched."""
+def current_manifest(spark: SparkSession, path: str, version: int | None = None):
+    """(version, {bucket_id(int) -> gen(int)}) of the highest commit —
+    or of the requested ``version`` (time travel; raises if that
+    commit doesn't exist). (None, {}) if the base has never been
+    committed. Listing `_commits/` is O(#merges) tiny JSON names; no
+    data dirs are touched."""
     fs, hpath = _fs(spark, path)
     cdir = hpath(f"{path}/{_COMMITS}")
     if not fs.exists(cdir):
+        if version is not None:
+            raise FileNotFoundError(f"no commits under {path}")
         return None, {}
     best, best_name = None, None
     for st in fs.listStatus(cdir):
         name = st.getPath().getName()
         if name.startswith("v") and name.endswith(".json"):
             v = int(name[1:-5])
-            if best is None or v > best:
+            if version is not None:
+                if v == version:
+                    best, best_name = v, name
+                    break
+            elif best is None or v > best:
                 best, best_name = v, name
     if best is None:
+        if version is not None:
+            raise FileNotFoundError(
+                f"commit v{version} not found under {path}"
+            )
         return None, {}
     stream = fs.open(hpath(f"{path}/{_COMMITS}/{best_name}"))
     try:
@@ -200,17 +211,25 @@ def _bucket_aligned(df: DataFrame, n_buckets: int, files_per_bucket: int) -> Dat
 
 
 def read_buckets(
-    spark: SparkSession, path: str, buckets: list[int] | None = None
+    spark: SparkSession,
+    path: str,
+    buckets: list[int] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Manifest-resolved read. ``buckets=None`` reads the whole base;
     a bucket list prunes at the FILE-LISTING level — untouched bucket
     directories are never listed, cheaper than partition pruning over
     a full listing. Returns the data with its `_kb` partition column.
 
+    ``version`` time-travels to an older commit — valid while its
+    generations are retained (merge with ``keep_history=True``; a
+    default merge lazily deletes superseded dirs, and ``vacuum()``
+    reclaims everything the CURRENT manifest doesn't reference).
+
     Raises if the base has never been committed; returns an empty
     frame via the schema sidecar path in read_base for the all-deleted
     case (manifest present, zero buckets)."""
-    version, live = current_manifest(spark, path)
+    version, live = current_manifest(spark, path, version)
     if version is None:
         raise FileNotFoundError(
             f"no committed manifest under {path} — not a merge base "
@@ -259,13 +278,17 @@ def overwrite_touched_buckets(
     buckets: list[int],
     n_buckets: int = N_BUCKETS_DEFAULT,
     files_per_bucket: int = 1,
+    keep_history: bool = False,
 ) -> None:
     """Atomically replace the ``buckets`` of the base with ``result``
     (which holds their new contents; a touched bucket absent from
     ``result`` emptied out and is dropped from the manifest). Stage →
     publish → lazy cleanup; the publish rename is the only visibility
-    transition. ``result`` must already be materialized (checkpointed)
-    if its lineage reads ``path``."""
+    transition. ``keep_history=True`` skips the cleanup so superseded
+    generations stay readable via read_buckets(version=...) — snapshot
+    time travel — until vacuum() reclaims them. ``result`` must
+    already be materialized (checkpointed) if its lineage reads
+    ``path``."""
     version, live = current_manifest(spark, path)
     if version is None:
         raise FileNotFoundError(f"no committed manifest under {path}")
@@ -276,13 +299,14 @@ def overwrite_touched_buckets(
     new_map = {b: g for b, g in live.items() if b not in set(buckets)}
     new_map.update({b: gen for b in survivors})
     _publish(spark, path, gen, new_map)
-    # lazy cleanup of superseded directories — crash-safe: nothing
-    # below is referenced by any manifest anymore
-    fs, hpath = _fs(spark, path)
-    for b in set(buckets):
-        old = live.get(b)
-        if old is not None:
-            fs.delete(hpath(f"{path}/gen={old}/_kb={b}"), True)
+    if not keep_history:
+        # lazy cleanup of superseded directories — crash-safe: nothing
+        # below is referenced by the CURRENT manifest anymore
+        fs, hpath = _fs(spark, path)
+        for b in set(buckets):
+            old = live.get(b)
+            if old is not None:
+                fs.delete(hpath(f"{path}/gen={old}/_kb={b}"), True)
     # the session caches file listings; later reads must see the new
     # generation
     spark.catalog.refreshByPath(path)
@@ -339,8 +363,12 @@ def merge_into(
     n_buckets: int = N_BUCKETS_DEFAULT,
     files_per_bucket: int = 1,
     checkpoint_dir: str | None = None,
+    keep_history: bool = False,
 ) -> list[int]:
     """MERGE the change set into the bucketed base at ``path``.
+    ``keep_history=True`` retains the superseded generations for
+    read_base(version=...) snapshot reads (see
+    overwrite_touched_buckets).
 
     ``changes`` carries (key, payload..., ts, op). Returns the list of
     rewritten bucket ids (the driver-side footprint — ids only).
@@ -392,16 +420,20 @@ def merge_into(
     # the lineage back to the files being replaced); eager by default
     result = materialize(result, checkpoint_dir)
     overwrite_touched_buckets(
-        spark, path, result, buckets, n_buckets, files_per_bucket
+        spark, path, result, buckets, n_buckets, files_per_bucket,
+        keep_history=keep_history,
     )
     return sorted(buckets)
 
 
-def read_base(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_base(
+    spark: SparkSession, path: str, schema=None, version: int | None = None
+) -> DataFrame:
     """Read the merged base (manifest-resolved). Pass ``schema`` for
     the degenerate case where every row has been deleted (an empty
-    manifest leaves no files to infer from)."""
-    df = read_buckets(spark, path)
+    manifest leaves no files to infer from); ``version`` time-travels
+    to a retained older commit (keep_history merges)."""
+    df = read_buckets(spark, path, version=version)
     if df is None:
         if schema is None:
             raise ValueError(

@@ -272,6 +272,59 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_base(spark, path).select("o_orderkey", "val")
 
 
+@register(
+    "q_merge_time_travel",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS val FROM orders
+    """,
+)
+def q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the manifest-committed merge base: run
+    the same update/delete/insert MERGE as q_merge_into but with
+    keep_history=True, then read VERSION 0 back — the pre-merge
+    snapshot must equal the original base byte-for-byte even though
+    the current version has rows updated, deleted, and inserted. This
+    is the audit/reproducibility read every training-data pipeline
+    wants ("what exactly did the corpus look like when run X
+    trained?"), and it falls out of the commit protocol for free:
+    versioned immutable manifests + retained generations
+    (operators/merge.py). Reading v0 lists only the directories its
+    manifest references; the v1 generation is invisible to it."""
+    from ..operators.merge import merge_into, read_base, write_bucketed_base
+
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("val"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"merge_tt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}", "base",
+    )
+    import shutil
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    write_bucketed_base(base, path, "o_orderkey", n_buckets=16)
+    changes = o.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0))
+        .otherwise(F.lit(-1.0))
+        .alias("val"),
+        F.lit(1).cast("long").alias("ts"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    merge_into(
+        spark, path, changes, key_col="o_orderkey", ts_col="ts",
+        n_buckets=16, keep_history=True,
+    )
+    return read_base(spark, path, version=0).select("o_orderkey", "val")
+
+
 # --- benchmark decontamination ---------------------------------------------
 
 @register("q_decontaminate")

@@ -385,3 +385,57 @@ def test_merge_publish_race_first_writer_wins(spark, tmp_path):
     with pytest.raises(RuntimeError, match="publish race"):
         _publish(spark, path, 1, {0: 1})
     assert _manifest(path)["buckets"] == {"0": 1}
+
+
+def test_merge_time_travel_reads_pre_merge_snapshot(spark, tmp_path):
+    """keep_history=True retains superseded generations: version 0
+    must read back the exact pre-merge base while the current version
+    shows the merged state; vacuum() then reclaims history and the
+    current read is unaffected."""
+    import pytest
+
+    from python_vectordbapp_ceph_spark.operators.merge import vacuum
+
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    old = {(r.key, r.val) for r in read_base(spark, path).collect()}
+
+    changes = spark.createDataFrame(
+        [("k1", 111, 1, "upsert"), ("k2", 0, 1, "delete"),
+         ("new1", 999, 1, "upsert")],
+        "key string, val long, ts long, op string",
+    )
+    merge_into(spark, path, changes, key_col="key", ts_col="ts",
+               n_buckets=N_BUCKETS, keep_history=True)
+
+    now = {(r.key, r.val) for r in read_base(spark, path).collect()}
+    want = {(f"k{i}", i * 10) for i in range(40) if i not in (1, 2)}
+    want |= {("k1", 111), ("new1", 999)}
+    assert now == want
+    # the snapshot: exactly the old rows
+    v0 = {(r.key, r.val) for r in read_base(spark, path, version=0).collect()}
+    assert v0 == old
+
+    # vacuum reclaims the superseded generation; current state intact
+    assert vacuum(spark, path) > 0
+    spark.catalog.refreshByPath(path)
+    assert {(r.key, r.val) for r in read_base(spark, path).collect()} == now
+    with pytest.raises(Exception):
+        read_base(spark, path, version=0).collect()
+
+
+def test_merge_without_keep_history_drops_old_generation(spark, tmp_path):
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    changes = spark.createDataFrame(
+        [("k1", 111, 1, "upsert")], "key string, val long, ts long, op string"
+    )
+    touched = merge_into(spark, path, changes, key_col="key", ts_col="ts",
+                         n_buckets=N_BUCKETS)
+    # the touched bucket's gen=0 dir is gone; untouched ones remain
+    assert not os.path.exists(
+        os.path.join(path, "gen=0", f"_kb={touched[0]}")
+    )
+    assert any(
+        d.startswith("_kb=") for d in os.listdir(os.path.join(path, "gen=0"))
+    )
