@@ -39,6 +39,10 @@ def main() -> int:
     args = sys.argv[1:]
     hostile = "--hostile" in args
     twice = "--twice" in args
+    oracle_timeout = 1e9
+    for a in args:
+        if a.startswith("--oracle-timeout="):
+            oracle_timeout = float(a.split("=", 1)[1])
     args = [a for a in args if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -73,7 +77,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     from python_vectordbapp_ceph_spark.cache import release_caches
 
     for name, fn in sorted(qs.items()):
@@ -100,9 +104,35 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = [tuple(r) for r in cur.fetchall()]
+            # watchdog: an oracle that is super-linear at this SF
+            # (recursive closures, all-pairs containment) gets
+            # interrupted rather than wedging the whole sweep with a
+            # runaway-memory DuckDB; the query is reported SKIP, not
+            # FAIL — the engine side already ran, and the query's
+            # exact gate lives at the SF its oracle can afford.
+            import threading
+
+            done = threading.Event()
+
+            def _watchdog():
+                if not done.wait(oracle_timeout):
+                    con.interrupt()
+
+            w = threading.Thread(target=_watchdog, daemon=True)
+            w.start()
+            try:
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                orows = [tuple(r) for r in cur.fetchall()]
+            finally:
+                done.set()
+        except duckdb.InterruptException:
+            print(
+                f"SKIP {name}: oracle exceeded {oracle_timeout}s at this SF "
+                f"(engine side ran: {len(srows)} rows)"
+            )
+            n_skip += 1
+            continue
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR")
             traceback.print_exc()
@@ -126,7 +156,8 @@ def main() -> int:
         print(f"PASS {name}: {len(sr)} rows, {len(sc)} cols ({time.time()-t0:.1f}s)")
         n_pass += 1
 
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    skip_note = f" / {n_skip} oracle-timeout-skip" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{skip_note}")
     if not only:
         try:
             edf = entrymod.entry(spark)
