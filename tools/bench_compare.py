@@ -1,0 +1,48 @@
+"""Compare two bench JSON artifacts on their common queries.
+
+Usage: python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
+
+Uses each file's "queries" dict — which, from round 7 on, holds WARM
+times (every headline query runs twice, caches released between runs;
+see bench.py). Cold first-execution times in a shared JVM absorb the
+preceding queries' JIT/GC state and produced round 6's phantom
+regressions, so cross-round deltas are only meaningful warm-to-warm;
+comparing a warm file against an older cold-time file understates the
+old round and is flagged in the header.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    a_path, b_path = sys.argv[1], sys.argv[2]
+    a = json.load(open(a_path))
+    b = json.load(open(b_path))
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb))
+    a_warm = "queries_cold" in a
+    b_warm = "queries_cold" in b
+    print(f"# {a_path} ({'warm' if a_warm else 'single-run'}) vs "
+          f"{b_path} ({'warm' if b_warm else 'single-run'})")
+    if a_warm != b_warm:
+        print("# NOTE: mixed protocols — deltas vs the single-run side "
+              "include its cold-start noise")
+    ta = sum(qa[q] for q in common)
+    tb = sum(qb[q] for q in common)
+    print(f"# common queries: {len(common)}; totals {ta:.1f}s -> {tb:.1f}s "
+          f"({(tb - ta) / ta * 100:+.1f}%)")
+    rows = sorted(common, key=lambda q: qb[q] - qa[q])
+    print(f"{'query':28s} {'old':>7s} {'new':>7s} {'delta':>8s}")
+    for q in rows:
+        d = qb[q] - qa[q]
+        if abs(d) < 0.15 and (qa[q] == 0 or abs(d) / max(qa[q], 1e-9) < 0.2):
+            continue  # noise floor
+        print(f"{q:28s} {qa[q]:7.2f} {qb[q]:7.2f} {d:+8.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
