@@ -80,10 +80,28 @@ def main() -> int:
     n_pass = n_fail = n_skip = 0
     from python_vectordbapp_ceph_spark.cache import release_caches
 
+    import threading
+
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         t0 = time.time()
+        # engine-side watchdog (same rationale as the oracle one): the
+        # exact-verify companions of the LSH tiers are quadratic by
+        # design and belong at verification SF; at a big SF they'd
+        # wedge the sweep. cancelAllJobs makes the collect raise.
+        eng_done = threading.Event()
+        eng_timed_out = []
+
+        def _eng_watchdog():
+            if not eng_done.wait(oracle_timeout):
+                eng_timed_out.append(True)
+                # cancelAllJobs only kills ACTIVE jobs — an iterative
+                # query launches many; keep cancelling until it gives up
+                while not eng_done.wait(2):
+                    spark.sparkContext.cancelAllJobs()
+
+        threading.Thread(target=_eng_watchdog, daemon=True).start()
         try:
             if twice:
                 fn(spark, sf_dir).collect()
@@ -91,11 +109,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
         except Exception:
-            print(f"FAIL {name}: SPARK ERROR")
-            traceback.print_exc()
-            n_fail += 1
+            if eng_timed_out:
+                print(f"SKIP {name}: engine exceeded {oracle_timeout}s at this SF")
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: SPARK ERROR")
+                traceback.print_exc()
+                n_fail += 1
             continue
         finally:
+            eng_done.set()
             # a ~90-query sweep would otherwise accumulate every
             # operator's tracked persist for the whole session
             release_caches()
