@@ -154,7 +154,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard restricted to a blocking key (source):
     per-block n² only, equi-join shuffle on the block key. The verify
-    stage of the near-dup funnel."""
+    stage of the near-dup funnel.
+
+    Scale contract: exact all-pairs-within-block is QUADRATIC in the
+    block and exists to VERIFY the approximate tiers at verification
+    SF (gated exact through sf0.1); at production scale the block key
+    must bound block size (or the LSH candidate set replaces the
+    block join — q_dedup_near is the 100 TB path, with its recall
+    measured and pinned by q_lsh_recall)."""
     d = T(spark, sf_dir, "documents")
     return jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5)
 
@@ -1023,7 +1030,12 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is always the reference set; equal sizes tie-break on id so each
     unordered pair appears once). Intersections evaluate in the join
     projection — pair rows with both sets never materialize through
-    an exchange."""
+    an exchange.
+
+    Scale contract: quadratic within a block, by design — the exact
+    VERIFY companion (gated through sf0.1) of the scalable
+    decontamination tiers (q_decontaminate LSH / q_bloom_decontaminate
+    / q_split_contamination), which are the 100 TB path."""
     from ..operators.dedup import _spread, shingles
     from ..cache import tracked_persist
 
