@@ -110,10 +110,10 @@ def main() -> int:
             scols = list(sdf.columns)
         except Exception:
             if eng_timed_out:
-                print(f"SKIP {name}: engine exceeded {oracle_timeout}s at this SF")
+                print(f"SKIP {name}: engine exceeded {oracle_timeout}s at this SF", flush=True)
                 n_skip += 1
             else:
-                print(f"FAIL {name}: SPARK ERROR")
+                print(f"FAIL {name}: SPARK ERROR", flush=True)
                 traceback.print_exc()
                 n_fail += 1
             continue
@@ -123,7 +123,7 @@ def main() -> int:
             # operator's tracked persist for the whole session
             release_caches()
         if name not in oracles:
-            print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)", flush=True)
             n_pass += 1
             continue
         try:
@@ -157,26 +157,26 @@ def main() -> int:
             n_skip += 1
             continue
         except Exception:
-            print(f"FAIL {name}: DUCKDB ERROR")
+            print(f"FAIL {name}: DUCKDB ERROR", flush=True)
             traceback.print_exc()
             n_fail += 1
             continue
         sc, sr = df_rows(scols, srows)
         oc, orr = df_rows(ocols, orows)
         if sc != oc:
-            print(f"FAIL {name}: columns {sc} vs {oc}")
+            print(f"FAIL {name}: columns {sc} vs {oc}", flush=True)
             n_fail += 1
             continue
         if len(sr) != len(orr):
-            print(f"FAIL {name}: rowcount {len(sr)} vs {len(orr)}")
+            print(f"FAIL {name}: rowcount {len(sr)} vs {len(orr)}", flush=True)
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(sr, orr) if a != b]
         if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first: {bad[0][0]} vs {bad[0][1]}")
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first: {bad[0][0]} vs {bad[0][1]}", flush=True)
             n_fail += 1
             continue
-        print(f"PASS {name}: {len(sr)} rows, {len(sc)} cols ({time.time()-t0:.1f}s)")
+        print(f"PASS {name}: {len(sr)} rows, {len(sc)} cols ({time.time()-t0:.1f}s)", flush=True)
         n_pass += 1
 
     skip_note = f" / {n_skip} oracle-timeout-skip" if n_skip else ""
