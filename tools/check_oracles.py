@@ -139,7 +139,11 @@ def main() -> int:
 
             def _watchdog():
                 if not done.wait(oracle_timeout):
-                    con.interrupt()
+                    # a single interrupt can be consumed before the
+                    # engine reaches an interruptible point; repeat
+                    # until the main thread confirms the raise
+                    while not done.wait(2):
+                        con.interrupt()
 
             w = threading.Thread(target=_watchdog, daemon=True)
             w.start()
