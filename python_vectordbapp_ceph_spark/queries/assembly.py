@@ -174,47 +174,18 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     `total` (~1e12 rows/type at 100 TB) and n_days·total·10⁶ overflows
     int64 — the q_ks_drift lesson applied at birth. Windows are
     PARTITIONED by event_type over day-count-bounded series (≤ one row
-    per day per type after the first aggregate)."""
-    d38 = "decimal(38,0)"
+    per day per type after the first aggregate). The CUSUM assembly is
+    operators/changepoint.py — shared verbatim with the streaming
+    monitor (streaming/changepoint.py), so the continuously-maintained
+    answer cannot drift from this batch definition."""
+    from ..operators.changepoint import cusum_changepoints
+
     e = T(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    wt = Window.partitionBy("event_type")
-    wo = wt.orderBy("day")
-    s = daily.select(
-        "event_type",
-        "day",
-        F.sum("c").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
-        F.row_number().over(wo).alias("i"),
-        F.sum("c").over(wt).alias("total"),
-        F.count(F.lit(1)).over(wt).alias("nd"),
-    )
-    dev = s.select(
-        "event_type",
-        "day",
-        F.abs(
-            F.col("cum").cast(d38) * F.col("nd")
-            - F.col("i").cast(d38) * F.col("total")
-        ).alias("_d"),
-        (F.col("total").cast(d38) * F.col("nd")).alias("_denom"),
-    )
-    r = dev.select(
-        "event_type",
-        "day",
-        (F.col("_d") * 1000000 / F.col("_denom")).cast("long").alias("dev_ppm"),
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy(F.col("_d").desc(), "day"))
-        .alias("_rnk"),
-    )
-    return (
-        r.filter(F.col("_rnk") == 1)
-        .select("event_type", F.col("day").alias("change_day"), "dev_ppm")
-        .orderBy("event_type")
-    )
+    return cusum_changepoints(daily, "event_type", "day", "c")
 
 
 # --- Benford first-digit audit ----------------------------------------------

@@ -214,3 +214,71 @@ def test_cusum_flags_a_planted_changepoint(spark):
     )
     # uniform-share deviation peaks exactly at the last low-rate day
     assert top.day == "2024-03-20"
+
+
+def test_streaming_cusum_equals_batch(spark, tmp_path):
+    """Batch/stream unification: events fed through the streaming
+    monitor in TWO micro-batches (incremental view folds + manifest
+    commits) must yield exactly the changepoints the batch assembly
+    computes over the union of all events."""
+    import json
+
+    from python_vectordbapp_ceph_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+    from python_vectordbapp_ceph_spark.streaming.changepoint import (
+        init_monitor,
+        monitor_stream,
+        read_changepoints,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 25):
+        for etype, rate in (("a", 3 if day <= 12 else 9), ("b", 4)):
+            for _ in range(rate):
+                rows.append(
+                    {"event_id": eid, "ts": f"2024-05-{day:02d} 08:00:00",
+                     "event_type": etype}
+                )
+                eid += 1
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rows) // 2
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:half]))
+
+    view = str(tmp_path / "view")
+    init_monitor(spark, view)
+    schema = "event_id long, ts timestamp, event_type string"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = monitor_stream(stream, view, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    # second micro-batch arrives later
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[half:]))
+    q = monitor_stream(
+        spark.readStream.schema(schema).json(str(src)), view,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.change_day, r.dev_ppm)
+        for r in read_changepoints(spark, view).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    batch = spark.read.schema(schema).json(str(src))
+    daily = batch.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    want = {
+        (r.event_type, r.change_day, r.dev_ppm)
+        for r in cusum_changepoints(daily).collect()
+    }
+    assert got == want and len(got) == 2
+    # and the planted shift is where we planted it
+    a = {r for r in got if r[0] == "a"}
+    assert next(iter(a))[1] == "2024-05-12"
