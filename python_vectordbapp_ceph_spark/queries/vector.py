@@ -315,11 +315,34 @@ def q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the no-blocking-key scale path for embedding-cosine dedup
     (candidates from band-bucket equi-joins, exact cosine verify; no
     n² stage anywhere). Approximate by construction → rows-only;
-    recall pinned in tests/test_dedup.py on planted clusters."""
+    recall pinned in tests/test_dedup.py on planted clusters.
+
+    SIZING RULE (the r7 sf1 lesson): bucket cardinality per band is
+    2^(n_bits/bands), a CONSTANT — if it doesn't track log2(n), the
+    band buckets fill up and the "candidate" self-join quietly goes
+    quadratic (the original 16/8 = 2-bit bands have 4 buckets/band:
+    fine at sf0.01, all-pairs at sf1). 96/6 = 16-bit bands give 65k
+    buckets/band — sparse through ~1e6 rows/band; at larger n raise
+    bits-per-band ≈ log2(n) + a margin, and keep the threshold in the
+    near-dup regime (band collision prob decays as p^bits, so wide
+    bands + low threshold would cost recall instead).
+
+    The test corpus has no natural ≥0.9-cosine pairs at small SF, so
+    three CANARY duplicates (copies of the 3 lowest-id vectors, ids
+    offset by 10⁹) are planted deterministically — the pipeline must
+    recover exactly those pairs wherever the data has none of its
+    own, and real dups surface additionally as the corpus grows."""
     from ..operators.dedup import srp_near_dups
 
-    e = T(spark, sf_dir, "embeddings")
-    return srp_near_dups(e, dim=64, threshold=0.3, n_bits=16, bands=8)
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    canary = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding")
+    )
+    return srp_near_dups(
+        e.unionByName(canary), dim=64, threshold=0.9, n_bits=96, bands=6
+    )
 
 
 @register("q_ivf_batch_search")  # approximate (pruned probe) → rows-only
