@@ -851,10 +851,30 @@ def q_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity-graph analytics: degrees and triangles ---------------------
 
+# The graph-shape diagnostics (degree histogram, triangles) build the
+# EXACT similarity graph, which is quadratic-within-block — so they
+# run on a FIXED-SIZE deterministic sample (TakeOrdered on
+# md5(id:salt), 2000 docs), the q_lsh_recall protocol: cost is
+# scale-invariant, the shape statistics are unbiased, and both engines
+# draw the identical sample so the oracles stay exact. The r7 sf1
+# sweep caught the full-corpus version (436 s degree hist, >600 s
+# triangles); the production-path graph operators (components,
+# survivors) use the LSH funnel instead and stay corpus-wide.
+_GRAPH_SAMPLE_N = 2000
+
+def _graph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":31"))), "doc_id"
+    ).limit(_GRAPH_SAMPLE_N)
+
+
 _PAIRS_05_SQL = f"""
+    smp AS (SELECT * FROM documents
+            ORDER BY md5(doc_id || ':31'), doc_id LIMIT {_GRAPH_SAMPLE_N}),
     s AS (SELECT doc_id, source,
                  list_distinct(string_split({_NORM_SQL}, ' ')) AS sh
-          FROM documents),
+          FROM smp),
     e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -880,8 +900,10 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that tells you whether near-dup removal faces a long tail or
     dense cliques (and whether LSH banding will bucket-skew). Two hash
     aggregates over the edge list; the edge endpoints union is
-    map-side, so one shuffle on id then one on degree."""
-    d = T(spark, sf_dir, "documents")
+    map-side, so one shuffle on id then one on degree. Runs on the
+    fixed-size graph sample (see _graph_sample) so the exact pair
+    stage stays scale-invariant."""
+    d = _graph_sample(spark, sf_dir)
     pairs = jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5)
     ends = pairs.select(F.col("id_a").alias("id")).unionAll(
         pairs.select(F.col("id_b").alias("id"))
@@ -919,10 +941,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list. The naive all-orders wedge join (what the oracle's triple
     join does) explodes as sum(deg^2) on dense-clique dedup graphs;
     orientation bounds the intermediate at m^1.5 regardless of skew.
-    Three shuffles total, all on ids."""
+    Three shuffles total, all on ids. Runs on the fixed-size graph
+    sample (see _graph_sample) so the exact pair stage stays
+    scale-invariant."""
     from ..cache import tracked_persist
 
-    d = T(spark, sf_dir, "documents")
+    d = _graph_sample(spark, sf_dir)
     pairs = tracked_persist(
         jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5)
         .select("id_a", "id_b")
@@ -1459,18 +1483,28 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path quality gate as a query: recall of the MinHash
     band-bucket candidate set against the exact blocked Jaccard pairs
     at τ=0.5 — one row (n_exact, n_caught, recall_ppm). At 100 TB the
-    exact side is infeasible corpus-wide, so this runs on a SAMPLE
-    block (here: the full small corpus) and the measured recall
-    licenses the LSH tier for the rest — the standard validation
-    protocol for banded dedup. rows-only (candidate set depends on
-    MinHash seeds); pytest pins the recall floor."""
+    exact side is infeasible corpus-wide, so BOTH sides run on a
+    FIXED-SIZE deterministic sample (TakeOrdered on md5(id:salt),
+    2000 docs — fixed-RATE sampling would keep the exact side
+    quadratic in the corpus; the r7 sf1 sweep caught exactly that)
+    and the measured recall licenses the LSH tier for the rest — the
+    standard validation protocol for banded dedup. rows-only
+    (candidate set depends on MinHash seeds); pytest pins the recall
+    floor."""
     from ..operators.dedup import (
         jaccard_pairs as jp,
         minhash_lsh_candidates,
         minhash_signatures,
     )
 
-    d = T(spark, sf_dir, "documents")
+    full = T(spark, sf_dir, "documents")
+    d = (
+        full.orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":31"))),
+            "doc_id",
+        )
+        .limit(2000)
+    )
     exact = jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
         "id_a", "id_b"
     )
