@@ -17,10 +17,22 @@ import json
 import sys
 
 
+def _load(path: str) -> dict:
+    d = json.load(open(path))
+    if "queries" not in d and "tail" in d:
+        # driver-wrapped artifact: the bench's own JSON line is
+        # embedded in the captured tail
+        start = d["tail"].index('{"metric"')
+        line = d["tail"][start:]
+        end = line.index("}\n") + 1 if "}\n" in line else len(line)
+        d = json.loads(line[: line.rindex("}") + 1])
+    return d
+
+
 def main() -> int:
     a_path, b_path = sys.argv[1], sys.argv[2]
-    a = json.load(open(a_path))
-    b = json.load(open(b_path))
+    a = _load(a_path)
+    b = _load(b_path)
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
     a_warm = "queries_cold" in a
