@@ -461,3 +461,45 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+# --- the shard manifest ------------------------------------------------------
+
+@register(
+    "q_shard_manifest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS_LOWER}) AS n_tokens,
+                      md5(doc_id || ':7') AS k
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY k, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+    a AS (SELECT doc_id, n_tokens,
+                 (cum - n_tokens) // {_SHARD_BUDGET} AS shard_id
+          FROM c)
+    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM a GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a training loader consumes: per shard, its doc
+    count, token total, and doc-id range — the q_token_shards
+    assignment rolled up to one row per shard. This is the artifact
+    that gets diffed between pipeline runs (same corpus + same salt ⇒
+    byte-identical manifest) and the file a resumable loader seeks
+    into. One hash aggregate over the assignment; the assignment
+    itself is the two-phase distributed cumsum — nothing here adds a
+    scale term."""
+    a = q_token_shards(spark, sf_dir)
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )

@@ -282,3 +282,17 @@ def test_streaming_cusum_equals_batch(spark, tmp_path):
     # and the planted shift is where we planted it
     a = {r for r in got if r[0] == "a"}
     assert next(iter(a))[1] == "2024-05-12"
+
+
+def test_shard_manifest_matches_assignment(spark):
+    from python_vectordbapp_ceph_spark.queries.assembly import q_shard_manifest
+
+    a = q_token_shards(spark, SF_DIR).collect()
+    m = {r.shard_id: r for r in q_shard_manifest(spark, SF_DIR).collect()}
+    per = {}
+    for r in a:
+        d, t = per.setdefault(r.shard_id, [0, 0])
+        per[r.shard_id] = [d + 1, t + r.n_tokens]
+    assert set(per) == set(m)
+    for sid, (nd, nt) in per.items():
+        assert (m[sid].n_docs, m[sid].n_tokens) == (nd, nt)
