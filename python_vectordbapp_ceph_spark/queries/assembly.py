@@ -503,3 +503,80 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --- calendar coverage gaps --------------------------------------------------
+
+@register(
+    "q_calendar_gaps",
+    oracle="""
+    WITH obs AS (SELECT event_type,
+                        CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi,
+                    COUNT(*) AS n_days
+             FROM obs GROUP BY event_type),
+    cal AS (SELECT s.event_type,
+                   unnest(generate_series(s.lo, s.hi,
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM span s),
+    missing AS (SELECT c.event_type, c.day
+                FROM cal c LEFT JOIN obs o
+                  ON c.event_type = o.event_type AND c.day = o.day
+                WHERE o.day IS NULL)
+    SELECT s.event_type,
+           CAST(hi - lo AS BIGINT) + 1 AS span_days,
+           s.n_days AS observed_days,
+           CAST(hi - lo AS BIGINT) + 1 - s.n_days AS missing_days,
+           COALESCE(strftime(MIN(m.day), '%Y-%m-%d'), '') AS first_missing
+    FROM span s LEFT JOIN missing m ON s.event_type = m.event_type
+    GROUP BY s.event_type, s.lo, s.hi, s.n_days
+    ORDER BY s.event_type
+    """,
+)
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-outage detector: per event type, the calendar span
+    between its first and last day, how many days actually carry data,
+    and the first missing day — the "did a feed silently stop"
+    data-quality check that row counts and schema checks can't see.
+
+    Scale shape: rows collapse to (type, day) FIRST (one hash
+    aggregate with map-side combine); the calendar explode is
+    sequence() over the span — bounded by days, not rows; the
+    anti-join runs on the day-level table. Nothing downstream of the
+    first aggregate ever sees event-level data."""
+    e = T(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.lit(1).alias("_x"))
+    span = obs.groupBy("event_type").agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+        F.count(F.lit(1)).alias("observed_days"),
+    )
+    cal = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day"),
+    )
+    missing = cal.join(obs.select("event_type", "day"), ["event_type", "day"], "left_anti")
+    return (
+        span.join(
+            missing.groupBy("event_type").agg(
+                F.min("day").alias("_first_missing")
+            ),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            (F.datediff("hi", "lo") + 1).cast("long").alias("span_days"),
+            "observed_days",
+            (F.datediff("hi", "lo") + 1 - F.col("observed_days"))
+            .cast("long")
+            .alias("missing_days"),
+            F.coalesce(
+                F.date_format("_first_missing", "yyyy-MM-dd"), F.lit("")
+            ).alias("first_missing"),
+        )
+        .orderBy("event_type")
+    )

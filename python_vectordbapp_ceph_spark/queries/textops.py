@@ -1652,3 +1652,59 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         F.sum("tokens").over(w).alias("tokens_at_or_above"),
     ).orderBy("qbucket")
+
+
+@register("q_lsh_precision")  # rows-only: MinHash seeds make it approximate
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the LSH quality pair: PRECISION of the
+    band-bucket candidate set — what fraction of proposed candidates
+    verify at τ=0.5 — one row (n_candidates, n_true, precision_ppm,
+    pairs_per_doc_ppm). q_lsh_recall prices missed dups; this prices
+    the VERIFY bill: at 100 TB the exact-Jaccard verify stage costs
+    O(candidates), so low precision means paying intersections for
+    junk pairs (band tuning trades the two — banding probability
+    curves steepen with rows/band). Same fixed-size deterministic
+    sample protocol as the recall gate; rows-only (seed-dependent),
+    pytest pins a precision floor at the 2-rows/band operating
+    point."""
+    from ..operators.dedup import (
+        jaccard_pairs as jp,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    full = T(spark, sf_dir, "documents")
+    d = (
+        full.orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":31"))),
+            "doc_id",
+        )
+        .limit(2000)
+    )
+    cand = minhash_lsh_candidates(
+        minhash_signatures(d, num_hashes=32, shingle_n=1), bands=16
+    )
+    exact = jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    true_pos = cand.join(exact, ["id_a", "id_b"], "left_semi")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = true_pos.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_cand.crossJoin(n_true)
+        .crossJoin(n_docs)
+        .select(
+            "n_candidates",
+            "n_true",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("n_true * 1000000 div n_candidates"),
+            )
+            .otherwise(F.lit(None).cast("long"))
+            .alias("precision_ppm"),
+            F.expr("n_candidates * 1000000 div n_docs").alias(
+                "pairs_per_doc_ppm"
+            ),
+        )
+    )

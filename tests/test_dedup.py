@@ -262,3 +262,20 @@ def test_lsh_recall_query_floor(spark):
     row = q_lsh_recall(spark, SF_DIR).collect()[0]
     assert row.n_exact > 0
     assert row.recall_ppm >= 950_000, row
+
+
+def test_lsh_precision_query_floor(spark):
+    """The precision companion of the recall gate: at the 2-rows/band
+    recall-oriented operating point precision is low by design (the
+    trade the docstring prices) but must stay above the floor that
+    keeps the verify stage affordable, and the candidate count must
+    stay far below the sample's all-pairs volume."""
+    from conftest import SF_DIR
+    from python_vectordbapp_ceph_spark.queries.textops import q_lsh_precision
+
+    row = q_lsh_precision(spark, SF_DIR).collect()[0]
+    assert row.n_candidates > 0
+    assert row.precision_ppm >= 20_000  # >= 2%
+    # sample <= 2000 docs -> all-pairs would be ~2M; candidates must
+    # be well under it
+    assert row.n_candidates < 500_000
