@@ -57,7 +57,11 @@ def cusum_changepoints(
     r = dev.select(
         series_col,
         bucket_col,
-        (F.col("_d") * 1000000 / F.col("_denom")).cast("long").alias("dev_ppm"),
+        # integral `div`, not decimal `/` + cast: decimal division
+        # rounds HALF_UP at scale 6 before the truncating cast, so a
+        # true quotient with fractional part ≥ .9999995 would come out
+        # one higher than DuckDB's exact `//` floor
+        F.expr("CAST((_d * 1000000) div _denom AS BIGINT)").alias("dev_ppm"),
         F.row_number()
         .over(
             Window.partitionBy(series_col).orderBy(F.col("_d").desc(), bucket_col)

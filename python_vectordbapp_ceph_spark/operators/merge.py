@@ -7,12 +7,15 @@ The append-log collection (collection.py) is the streaming-friendly
 write path; this is the batch MERGE INTO equivalent for a compacted
 base at rest. Layout: the base is partitioned by a stable hash bucket
 of the key (`_kb = pmod(xxhash64(key), n_buckets)`), and each bucket's
-current files live in the GENERATION directory that last rewrote it:
+current files live in the GENERATION directory that last rewrote it
+(the generation id is a per-attempt unique token `<version>-<uuid8>`,
+so generation directories are WRITE-ONCE — no two writers ever share
+one):
 
-    path/gen=<G>/_kb=<B>/part-*.parquet
+    path/gen=<G>-<tok>/_kb=<B>/part-*.parquet
     path/_commits/v000000000007.json   <- the visibility point
 
-A commit file maps bucket id -> generation; the CURRENT state is the
+A commit file maps bucket id -> generation token; the CURRENT state is the
 highest-numbered commit. Readers resolve the manifest and list only
 the referenced directories — nothing outside the manifest is ever
 visible. A merge:
@@ -22,8 +25,10 @@ visible. A merge:
   2. reads ONLY those buckets' directories (pruned at file-listing
      time via the manifest — untouched buckets are never even listed),
      resolves last-writer-wins against the changes, drops deletes;
-  3. stages the rewritten buckets into a FRESH `gen=<G>` directory —
-     invisible to every reader, because no commit references it;
+  3. stages the rewritten buckets into a FRESH, uniquely-named
+     `gen=<G>-<tok>` directory — invisible to every reader, because
+     no commit references it, and untouchable by any OTHER writer,
+     because the token is per-attempt;
   4. publishes by renaming a temp JSON onto `_commits/v<G>.json` —
      one atomic filesystem rename (HDFS/POSIX) is the whole commit.
      Crash before it: readers see generation G-1 in full. Crash after:
@@ -37,11 +42,15 @@ visible. A merge:
 
 Rename-without-overwrite also makes the commit a first-writer-wins
 concurrency guard: two racing merges computing the same target version
-cannot both publish — the loser's rename fails and raises (its staged
-generation is never referenced and is vacuumable). Retrying a crashed
-merge is self-healing: the retry recomputes the same generation number
-and its static overwrite of the staging directory clears any partial
-files the crashed attempt left.
+cannot both publish — the loser's rename fails and raises. Because
+each attempt stages under its OWN `gen=<G>-<tok>` directory, the
+loser's staged write cannot have touched the winner's files either
+(the round-7 hazard: a shared `gen=<G>` dir let the loser's
+mode('overwrite') delete data the winner's manifest already
+referenced). The loser's unique directory is never referenced and is
+vacuumable. Retrying a crashed merge stages a fresh token directory;
+the crashed attempt's partial files are unreferenced orphans that
+vacuum() reclaims.
 
 At 100 TB with n_buckets≈4096 and a typical batch touching a few
 hundred buckets, the merge reads and writes a few percent of the
@@ -87,6 +96,15 @@ def _commit_file(v: int) -> str:
     return f"v{v:012d}.json"
 
 
+def _gen_token(version: int) -> str:
+    """Unique per-ATTEMPT staging token: `<version>-<uuid8>`. Two
+    writers racing toward the same target version stage into
+    DIFFERENT directories, so the publish-rename loser can never have
+    clobbered the winner's staged files — generation directories are
+    write-once, and the manifest records the exact token that won."""
+    return f"{version}-{uuid.uuid4().hex[:8]}"
+
+
 def current_manifest(spark: SparkSession, path: str, version: int | None = None):
     """(version, {bucket_id(int) -> gen(int)}) of the highest commit —
     or of the requested ``version`` (time travel; raises if that
@@ -125,7 +143,9 @@ def current_manifest(spark: SparkSession, path: str, version: int | None = None)
     finally:
         stream.close()
     m = json.loads(data)
-    return best, {int(k): int(g) for k, g in m["buckets"].items()}
+    # generation ids are opaque directory tokens (historically bare
+    # ints; now "<version>-<uuid8>") — always strings in memory
+    return best, {int(k): str(g) for k, g in m["buckets"].items()}
 
 
 def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> None:
@@ -173,7 +193,7 @@ def vacuum(spark: SparkSession, path: str) -> int:
         name = st.getPath().getName()
         if not name.startswith("gen="):
             continue
-        g = int(name.split("=", 1)[1])
+        g = name.split("=", 1)[1]
         for sub in fs.listStatus(st.getPath()):
             sname = sub.getPath().getName()
             if not sname.startswith("_kb="):
@@ -250,15 +270,16 @@ def _staged_write(
     spark: SparkSession,
     path: str,
     result: DataFrame,
-    gen: int,
+    gen: str,
     n_buckets: int,
     files_per_bucket: int,
 ) -> list[int]:
     """Stage ``result`` (bucket-aligned, one dir per surviving bucket)
-    into `path/gen=<gen>/`. Static overwrite of the WHOLE staging dir:
-    it is private to this generation, and a retry after a crash must
-    clear the partial files of the previous attempt. Returns the
-    surviving bucket ids (ids only reach the driver)."""
+    into `path/gen=<gen>/`. ``gen`` is a per-ATTEMPT unique token
+    (_gen_token), so the directory is private to this writer: a
+    concurrent merge stages elsewhere and a crashed attempt's partial
+    files become unreferenced orphans that vacuum() reclaims. Returns
+    the surviving bucket ids (ids only reach the driver)."""
     # repartition on the partition column first: without it every
     # shuffle partition writes a sliver into every bucket dir
     # (buckets × partitions small files — measured 512 files for a
@@ -292,13 +313,13 @@ def overwrite_touched_buckets(
     version, live = current_manifest(spark, path)
     if version is None:
         raise FileNotFoundError(f"no committed manifest under {path}")
-    gen = version + 1
+    gen = _gen_token(version + 1)
     survivors = _staged_write(
         spark, path, result, gen, n_buckets, files_per_bucket
     )
     new_map = {b: g for b, g in live.items() if b not in set(buckets)}
     new_map.update({b: gen for b in survivors})
-    _publish(spark, path, gen, new_map)
+    _publish(spark, path, version + 1, new_map)
     if not keep_history:
         # lazy cleanup of superseded directories — crash-safe: nothing
         # below is referenced by the CURRENT manifest anymore
@@ -340,11 +361,12 @@ def replace_base(
     vacuum() reclaims)."""
     spark = bucketed.sparkSession
     version, live = current_manifest(spark, path)
-    gen = 0 if version is None else version + 1
+    v = 0 if version is None else version + 1
+    gen = _gen_token(v)
     survivors = _staged_write(
         spark, path, bucketed, gen, n_buckets, files_per_bucket
     )
-    _publish(spark, path, gen, {b: gen for b in survivors})
+    _publish(spark, path, v, {b: gen for b in survivors})
     fs, hpath = _fs(spark, path)
     for b, g in live.items():
         if g != gen:

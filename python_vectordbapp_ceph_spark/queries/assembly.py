@@ -453,10 +453,10 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'n_sources', CAST(n_sources AS BIGINT),
                 'n_langs', CAST(n_langs AS BIGINT),
                 'total_tokens', total_tokens,
-                'exact_dup_ppm', n_exact_dups * 1000000 div n_docs,
+                'exact_dup_ppm', CAST(n_exact_dups AS DECIMAL(38,0)) * 1000000 div n_docs,
                 'min_chars', min_chars,
                 'max_chars', max_chars,
-                'mean_chars_ppm', sum_chars * 1000000 div n_docs
+                'mean_chars_ppm', CAST(sum_chars AS DECIMAL(38,0)) * 1000000 div n_docs
             ) AS (metric, value)"""
         )
         .orderBy("metric")

@@ -939,7 +939,12 @@ def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             "n",
             nsq.cast("long").alias("pairs"),
-            (nsq * 1000000 / F.col("total_pairs")).cast("long").alias("share_ppm"),
+            # integral div = exact floor; decimal `/` rounds HALF_UP
+            # at scale 6 before a truncating cast (off-by-one risk)
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * n * 1000000)"
+                " div total_pairs AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy(F.col("pairs").desc(), "l_partkey")
         .limit(20)

@@ -209,12 +209,12 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_b",
             "n_a",
             "n_b",
-            (
-                F.col("_d") * 1000000
-                / (F.col("n_a").cast(d38) * F.col("n_b"))
-            )
-            .cast("long")
-            .alias("ks_ppm"),
+            # integral div = exact floor; decimal `/` rounds HALF_UP
+            # at scale 6 before a truncating cast (off-by-one risk)
+            F.expr(
+                "CAST((_d * 1000000) div"
+                " (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("ks_ppm"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -1012,14 +1012,13 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gap").cast(d38) * F.col("gap").cast(d38)).cast(d38)
         ).alias("sgg"),
     )
-    n38 = F.col("n").cast(d38)
     return s.select(
         "event_type",
         "n",
-        (
-            (n38 * F.col("sgg") - F.col("sg") * F.col("sg"))
-            / (n38 * F.col("sg"))
-        )
-        .cast("long")
-        .alias("fano_floor_us"),
+        # integral div = exact floor (numerator ≥ 0 by Cauchy-Schwarz);
+        # decimal `/` rounds HALF_UP before a truncating cast
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sgg - sg * sg) div"
+            " (CAST(n AS DECIMAL(38,0)) * sg) AS BIGINT)"
+        ).alias("fano_floor_us"),
     ).orderBy("event_type")

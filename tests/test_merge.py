@@ -331,10 +331,11 @@ def test_merge_crash_before_publish_leaves_old_state(spark, tmp_path, monkeypatc
         merge_into(spark, path, changes, key_col="key", ts_col="ts",
                    n_buckets=N_BUCKETS)
 
-    # old state intact, staged gen=1 invisible
+    # old state intact, staged v1 generation (unique token dir) invisible
     spark.catalog.refreshByPath(path)
     assert {(r.key, r.val) for r in read_base(spark, path).collect()} == old
-    assert os.path.isdir(os.path.join(path, "gen=1")), "stage should exist"
+    staged = [d for d in os.listdir(path) if d.startswith("gen=1-")]
+    assert staged, "stage should exist"
     assert _manifest(path)["version"] == 0
 
     # retry self-heals: same generation recomputed, committed, visible
@@ -432,10 +433,67 @@ def test_merge_without_keep_history_drops_old_generation(spark, tmp_path):
     )
     touched = merge_into(spark, path, changes, key_col="key", ts_col="ts",
                          n_buckets=N_BUCKETS)
-    # the touched bucket's gen=0 dir is gone; untouched ones remain
+    # the touched bucket's gen=0-* dir is gone; untouched ones remain
+    g0 = [d for d in os.listdir(path) if d.startswith("gen=0-")]
+    assert len(g0) == 1
     assert not os.path.exists(
-        os.path.join(path, "gen=0", f"_kb={touched[0]}")
+        os.path.join(path, g0[0], f"_kb={touched[0]}")
     )
     assert any(
-        d.startswith("_kb=") for d in os.listdir(os.path.join(path, "gen=0"))
+        d.startswith("_kb=") for d in os.listdir(os.path.join(path, g0[0]))
     )
+
+
+def test_merge_race_loser_cannot_clobber_winner(spark, tmp_path, monkeypatch):
+    """Two merges computed from the same base version: the loser must
+    not only fail its publish — its STAGED WRITE must not have touched
+    a single byte of the winner's committed generation (round-7
+    hazard: shared `gen=<G>` staging dirs let the loser's overwrite
+    delete winner files the manifest already referenced)."""
+    import pytest
+
+    import python_vectordbapp_ceph_spark.operators.merge as M
+
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    stale = M.current_manifest(spark, path)  # both writers read v0
+
+    # writer A commits (keep_history so B's stale v0 read still works)
+    merge_into(
+        spark, path,
+        spark.createDataFrame([("k1", 111, 1, "upsert")],
+                              "key string, val long, ts long, op string"),
+        key_col="key", ts_col="ts", n_buckets=N_BUCKETS, keep_history=True,
+    )
+    won = {(r.key, r.val) for r in read_base(spark, path).collect()}
+
+    def file_state():
+        out = {}
+        for b, g in _manifest(path)["buckets"].items():
+            full = os.path.join(path, f"gen={g}", f"_kb={b}")
+            for f in sorted(os.listdir(full)):
+                p = os.path.join(full, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = file_state()
+
+    # writer B still believes the base is at v0: pin its manifest reads
+    monkeypatch.setattr(M, "current_manifest",
+                        lambda *a, **kw: stale)
+    with pytest.raises(RuntimeError, match="publish race"):
+        M.merge_into(
+            spark, path,
+            spark.createDataFrame([("k1", 222, 2, "upsert")],
+                                  "key string, val long, ts long, op string"),
+            key_col="key", ts_col="ts", n_buckets=N_BUCKETS,
+        )
+    monkeypatch.undo()
+
+    # winner's committed files byte-for-byte untouched; reads unchanged
+    assert file_state() == before
+    spark.catalog.refreshByPath(path)
+    assert {(r.key, r.val) for r in read_base(spark, path).collect()} == won
+    # loser's unique staged dir is an unreferenced orphan -> vacuumed
+    assert M.vacuum(spark, path) > 0
+    assert {(r.key, r.val) for r in read_base(spark, path).collect()} == won

@@ -21,10 +21,11 @@ def _load(path: str) -> dict:
     d = json.load(open(path))
     if "queries" not in d and "tail" in d:
         # driver-wrapped artifact: the bench's own JSON line is
-        # embedded in the captured tail
+        # embedded in the captured tail — parse exactly ONE line
+        # starting at the marker, so trailing text after the bench
+        # line (warnings, more '}'s) can't widen the parsed span
         start = d["tail"].index('{"metric"')
-        line = d["tail"][start:]
-        end = line.index("}\n") + 1 if "}\n" in line else len(line)
+        line = d["tail"][start:].split("\n", 1)[0]
         d = json.loads(line[: line.rindex("}") + 1])
     return d
 
