@@ -20,14 +20,45 @@ import sys
 def _load(path: str) -> dict:
     d = json.load(open(path))
     if "queries" not in d and "tail" in d:
-        # driver-wrapped artifact: the bench's own JSON line is
-        # embedded in the captured tail — parse exactly ONE line
-        # starting at the marker, so trailing text after the bench
-        # line (warnings, more '}'s) can't widen the parsed span
-        start = d["tail"].index('{"metric"')
-        line = d["tail"][start:].split("\n", 1)[0]
-        d = json.loads(line[: line.rindex("}") + 1])
+        d = _from_tail(d["tail"], path)
     return d
+
+
+def _balanced(s: str, start: int) -> str:
+    """The balanced {...} span of s beginning at start (s[start]=='{')."""
+    depth, i = 0, start
+    while i < len(s):
+        if s[i] == "{":
+            depth += 1
+        elif s[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return s[start : i + 1]
+        i += 1
+    raise ValueError("unbalanced braces")
+
+
+def _from_tail(tail: str, path: str) -> dict:
+    """Driver-wrapped artifact: the bench's own JSON line is embedded
+    in the captured tail. Parse exactly ONE line starting at the
+    marker (trailing warnings with '}' must not widen the span). The
+    driver keeps only the LAST N bytes, so the line's head — including
+    the marker and the warm "queries" dict — may be cut off; salvage
+    whichever per-query dict survives intact ("queries", else
+    "queries_cold", flagged single-run so the protocol note prints)."""
+    if '{"metric"' in tail:
+        line = tail[tail.index('{"metric"') :].split("\n", 1)[0]
+        return json.loads(line[: line.rindex("}") + 1])
+    for key in ('"queries": {', '"queries_cold": {'):
+        if key in tail:
+            start = tail.index(key) + len(key) - 1
+            qs = json.loads(_balanced(tail, start))
+            if key.startswith('"queries"'):
+                return {"queries": qs, "queries_cold": True}
+            print(f"# NOTE: {path} tail truncated — warm times lost, "
+                  "using its cold-run dict")
+            return {"queries": qs}
+    raise ValueError(f"{path}: no bench JSON recoverable from tail")
 
 
 def main() -> int:
