@@ -81,3 +81,34 @@ def global_cumsum(
             ),
         )
     return out.drop("_pid", "_off")
+
+
+def global_ntile(
+    df: DataFrame, order_cols: list, n_tiles: int, out_col: str
+) -> DataFrame:
+    """``df`` plus EXACT ``ntile(n_tiles)`` over the global
+    ``order_cols`` total order — without the unpartitioned
+    data-cardinality window the naive `ntile().over(Window.orderBy())`
+    plans: the global rank comes from the two-phase cumsum of 1, and
+    the tile index is the closed form of ntile's bucket sizing (the
+    first n MOD t buckets take CEIL(n/t) rows, the rest FLOOR(n/t) —
+    identical to Spark's and DuckDB's ntile). The row count reaches
+    the plan as a broadcast 1-row scalar, never the driver."""
+    ranked = global_cumsum(df, order_cols, F.lit(1), cum_col="_rnk")
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("_q", F.expr(f"_n div {n_tiles}"))
+        .withColumn("_r", F.expr(f"_n % {n_tiles}"))
+        .withColumn("_big", F.expr("_r * (_q + 1)"))
+        .withColumn(
+            out_col,
+            # CASE short-circuits per row, so the _q=0 (n < n_tiles)
+            # case never evaluates the ELSE branch's div _q
+            F.expr(
+                "CAST(CASE WHEN _rnk <= _big THEN (_rnk - 1) div (_q + 1) + 1"
+                " ELSE _r + (_rnk - _big - 1) div _q + 1 END AS INT)"
+            ),
+        )
+        .drop("_rnk", "_n", "_q", "_r", "_big")
+    )

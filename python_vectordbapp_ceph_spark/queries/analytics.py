@@ -1390,14 +1390,16 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency / frequency / monetary,
-    each cut into exact quartiles by ntile, concatenated to a segment
-    label and counted. Every ntile ordering carries the custkey
-    tiebreak so ranks are a total order (engine-independent). The
-    windows run over the AGGREGATED per-customer table — orders-scale
-    data never passes through the global sort; at 100 TB the exact
-    ntile would be replaced by approx-quantile cut points, which the
-    segment-count output shape is already compatible with."""
-    from pyspark.sql.window import Window
+    each cut into EXACT quartiles, concatenated to a segment label and
+    counted. Every quartile ordering carries the custkey tiebreak so
+    ranks are a total order (engine-independent). Each quartile is the
+    closed-form ntile over a two-phase distributed global rank
+    (operators/twophase.global_ntile) — the per-customer table is
+    range-partitioned per dimension and NO data-cardinality window
+    runs on a single task, so the plan survives 100× customers (the
+    r7 version pushed every customer through three unpartitioned
+    ntile windows; plan-pinned in tests/test_plans_analytics.py)."""
+    from ..operators.twophase import global_ntile
 
     o = T(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -1405,12 +1407,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(dec2("o_totalprice")).alias("monetary"),
     )
-    scored = base.select(
-        "custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("freq", "custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m"),
-    )
+    scored = global_ntile(base, ["last_order", "custkey"], 4, "r")
+    scored = global_ntile(scored, ["freq", "custkey"], 4, "f")
+    scored = global_ntile(scored, ["monetary", "custkey"], 4, "m")
     return (
         scored.select(
             F.concat_ws("-", "r", "f", "m").alias("segment")

@@ -402,3 +402,22 @@ def test_histogram_cumsum_windows_are_partitioned(spark):
         assert key_windows, f"expected the histogram cumsum Window in {q.__name__}"
         bad = [ln for ln in key_windows if "windowspecdefinition(_pid#" not in ln]
         assert bad == [], bad
+
+
+def test_rfm_windows_are_partitioned(spark):
+    """q_rfm_segments' three quartile ranks must be two-phased: no
+    Window node ordered by a customer-cardinality column may run
+    unpartitioned (the r7 plan ran three global ntile windows on one
+    task). The only allowed unpartitioned windows are the ≤num-
+    partitions prefix-offset ones ordered by _pid."""
+    from python_vectordbapp_ceph_spark.queries.analytics import q_rfm_segments
+
+    plan = explain_str(q_rfm_segments(spark, SF_DIR), "simple")
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and "windowspecdefinition(_pid#" not in ln
+        and "_pid#" not in ln
+    ]
+    assert bad == [], bad

@@ -88,3 +88,33 @@ def test_no_unpartitioned_data_window(spark):
     for ln in plan.splitlines():
         if "Window [" in ln and "windowspecdefinition(_pid#" not in ln:
             assert "_pid#" in ln, ln  # the offsets window orders BY _pid
+
+
+def test_global_ntile_matches_naive(spark):
+    """Closed-form two-phase ntile == Spark's ntile window for every
+    n mod t residue (uneven buckets) and for n < n_tiles."""
+    from python_vectordbapp_ceph_spark.operators.twophase import global_ntile
+
+    for n in (997, 996, 2, 40):
+        df = _mk(spark, n=n)
+        got = {
+            (r.id, r.t)
+            for r in global_ntile(df, ["v", "id"], 4, "t").collect()
+        }
+        want = {
+            (r.id, r.t)
+            for r in df.select(
+                "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("t")
+            ).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_global_ntile_no_unpartitioned_data_window(spark):
+    from python_vectordbapp_ceph_spark.operators.twophase import global_ntile
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    plan = explain_str(global_ntile(_mk(spark), ["v", "id"], 4, "t"), "simple")
+    for ln in plan.splitlines():
+        if "Window [" in ln and "windowspecdefinition(_pid#" not in ln:
+            assert "_pid#" in ln, ln  # the offsets window orders BY _pid
