@@ -569,6 +569,133 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact cross-document substring removal ---------------------------------
+
+@register(
+    "q_boilerplate_scrub",
+    oracle="""
+    WITH tk AS (SELECT doc_id,
+                       list_filter(string_split(
+                           trim(regexp_replace(regexp_replace(lower(text),
+                               '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')), ' '),
+                           x -> x != '') AS tk
+                FROM documents),
+    g AS (SELECT DISTINCT doc_id, s
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - 3),
+                           i -> array_to_string(tk[i:i+4], ' '))) AS s
+                FROM tk WHERE len(tk) >= 5)),
+    top AS (SELECT s FROM (SELECT s, COUNT(*) AS n_docs FROM g GROUP BY s)
+            WHERE n_docs >= 3 ORDER BY n_docs DESC, s LIMIT 20),
+    starts AS (SELECT doc_id, i FROM
+                   (SELECT doc_id, i, array_to_string(tk[i:i+4], ' ') AS s
+                    FROM tk, unnest(range(1, len(tk) - 3)) AS r(i)
+                    WHERE len(tk) >= 5)
+               WHERE s IN (SELECT s FROM top)),
+    cov AS (SELECT DISTINCT s.doc_id, r.i
+            FROM starts s, unnest(range(s.i, s.i + 5)) AS r(i)),
+    pos AS (SELECT doc_id, unnest(tk) AS tok,
+                   CAST(generate_subscripts(tk, 1) AS BIGINT) AS i
+            FROM tk),
+    k AS (SELECT p.doc_id,
+                 string_agg(p.tok, ' ' ORDER BY p.i) AS cleaned,
+                 COUNT(*) AS nk
+          FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.i = p.i
+          WHERE c.i IS NULL GROUP BY p.doc_id)
+    SELECT t.doc_id,
+           coalesce(k.cleaned, '') AS cleaned_text,
+           len(t.tk) - coalesce(k.nk, 0) AS n_tokens_removed,
+           len(array_to_string(t.tk, ' '))
+               - len(coalesce(k.cleaned, '')) AS chars_removed
+    FROM tk t LEFT JOIN k ON k.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER q_boilerplate_ngrams: REWRITE every document
+    with the top-20 corpus boilerplate 5-grams' token spans removed
+    (exact cross-document substring removal, Lee et al. 2022 §3 —
+    the reference list above only *names* the offenders). A token is
+    dropped iff it falls inside any occurrence of a boilerplate
+    n-gram in the doc's normalized token stream; output is the
+    cleaned normalized text plus removed-token/char accounting, so
+    the scrub is auditable (sum(chars_removed) = bytes saved).
+
+    Plan: the 20-row target list broadcasts to a shingle-stream join
+    that yields match START positions only; starts collect per doc
+    (bounded by matches, not tokens) and one array-native
+    filter-with-index pass drops covered tokens — no token-level
+    explode/re-join shuffle, documents never leave their partitions
+    after the broadcast probe. The shingle stream is computed twice
+    (target mining + probe) — two scans beat persisting a
+    tokens-×-docs intermediate at 100 TB."""
+    from ..functions.text import normalize_for_fingerprint
+
+    d = T(spark, sf_dir, "documents")
+    tkc = F.filter(
+        F.split(normalize_for_fingerprint(F.col("text")), " "),
+        lambda x: x != "",
+    )
+    docs = d.select("doc_id", tkc.alias("tk"))
+    sh = (
+        docs.filter(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 4),"
+                    " i -> struct(i AS i,"
+                    " array_join(slice(tk, i, 5), ' ') AS s))"
+                )
+            ).alias("m"),
+        )
+        .select("doc_id", "m.i", "m.s")
+    )
+    top = (
+        sh.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "s")
+        .limit(20)
+        .select("s")
+    )
+    starts = (
+        sh.join(F.broadcast(top), "s")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    return (
+        docs.join(starts, "doc_id", "left")
+        .withColumn(
+            "_st", F.coalesce("starts", F.expr("CAST(array() AS ARRAY<INT>)"))
+        )
+        .withColumn(
+            "_kept",
+            F.expr(
+                "filter(tk, (x, idx) -> NOT exists(_st,"
+                " s -> s <= idx + 1 AND idx + 1 <= s + 4))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("cleaned_text"),
+            (F.size("tk") - F.size("_kept"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            (
+                F.length(F.array_join("tk", " "))
+                - F.length(F.array_join("_kept", " "))
+            )
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- quantile normalization across sources ----------------------------------
 
 @register(

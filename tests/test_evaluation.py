@@ -342,3 +342,36 @@ def test_spearman_matches_scipy_free_reference(spark):
         assert abs(rho - ref) < 1e-12, (g, rho, ref)
         if g == "mono":
             assert rho == 1.0
+
+
+def test_boilerplate_scrub_removes_planted_template(spark, tmp_path):
+    """Docs sharing a 6-token template (two overlapping 5-gram
+    shingles, each df=3) must come back with the WHOLE template span
+    removed and exact token/char accounting; unique docs untouched."""
+    from python_vectordbapp_ceph_spark.queries.evaluation import (
+        q_boilerplate_scrub,
+    )
+
+    tpl = "please subscribe to our newsletter today"
+    rows = [
+        ("d1", f"alpha beta {tpl} gamma delta"),
+        ("d2", f"{tpl} epsilon zeta eta theta"),
+        ("d3", f"one two three {tpl}"),
+        ("d4", "totally unique words here nothing shared at all"),
+        ("d5", "another completely different document body text"),
+    ]
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens_removed, r.chars_removed)
+        for r in q_boilerplate_scrub(spark, str(tmp_path)).collect()
+    }
+    want = {
+        "d1": ("alpha beta gamma delta", 6, len(f"alpha beta {tpl} gamma delta") - len("alpha beta gamma delta")),
+        "d2": ("epsilon zeta eta theta", 6, len(f"{tpl} epsilon zeta eta theta") - len("epsilon zeta eta theta")),
+        "d3": ("one two three", 6, len(f"one two three {tpl}") - len("one two three")),
+        "d4": (rows[3][1], 0, 0),
+        "d5": (rows[4][1], 0, 0),
+    }
+    assert got == want
