@@ -305,7 +305,14 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_near_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stock-Spark variant: MLlib MinHashLSH.approxSimilarityJoin over
     CountVectorizer token sets — kept alongside the explicit banding
-    implementation for parity with standard pipelines."""
+    implementation for parity with standard pipelines.
+
+    SCALE GATE (documented exclusion, like the closure-oracle family —
+    tools/plans_appendix.md "MLlib-comparison twin"): verified at
+    sf0.1; at sf1 MLlib's approxSimilarityJoin exceeds the 600 s sweep
+    watchdog while the native banding tier (q_dedup_near) runs the
+    same corpus in ~3.9 s. This row exists ONLY as the stock-Spark
+    comparison point; q_dedup_near is the production path at scale."""
     from ..operators.dedup import minhash_lsh_mllib
 
     d = T(spark, sf_dir, "documents")
