@@ -580,3 +580,108 @@ def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- mixture-weighted shard packing ------------------------------------------
+
+_MIX_SHARD_DOCS = 50  # docs per mixture shard
+
+@register(
+    "q_mixture_shards",
+    oracle="""
+    WITH sz AS (SELECT source, COUNT(*) AS n_s, SUM(n_chars) AS len_s
+                FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_s) AS n_total, SUM(len_s) AS len_total FROM sz),
+    rates AS (
+        SELECT sz.source,
+               LEAST(100, (50 * (sz.len_s // sz.n_s))
+                          // (tot.len_total // tot.n_total)) AS rate_pct
+        FROM sz CROSS JOIN tot),
+    sel AS (SELECT d.doc_id, d.source, md5(d.doc_id || ':7') AS k
+            FROM documents d JOIN rates r ON r.source = d.source
+            WHERE ((((d.doc_id % 2147483648) + 2147483648) % 2147483648)
+                   * 2654435761) % 4294967296 % 100 < r.rate_pct),
+    idx AS (SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY k, doc_id) AS i
+            FROM sel),
+    ns AS (SELECT source, COUNT(*) AS n_sel FROM sel GROUP BY source),
+    v AS (SELECT idx.doc_id, idx.source,
+                 (idx.i * 1000000000000) // ns.n_sel AS vkey
+          FROM idx JOIN ns ON ns.source = idx.source),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (ORDER BY vkey, source, doc_id) AS rnk
+          FROM v)
+    SELECT doc_id, source, (rnk - 1) // 50 AS shard_id
+    FROM r ORDER BY doc_id
+    """,
+)
+def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted shard packing — q_token_shards composed with
+    q_domain_mixture's per-source keep rates: the mixture filter picks
+    the training subset, then STRIDE INTERLEAVING lays sources out so
+    every shard carries each source at its corpus ratio (each source's
+    j-th selected doc gets virtual position j/n_s; merging the streams
+    by position is the classic weighted round-robin, so any K-doc
+    window holds ~K·n_s/N docs of source s — within one doc, pinned by
+    pytest). A training loader streaming shards in order then sees the
+    prescribed mixture CONTINUOUSLY, not source-clumped — no
+    per-batch reweighting needed at the consumer.
+
+    Determinism/exactness: virtual positions are integer
+    (j·10^12 div n_s, decimal(38,0) before the product), the merge
+    order is the total order (vkey, source, doc_id), and membership is
+    the Knuth-hash bucket — identical in both engines. Scale shape:
+    the per-source index is a window PARTITIONED by source; the only
+    global rank is the two-phase distributed cumsum
+    (operators/twophase.py); rates and per-source counts broadcast.
+    """
+    from ..operators.split import split_bucket
+    from ..operators.twophase import global_cumsum
+
+    d = T(spark, sf_dir, "documents")
+    sz = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("n_chars").alias("len_s")
+    )
+    tot = sz.agg(
+        F.sum("n_s").alias("n_total"), F.sum("len_s").alias("len_total")
+    )
+    rates = sz.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(100).cast("long"),
+            F.expr("(50 * (len_s div n_s)) div (len_total div n_total)"),
+        ).alias("rate_pct"),
+    )
+    sel = (
+        d.join(F.broadcast(rates), "source")
+        .filter(split_bucket("doc_id") < F.col("rate_pct"))
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":7"))
+            ).alias("_k"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("_k", "doc_id")
+    idx = sel.select("doc_id", "source", F.row_number().over(w).alias("_i"))
+    ns = idx.groupBy("source").agg(F.count(F.lit(1)).alias("n_sel"))
+    v = idx.join(F.broadcast(ns), "source").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(CAST(_i AS DECIMAL(38,0)) * 1000000000000) div n_sel"
+        ).alias("vkey"),
+    )
+    r = global_cumsum(
+        v, ["vkey", "source", "doc_id"], F.lit(1), cum_col="_rnk"
+    )
+    return (
+        r.select(
+            "doc_id",
+            "source",
+            F.expr(f"(_rnk - 1) div {_MIX_SHARD_DOCS}").alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )

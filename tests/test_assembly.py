@@ -296,3 +296,38 @@ def test_shard_manifest_matches_assignment(spark):
     assert set(per) == set(m)
     for sid, (nd, nt) in per.items():
         assert (m[sid].n_docs, m[sid].n_tokens) == (nd, nt)
+
+
+def test_mixture_shards_interleave_within_one_doc(spark):
+    """Every FULL mixture shard must carry each source within ONE doc
+    of its proportional target (stride interleaving's balance bound) —
+    the property that lets a loader stream shards in order and see the
+    prescribed mixture continuously, plus basic packing sanity."""
+    from collections import Counter
+
+    from python_vectordbapp_ceph_spark.queries.assembly import (
+        _MIX_SHARD_DOCS,
+        q_mixture_shards,
+    )
+
+    rows = q_mixture_shards(spark, "/root/testdata/sf0.01").collect()
+    n_sel = Counter(r.source for r in rows)
+    n = len(rows)
+    shard_sizes = Counter(r.shard_id for r in rows)
+    # contiguous shard ids, all full except possibly the last
+    assert sorted(shard_sizes) == list(range(len(shard_sizes)))
+    last = max(shard_sizes)
+    assert all(
+        shard_sizes[s] == _MIX_SHARD_DOCS for s in shard_sizes if s != last
+    )
+    full = [s for s, sz in shard_sizes.items() if sz == _MIX_SHARD_DOCS]
+    assert len(full) >= 3, "sf0.01 should produce several full shards"
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard_id, Counter())[r.source] += 1
+    for sid in full:
+        for src, ns in n_sel.items():
+            target = _MIX_SHARD_DOCS * ns / n
+            assert abs(per[sid].get(src, 0) - target) <= 1.0, (
+                sid, src, per[sid].get(src, 0), target
+            )
