@@ -108,6 +108,11 @@ HEADLINE = [
     "q_hapax_share",       # posting-list df join, vocab-keyed (r7)
     "q_balanced_sample",   # WindowGroupLimit per-label cap (r7)
     "q_dataset_card",      # single-scan multi-distinct card (r7)
+    "q_boilerplate_scrub", # broadcast-target substring removal (r8)
+    "q_mixture_shards",    # stride-interleaved mixture packing (r8)
+    "q_epoch_shuffle",     # one two-phase rank for all epochs (r8)
+    "q_curriculum_order",  # two-phase ntile bands + global rank (r8)
+    "q_rfm_segments",      # two-phased quartiles, re-planned r8
 ]
 
 

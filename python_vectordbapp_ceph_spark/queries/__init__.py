@@ -61,3 +61,4 @@ from . import mining  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import evaluation  # noqa: E402,F401
 from . import assembly  # noqa: E402,F401
+from . import schedule  # noqa: E402,F401

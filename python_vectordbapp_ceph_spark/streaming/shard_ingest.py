@@ -1,0 +1,57 @@
+"""Streaming shard packing: continuously extend the incremental shard
+ledger (operators/shards.py) as new documents arrive.
+
+Each micro-batch becomes ONE manifest-committed ledger segment via
+`foreachBatch` — the same exactly-once discipline as the ingest and
+IVF-maintenance streams: the segment's parquet stage is invisible
+until its manifest rename publishes, so a crashed batch leaves an
+unreferenced orphan (vacuum() reclaims) and the restart replays the
+batch into a fresh uniquely-named generation. Combined with the
+checkpointed source offsets, a document is never packed twice into a
+VISIBLE segment.
+
+The batch/stream equivalence is structural, not approximate: a stream
+drained through N micro-batches produces byte-for-byte the ledger of
+N `append_segment` calls with the same batches (pytest-pinned with a
+single-batch drain, where the equality is exact by construction).
+Packing continuity is the ledger's own contract — each append resumes
+from the last committed token offset, so shard boundaries are
+identical whether docs arrived in one batch or twenty.
+
+At scale this is the "corpus refresh lands nightly" loop: the stream
+tails the curated-docs table, each trigger packs only the new slice
+(bounded by the batch, never the history), and the training loader
+polls `shard_manifest` for fresh shard ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment
+
+
+def stream_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    budget: int = SHARD_BUDGET_DEFAULT,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Pack a streaming (doc_id, n_tokens) frame into the ledger at
+    ``path``, one committed segment per non-empty micro-batch.
+    ``available_now=True`` drains the current backlog and stops — the
+    nightly-batch mode; False runs continuously."""
+
+    def pack_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_segment(batch.sparkSession, path, batch, budget)
+
+    writer = stream.writeStream.foreachBatch(pack_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

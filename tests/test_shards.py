@@ -115,3 +115,64 @@ def test_ledger_time_travel_and_manifest_rollup(spark, tmp_path):
     # every shard except the last closed at or past the budget
     for r in man[:-1]:
         assert r.n_tokens >= 1  # docs never split; budget closes shards
+
+
+def test_streaming_append_equals_batch_appends(spark, tmp_path):
+    """Draining a doc stream through the shard-ingest sink must produce
+    EXACTLY the ledger of the equivalent batch append_segment calls:
+    same segments, same doc->shard assignments, same cums."""
+    from python_vectordbapp_ceph_spark.streaming.shard_ingest import (
+        stream_append,
+    )
+
+    src = str(tmp_path / "src")
+    batch1 = _docs(spark, 0, 120)
+    batch1.coalesce(1).write.parquet(src)
+
+    # batch reference ledger
+    ref = str(tmp_path / "ref")
+    append_segment(spark, ref, batch1, BUDGET)
+
+    # streamed ledger: one availableNow drain = one micro-batch
+    led = str(tmp_path / "led")
+    q = stream_append(
+        spark.readStream.schema("doc_id long, n_tokens long").parquet(src),
+        led,
+        str(tmp_path / "ckpt"),
+        BUDGET,
+    )
+    q.awaitTermination(120)
+
+    want = {
+        (r.doc_id, r.n_tokens, r.cum, r.shard_id, r.segment)
+        for r in read_ledger(spark, ref).collect()
+    }
+    got = {
+        (r.doc_id, r.n_tokens, r.cum, r.shard_id, r.segment)
+        for r in read_ledger(spark, led).collect()
+    }
+    assert got == want
+
+    # a second drop continues the stream's ledger from its committed
+    # offset, exactly like a second batch append on the reference
+    batch2 = _docs(spark, 5000, 80)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    append_segment(spark, ref, batch2, BUDGET)
+    q2 = stream_append(
+        spark.readStream.schema("doc_id long, n_tokens long").parquet(src),
+        led,
+        str(tmp_path / "ckpt"),
+        BUDGET,
+    )
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(led)
+    spark.catalog.refreshByPath(ref)
+    want2 = {
+        (r.doc_id, r.cum, r.shard_id, r.segment)
+        for r in read_ledger(spark, ref).collect()
+    }
+    got2 = {
+        (r.doc_id, r.cum, r.shard_id, r.segment)
+        for r in read_ledger(spark, led).collect()
+    }
+    assert got2 == want2
