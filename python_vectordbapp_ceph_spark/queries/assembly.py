@@ -632,9 +632,14 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (j·10^12 div n_s, decimal(38,0) before the product), the merge
     order is the total order (vkey, source, doc_id), and membership is
     the Knuth-hash bucket — identical in both engines. Scale shape:
-    the per-source index is a window PARTITIONED by source; the only
-    global rank is the two-phase distributed cumsum
-    (operators/twophase.py); rates and per-source counts broadcast.
+    BOTH ranks are two-phased. The per-source index does NOT use a
+    source-partitioned window (one giant source would serialize
+    through one task): sources are contiguous blocks of the
+    (source, key, id) total order, so i_s = two-phase global rank −
+    broadcast per-source prefix offset (the q_epoch_shuffle block
+    trick with unequal blocks); the interleave rank is a second
+    two-phase cumsum. The only unpartitioned windows are the
+    ≤num-partitions / ≤num-sources offset ones.
     """
     from ..operators.split import split_bucket
     from ..operators.twophase import global_cumsum
@@ -664,14 +669,19 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_k"),
         )
     )
-    w = Window.partitionBy("source").orderBy("_k", "doc_id")
-    idx = sel.select("doc_id", "source", F.row_number().over(w).alias("_i"))
-    ns = idx.groupBy("source").agg(F.count(F.lit(1)).alias("n_sel"))
-    v = idx.join(F.broadcast(ns), "source").select(
+    g = global_cumsum(sel, ["source", "_k", "doc_id"], F.lit(1), cum_col="_g")
+    ns = sel.groupBy("source").agg(F.count(F.lit(1)).alias("n_sel"))
+    w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    off = ns.select(
+        "source",
+        "n_sel",
+        F.coalesce(F.sum("n_sel").over(w_off), F.lit(0)).alias("_off"),
+    )
+    v = g.join(F.broadcast(off), "source").select(
         "doc_id",
         "source",
         F.expr(
-            "(CAST(_i AS DECIMAL(38,0)) * 1000000000000) div n_sel"
+            "(CAST(_g - _off AS DECIMAL(38,0)) * 1000000000000) div n_sel"
         ).alias("vkey"),
     )
     r = global_cumsum(

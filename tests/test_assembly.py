@@ -331,3 +331,25 @@ def test_mixture_shards_interleave_within_one_doc(spark):
             assert abs(per[sid].get(src, 0) - target) <= 1.0, (
                 sid, src, per[sid].get(src, 0), target
             )
+
+
+def test_mixture_shards_windows_are_partitioned(spark):
+    """Both mixture-shard ranks must be two-phased: no Window node may
+    order by a doc-cardinality key without the _pid partition spec.
+    Allowed unpartitioned windows: the ≤num-partitions _pid offsets
+    and the ≤num-sources per-source prefix-offset window (orders by
+    source over the per-source counts)."""
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+    from python_vectordbapp_ceph_spark.queries.assembly import q_mixture_shards
+
+    plan = explain_str(q_mixture_shards(spark, SF_DIR), "simple")
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and "windowspecdefinition(_pid#" not in ln
+        and "_pid#" not in ln
+        # the ns prefix-offset window: sums n_sel over source order
+        and "n_sel#" not in ln
+    ]
+    assert bad == [], bad
