@@ -863,7 +863,11 @@ def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm = halves.join(F.broadcast(tot), "half").select(
         "event_type",
         "half",
-        ((F.col("n") * 1000000).cast("long") / F.col("t")).cast("long").alias(
+        # integral div on a decimal-promoted product: long/long `/`
+        # is DOUBLE division, which loses ulps past 2^53 (~9e15 —
+        # inside the 100 TB event-count regime) and truncates the
+        # rounded double instead of flooring the exact quotient
+        F.expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div t").alias(
             "share_ppm"
         ),
     )
