@@ -113,6 +113,8 @@ HEADLINE = [
     "q_epoch_shuffle",     # one two-phase rank for all epochs (r8)
     "q_curriculum_order",  # two-phase ntile bands + global rank (r8)
     "q_rfm_segments",      # two-phased quartiles, re-planned r8
+    "q_pad_waste",         # grouped two-phase per-bucket deal (r8)
+    "q_ndcg",              # literal-discount graded retrieval (r8)
 ]
 
 

@@ -83,6 +83,69 @@ def global_cumsum(
     return out.drop("_pid", "_off")
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    val_col: str | Column,
+    cum_col: str | None = "cum",
+    before_col: str | None = None,
+) -> DataFrame:
+    """Per-group distributed running sum for the FEW-GROUPS-EACH-LARGE
+    regime — the case where ``Window.partitionBy(group)`` is no better
+    than an unpartitioned window because one group holds O(n) rows
+    (length buckets, source shards, label classes). Many-small-groups
+    data should use a plain partitioned window instead; this variant's
+    offset table is #groups × #partitions rows and is broadcast, so it
+    assumes bounded group cardinality.
+
+    Same three phases as :func:`global_cumsum`, with the group key
+    prefixed to the range-partitioning key so each partition owns a
+    contiguous (group, key) slice; prefix offsets accumulate per group
+    over the ≤num-partitions slices that group spans. ``group_cols``
+    must be column NAMES (they key the broadcast equi-join back)."""
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    spark = df.sparkSession
+    npart = max(spark.sparkContext.defaultParallelism, 2)
+    gcols = [F.col(g) for g in group_cols]
+    parts = tracked_persist(
+        df.repartitionByRange(npart, *gcols, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    partials = parts.groupBy(*group_cols, "_pid").agg(F.sum(val).alias("_mass"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        *group_cols,
+        "_pid",
+        F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    out = parts.join(F.broadcast(offsets), [*group_cols, "_pid"])
+    if cum_col is not None:
+        out = out.withColumn(
+            cum_col,
+            F.col("_off")
+            + F.sum(val).over(
+                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    if before_col is not None:
+        out = out.withColumn(
+            before_col,
+            F.col("_off")
+            + F.coalesce(
+                F.sum(val).over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    return out.drop("_pid", "_off")
+
+
 def global_ntile(
     df: DataFrame, order_cols: list, n_tiles: int, out_col: str
 ) -> DataFrame:

@@ -62,3 +62,4 @@ from . import curation  # noqa: E402,F401
 from . import evaluation  # noqa: E402,F401
 from . import assembly  # noqa: E402,F401
 from . import schedule  # noqa: E402,F401
+from . import governance  # noqa: E402,F401
