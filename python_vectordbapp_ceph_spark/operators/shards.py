@@ -36,9 +36,12 @@ shard artifact with exactly-once visibility.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .bloom import bloom_build, bloom_contains
 from .merge import (
     _gen_token,
     _publish,
@@ -50,6 +53,14 @@ from .twophase import global_cumsum
 
 SHARD_BUDGET_DEFAULT = 10_000
 _SALT = ":7"  # the deterministic-shuffle salt shared with q_token_shards
+
+# per-segment membership-bloom sidecar: k hash functions over m bit
+# positions. m bounds the sidecar at 2^17 rows (≈1 MB parquet) per
+# segment regardless of segment size; correctness never depends on
+# these values (bloom positives are exactly verified, negatives are
+# guaranteed absent), only the prune ratio does.
+BLOOM_K = 7
+BLOOM_M = 1 << 17
 
 
 def _pack(docs: DataFrame, budget: int, offset) -> DataFrame:
@@ -74,19 +85,66 @@ def _pack(docs: DataFrame, budget: int, offset) -> DataFrame:
     )
 
 
+def dedup_against_ledger(
+    spark: SparkSession, path: str, docs: DataFrame
+) -> DataFrame:
+    """Drop incoming docs whose ``doc_id`` is already committed in the
+    ledger — the dedup gate of an incremental corpus refresh — at
+    bloom-pruned cost:
+
+      1. union the per-segment bloom sidecars (≤ BLOOM_M rows each,
+         written atomically with every segment since this feature) —
+         kilobytes per segment however large the segments are;
+      2. bloom-probe the incoming keys: definite-absent keys (the
+         overwhelming majority of a refresh) pass WITHOUT touching the
+         ledger data — no false negatives, so nothing committed can
+         slip through;
+      3. exactly verify only the maybe-present candidates with an
+         anti-join against the ledger's key column (column-pruned
+         scan; the candidate side is broadcast-small by construction).
+
+    Segments committed before the sidecar existed have no bloom; the
+    gate then falls back to the plain exact anti-join against the full
+    key column. Returns ``docs`` filtered, schema unchanged."""
+    version, live = current_manifest(spark, path)
+    if version is None or not live:
+        return docs
+    sidecars = [f"{path}/gen={g}/_bloom" for g in live.values()]
+    if all(os.path.isdir(p) for p in sidecars):
+        bloom = spark.read.parquet(*sidecars).distinct()
+        probe = bloom_contains(
+            bloom, docs.select("doc_id"), "doc_id", BLOOM_K, BLOOM_M
+        )
+        candidates = probe.filter(F.col("maybe_present")).select("doc_id")
+        committed = read_buckets(spark, path).select("doc_id")
+        confirmed = candidates.join(committed, "doc_id", "left_semi")
+        return docs.join(F.broadcast(confirmed), "doc_id", "left_anti")
+    committed = read_buckets(spark, path).select("doc_id")
+    return docs.join(committed, "doc_id", "left_anti")
+
+
 def append_segment(
     spark: SparkSession,
     path: str,
     docs: DataFrame,
     budget: int = SHARD_BUDGET_DEFAULT,
     files_per_segment: int = 4,
+    dedup: bool = False,
 ) -> int:
     """Append ``docs`` (doc_id, n_tokens) to the ledger at ``path`` as
     the next segment; creates the ledger on first call. Returns the
     committed segment id. The packing continues from the last
     committed token offset, so incremental appends produce the SAME
     doc→shard mapping as a one-shot pack over the segment-major
-    concatenation (pytest-pinned)."""
+    concatenation (pytest-pinned).
+
+    ``dedup=True`` routes the batch through
+    :func:`dedup_against_ledger` first, so a refresh that re-delivers
+    already-packed documents (at-least-once upstream feeds) appends
+    only the genuinely new ones. Every append also stages a bloom
+    sidecar of its own keys inside its generation directory — it
+    publishes (and vacuums) atomically with the segment, which is what
+    keeps the gate's step 1 a metadata-sized read."""
     version, live = current_manifest(spark, path)
     if version is None:
         v, seg, offset = 0, 0, 0
@@ -100,9 +158,16 @@ def append_segment(
             offset = last.agg(F.max("cum")).collect()[0][0]
         else:
             offset = 0
+    if dedup:
+        docs = dedup_against_ledger(spark, path, docs)
     packed = _pack(docs, budget, offset).withColumn("_kb", F.lit(seg))
     gen = _gen_token(v)
     _staged_write(spark, path, packed, gen, 1, files_per_segment)
+    # key bloom into the SAME staged (still-invisible) generation dir:
+    # published by the rename below or orphaned with it on a crash
+    bloom_build(
+        packed.select("doc_id"), "doc_id", BLOOM_K, BLOOM_M
+    ).write.mode("overwrite").parquet(f"{path}/gen={gen}/_bloom")
     new_map = dict(live)
     new_map[seg] = gen
     _publish(spark, path, v, new_map)

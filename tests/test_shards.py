@@ -176,3 +176,103 @@ def test_streaming_append_equals_batch_appends(spark, tmp_path):
         for r in read_ledger(spark, led).collect()
     }
     assert got2 == want2
+
+
+def test_dedup_append_skips_committed_keys(spark, tmp_path):
+    """An overlapping refresh appended with dedup=True packs only the
+    genuinely new docs; committed files and assignments untouched."""
+    import shutil
+
+    from python_vectordbapp_ceph_spark.operators.shards import (
+        dedup_against_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    append_segment(spark, path, _docs(spark, 0, 200), BUDGET)
+    v0 = {
+        r.doc_id: (r.shard_id, r.cum)
+        for r in read_ledger(spark, path).collect()
+    }
+    files_v0 = _segment_files(path)
+
+    # gate alone: exact set arithmetic, no false negatives or positives
+    refresh = _docs(spark, 100, 200)  # ids 100..299, half committed
+    kept = sorted(
+        r.doc_id for r in dedup_against_ledger(spark, path, refresh).collect()
+    )
+    assert kept == list(range(200, 300))
+
+    append_segment(spark, path, refresh, BUDGET, dedup=True)
+    after = read_ledger(spark, path).collect()
+    ids = sorted(r.doc_id for r in after)
+    assert ids == list(range(0, 300)), "each id exactly once"
+    assert {
+        r.doc_id: (r.shard_id, r.cum) for r in after if r.doc_id < 200
+    } == v0
+    assert _segment_files(path)["0"] == files_v0["0"]
+    # segment 1 holds exactly the new half
+    assert sorted(r.doc_id for r in after if r.segment == 1) == list(
+        range(200, 300)
+    )
+
+    # bloom sidecar exists per live generation and is size-bounded
+    import json
+    import os
+
+    from python_vectordbapp_ceph_spark.operators.shards import BLOOM_M
+
+    cdir = os.path.join(path, "_commits")
+    names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+    with open(os.path.join(cdir, names[-1])) as f:
+        m = json.load(f)
+    for g in m["buckets"].values():
+        side = os.path.join(path, f"gen={g}", "_bloom")
+        assert os.path.isdir(side)
+        assert spark.read.parquet(side).count() <= BLOOM_M
+
+
+def test_dedup_exact_even_with_saturated_bloom(spark, tmp_path, monkeypatch):
+    """Shrink the bloom until nearly every probe is a maybe — the
+    exact-verify stage must still produce set-exact results (the
+    sidecar only ever changes COST, never the answer)."""
+    import python_vectordbapp_ceph_spark.operators.shards as sh
+
+    monkeypatch.setattr(sh, "BLOOM_K", 2)
+    monkeypatch.setattr(sh, "BLOOM_M", 16)
+    path = str(tmp_path / "ledger")
+    sh.append_segment(spark, path, _docs(spark, 0, 150), BUDGET)
+    kept = sorted(
+        r.doc_id
+        for r in sh.dedup_against_ledger(
+            spark, path, _docs(spark, 100, 100)
+        ).collect()
+    )
+    assert kept == list(range(150, 200))
+
+
+def test_dedup_falls_back_without_sidecar(spark, tmp_path):
+    """A ledger whose segments predate the bloom sidecar still dedups
+    exactly via the full-key anti-join fallback."""
+    import json
+    import os
+    import shutil
+
+    from python_vectordbapp_ceph_spark.operators.shards import (
+        dedup_against_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    append_segment(spark, path, _docs(spark, 0, 120), BUDGET)
+    cdir = os.path.join(path, "_commits")
+    names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+    with open(os.path.join(cdir, names[-1])) as f:
+        m = json.load(f)
+    for g in m["buckets"].values():
+        shutil.rmtree(os.path.join(path, f"gen={g}", "_bloom"))
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against_ledger(
+            spark, path, _docs(spark, 60, 120)
+        ).collect()
+    )
+    assert kept == list(range(120, 180))
