@@ -213,6 +213,240 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- precision/recall@10 ---------------------------------------------------
+
+
+@register(
+    "q_precision_recall_at_k",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id < 8),
+    d AS (SELECT q.q_id, q.q_label, e.vec_id, e.label,
+                 round(sqrt(list_sum(list_transform(range(64),
+                     i -> (e.v[i+1] - q.qv[i+1])
+                        * (e.v[i+1] - q.qv[i+1])))), 6) AS dist
+          FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    r AS (SELECT q_id, q_label, label,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dist, vec_id) AS rnk
+          FROM d),
+    rel AS (SELECT q_id, COUNT(*) AS n_rel
+            FROM d WHERE label = q_label GROUP BY q_id),
+    hits AS (SELECT q_id, COUNT(*) AS hits_k
+             FROM r WHERE label = q_label AND rnk <= {_NDCG_K}
+             GROUP BY q_id)
+    SELECT q.q_id, q.q_label,
+           COALESCE(hits.hits_k, 0) AS hits_k,
+           COALESCE(rel.n_rel, 0) AS n_rel,
+           (COALESCE(hits.hits_k, 0) * 1000000) // {_NDCG_K}
+               AS precision_ppm,
+           CASE WHEN rel.n_rel IS NULL THEN 0
+                ELSE (COALESCE(hits.hits_k, 0) * 1000000) // rel.n_rel
+           END AS recall_ppm
+    FROM q
+    LEFT JOIN rel ON q.q_id = rel.q_id
+    LEFT JOIN hits ON q.q_id = hits.q_id
+    ORDER BY q.q_id
+    """,
+)
+def q_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 and recall@10 of the embedding space under
+    same-label relevance — with q_mrr_label (first hit) and q_ndcg
+    (position-discounted credit) this completes the standard ranked
+    retrieval eval triple. Pure integer ppm: hits×1e6 div k and
+    div n_rel, n_rel=0 guarded before the ANSI divide.
+
+    Same batch-exact-KNN plan family as q_ndcg (broadcast probes ×
+    base scan, per-probe rank window); everything past the window is
+    bounded by probes."""
+    from ..functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(V.l2_distance("v", "qv"), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    r = d.select("q_id", "q_label", "label", F.row_number().over(w).alias("rnk"))
+    rel = (
+        d.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    hits = (
+        r.filter((F.col("label") == F.col("q_label")) & (F.col("rnk") <= _NDCG_K))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits_k"))
+    )
+    return (
+        q.select("q_id", "q_label")
+        .join(rel, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "q_label",
+            F.coalesce(F.col("hits_k"), F.lit(0)).alias("hits_k"),
+            F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+            F.expr(
+                f"(COALESCE(hits_k, 0) * 1000000) div {_NDCG_K}"
+            ).alias("precision_ppm"),
+            F.when(
+                F.col("n_rel").isNotNull(),
+                F.expr("(COALESCE(hits_k, 0) * 1000000) div n_rel"),
+            )
+            .otherwise(F.lit(0))
+            .alias("recall_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# --- rank-biased overlap between two retrieval metrics ---------------------
+
+# floor(1e6 · (1-p) · p^(d-1)) at p = 0.9, depths 1..10: exact decimal
+# powers, identical literals in both engines (no pow() at query time).
+_RBO_W = [
+    (1, 100000),
+    (2, 90000),
+    (3, 81000),
+    (4, 72900),
+    (5, 65610),
+    (6, 59049),
+    (7, 53144),
+    (8, 47829),
+    (9, 43046),
+    (10, 38742),
+]
+_RBO_MAX = sum(w for _, w in _RBO_W)  # perfect-agreement raw score
+_RBO_VALUES = ", ".join(f"({d}, {w})" for d, w in _RBO_W)
+
+
+@register(
+    "q_rank_overlap",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+    d AS (SELECT q.q_id, e.vec_id,
+                 round(1 - list_sum(list_transform(range(64),
+                           i -> e.v[i+1] * q.qv[i+1]))
+                     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+                       6) AS cos_dist,
+                 round(list_sum(list_transform(range(64),
+                           i -> e.v[i+1] * q.qv[i+1])), 6) AS dot
+          FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    r AS (SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_dist, vec_id) AS r_cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dot DESC, vec_id) AS r_dot
+          FROM d),
+    both_top AS (SELECT q_id, GREATEST(r_cos, r_dot) AS m
+                 FROM r WHERE r_cos <= 10 AND r_dot <= 10),
+    w(d, w_ppm) AS (VALUES {_RBO_VALUES}),
+    ov AS (SELECT b.q_id, w.d, COUNT(*) AS overlap_d
+           FROM both_top b JOIN w ON w.d >= b.m
+           GROUP BY b.q_id, w.d),
+    terms AS (SELECT ov.q_id,
+                     SUM((w.w_ppm * ov.overlap_d) // w.d) AS rbo_raw
+              FROM ov JOIN w ON ov.d = w.d GROUP BY ov.q_id)
+    SELECT q.q_id,
+           COALESCE(terms.rbo_raw, 0) AS rbo_raw,
+           (COALESCE(terms.rbo_raw, 0) * 1000000) // {_RBO_MAX}
+               AS rbo_ppm
+    FROM q LEFT JOIN terms ON q.q_id = terms.q_id
+    ORDER BY q.q_id
+    """,
+)
+def q_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at depth 10,
+    p=0.9) between two rankings of the SAME candidate set — cosine
+    distance vs raw dot product — per probe: the normalization-
+    sensitivity diagnostic of a retrieval stack (unit-norm embeddings
+    → rbo 1.0; divergence means vector norms carry ranking signal and
+    the two ANN tiers will disagree). Like q_ndcg, the geometric
+    weight (1-p)p^(d-1) enters as a 10-row literal integer-ppm table —
+    no pow() at query time; overlap@d comes from one inequality join
+    of the ≤10 both-top items against the depth table; per-depth terms
+    floor identically in both engines; rbo_ppm normalizes by the
+    perfect-agreement raw score.
+
+    Plan: batch exact KNN twice over the SAME pairwise distances (two
+    rank windows on one shuffle), then everything is bounded by
+    probes × 10 × 10."""
+    from ..functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine_distance("v", "qv"), 6).alias("cos_dist"),
+            F.round(V.dot("v", "qv"), 6).alias("dot"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy("cos_dist", "vec_id")
+    w_dot = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    r = d.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_dot).alias("r_dot"),
+    )
+    both = r.filter((F.col("r_cos") <= 10) & (F.col("r_dot") <= 10)).select(
+        "q_id", F.greatest("r_cos", "r_dot").alias("m")
+    )
+    w_df = F.broadcast(spark.createDataFrame(_RBO_W, "d INT, w_ppm BIGINT"))
+    ov = (
+        both.join(w_df, F.col("d") >= F.col("m"))
+        .groupBy("q_id", "d")
+        .agg(F.count(F.lit(1)).alias("overlap_d"))
+    )
+    terms = (
+        ov.join(w_df, "d")
+        .groupBy("q_id")
+        .agg(F.sum(F.expr("(w_ppm * overlap_d) div d")).alias("rbo_raw"))
+    )
+    return (
+        q.select("q_id")
+        .join(terms, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("rbo_raw"), F.lit(0)).alias("rbo_raw"),
+            F.expr(
+                f"(COALESCE(rbo_raw, 0) * 1000000) div {_RBO_MAX}"
+            ).alias("rbo_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
 # --- padding waste under length-bucketed dynamic batching ------------------
 
 

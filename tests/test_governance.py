@@ -193,3 +193,60 @@ def test_schema_evolution_backfills_nulls(spark):
     assert sum(r.n_with_lang for r in rows) == n_odd
     for r in rows:
         assert r.n_with_lang <= r.n_docs
+
+
+# --- precision/recall@k ----------------------------------------------------
+
+
+def test_precision_recall_consistency(spark):
+    from python_vectordbapp_ceph_spark.queries.governance import (
+        q_precision_recall_at_k,
+    )
+
+    rows = q_precision_recall_at_k(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits_k <= _NDCG_K
+        assert r.hits_k <= r.n_rel
+        assert r.precision_ppm == r.hits_k * 1_000_000 // _NDCG_K
+        if r.n_rel:
+            assert r.recall_ppm == r.hits_k * 1_000_000 // r.n_rel
+        else:
+            assert r.recall_ppm == 0
+        # recall can only trail precision when n_rel > k
+        if r.n_rel <= _NDCG_K:
+            assert r.recall_ppm >= r.precision_ppm
+
+
+# --- rank-biased overlap ---------------------------------------------------
+
+
+def test_rbo_weight_table_is_geometric():
+    """Pin the literal table to (1-p)p^(d-1) at p=0.9 via exact decimal
+    arithmetic (the Fraction form of 9^(d-1)/10^d)."""
+    from fractions import Fraction
+
+    from python_vectordbapp_ceph_spark.queries.governance import (
+        _RBO_MAX,
+        _RBO_W,
+    )
+
+    for d, w in _RBO_W:
+        exact = Fraction(10 ** 6) * Fraction(9 ** (d - 1), 10 ** d)
+        assert w == exact.numerator // exact.denominator
+    assert _RBO_MAX == sum(w for _, w in _RBO_W)
+
+
+def test_rbo_bounds_and_self_agreement(spark):
+    from python_vectordbapp_ceph_spark.queries.governance import (
+        _RBO_MAX,
+        q_rank_overlap,
+    )
+
+    rows = q_rank_overlap(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.rbo_raw <= _RBO_MAX
+        assert 0 <= r.rbo_ppm <= 1_000_000
+        # per-depth floors mean rbo_ppm is the floor of raw/max exactly
+        assert r.rbo_ppm == r.rbo_raw * 1_000_000 // _RBO_MAX
