@@ -275,6 +275,40 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_LOWER}) AS tok FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, COUNT(*) AS cnt,
+           (COUNT(*) * 1000000) // (SELECT n FROM tot) AS share_ppm
+    FROM toks GROUP BY tok
+    HAVING COUNT(*) * 200 > (SELECT n FROM tot)
+    ORDER BY cnt DESC, tok
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with > 1/200 corpus share) in two
+    passes with NO vocabulary-sized shuffle — the exact counterpart of
+    q_freq_items' candidates-only sketch. Pass 1: per-partition
+    Misra-Gries (k=200 counters, batched mergeable reduction) emits
+    ≤ 200 candidates per partition; the pigeonhole guarantee makes
+    missing a global heavy hitter impossible. Pass 2: broadcast
+    semi-join + exact counts for candidates only, filter cnt·k > N.
+    Result is bit-identical to the full GROUP BY … HAVING the oracle
+    runs, but at 100 TB the shuffle carries ≤ k·partitions candidate
+    keys, not the vocabulary (operators/heavyhitters.py)."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    return heavy_hitters(
+        d.select(F.explode(toks).alias("tok")), "tok", k=200
+    )
+
+
+@register(
     "q_vocab_topk",
     oracle=f"""
     WITH toks AS (SELECT unnest({_TOKS_LOWER}) AS tok FROM documents)
