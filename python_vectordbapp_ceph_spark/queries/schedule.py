@@ -306,3 +306,60 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- leakage-safe grouped k-fold assignment ---------------------------------
+
+_KFOLD = 5
+
+
+@register(
+    "q_group_kfold",
+    oracle=f"""
+    WITH f AS (SELECT event_id, user_id,
+                      ((((user_id % 2147483648) + 2147483648) % 2147483648)
+                       * 2654435761) % 4294967296 % {_KFOLD} AS fold
+               FROM events),
+    per AS (SELECT fold, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM f GROUP BY fold),
+    tot AS (SELECT SUM(n_events) AS total FROM per)
+    SELECT fold, n_events, n_users,
+           (n_events * 1000000) // (SELECT total FROM tot) AS event_share_ppm
+    FROM per ORDER BY fold
+    """,
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped k-fold assignment: every event falls in
+    the fold its USER hashes to (operators/split.py Knuth bucket), so
+    no user's activity ever straddles a train/eval boundary — the
+    grouped-CV discipline that keeps per-user correlation from
+    inflating eval scores (and randomSplit cannot provide: its
+    membership changes with partitioning and ignores the group key).
+    Output is the fold-balance report a scheduler checks before
+    accepting the split: events, distinct groups and event share per
+    fold. Membership is a pure row function evaluated scan-side —
+    zero shuffle to assign at any scale; the report itself is one
+    hash aggregate bounded by k rows (the COUNT DISTINCT shuffles
+    (fold, user) pairs, bounded by the user domain)."""
+    from ..operators.split import split_bucket
+
+    e = T(spark, sf_dir, "events")
+    f = e.select(
+        "event_id", "user_id", split_bucket("user_id", _KFOLD).alias("fold")
+    )
+    per = f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = per.agg(F.sum("n_events").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_events",
+            "n_users",
+            F.expr("(n_events * 1000000) div total").alias("event_share_ppm"),
+        )
+        .orderBy("fold")
+    )

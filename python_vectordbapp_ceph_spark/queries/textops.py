@@ -1440,6 +1440,98 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR-style importance weights over the hashed feature space -----------
+
+@register(
+    "q_importance_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b
+               FROM (SELECT doc_id, lang, unnest({_TOKS_LOWER}) AS tok
+                     FROM documents)),
+    stats AS (SELECT b, COUNT(*) AS raw_cnt,
+                     COUNT(*) FILTER (WHERE lang = 'en') AS tgt_cnt
+              FROM t GROUP BY b),
+    tot AS (SELECT SUM(raw_cnt) AS n_raw, SUM(tgt_cnt) AS n_tgt FROM stats),
+    r AS (SELECT b,
+                 ((tgt_cnt + 1) * (SELECT n_raw + 64 FROM tot) * 1000000)
+                 // ((raw_cnt + 1) * (SELECT n_tgt + 64 FROM tot)) AS ratio_ppm
+          FROM stats),
+    d AS (SELECT t.doc_id, COUNT(*) AS n_toks,
+                 SUM(r.ratio_ppm) AS sum_ratio
+          FROM t JOIN r USING (b) GROUP BY t.doc_id)
+    SELECT doc_id, n_toks, sum_ratio // n_toks AS importance_ppm
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights à la DSIR (Xie et al. 2023):
+    score every document by how much its HASHED-feature distribution
+    resembles a target domain (here lang='en') relative to the raw
+    corpus — the resampling signal that upweights target-like data in
+    a training mix (q_weighted_sample is the sampler that consumes
+    such weights). Features are the same md5→64-bucket hashing trick
+    as q_feature_hash, so the per-bucket target/raw ratio table is 64
+    rows REGARDLESS of vocabulary — broadcast-joined back onto the
+    token stream; no vocab table is ever built, shipped, or kept
+    fresh. Weight = mean over the doc's tokens of the add-one-smoothed
+    probability ratio, all integer/decimal arithmetic (ratio in ppm,
+    decimal(38,0) before products, integral `div` floors — no logs,
+    so both engines agree bit-for-bit). Plan: one explode feeding two
+    hash aggregates (64-row feature stats; per-doc sums), one
+    broadcast join — at 100 TB every exchange carries bounded rows
+    except the (doc_id, bucket) aggregate, which is map-side combined
+    and keyed by the corpus itself."""
+    d38 = "decimal(38,0)"
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    t = d.select(
+        "doc_id", "lang", F.explode(toks).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % 64
+        ).alias("b"),
+    )
+    stats = t.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count_if(F.col("lang") == "en").alias("tgt_cnt"),
+    )
+    tot = stats.agg(
+        F.sum("raw_cnt").alias("n_raw"), F.sum("tgt_cnt").alias("n_tgt")
+    )
+    ratio = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"CAST((CAST(tgt_cnt + 1 AS {d38})"
+                f"      * CAST(n_raw + 64 AS {d38}) * 1000000)"
+                f" div (CAST(raw_cnt + 1 AS {d38})"
+                f"      * CAST(n_tgt + 64 AS {d38})) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+    )
+    return (
+        t.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("ratio_ppm").alias("sum_ratio"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr("sum_ratio div n_toks").alias("importance_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- dedup threshold tuning curve -------------------------------------------
 
 @register(
