@@ -650,3 +650,27 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_token.groupBy("label").agg(
         F.round(F.sum("mx"), 6).alias("maxsim")
     )
+
+
+@register("q_pca_project")  # driver eigh over the d×d matrix → rows-only
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto its corpus's top-4 principal
+    components (operators/pca.py) — the dimension-reduction pass a
+    vector pipeline runs between embedding and ANN indexing, and the
+    whitening companion to q_embed_covariance. The covariance matrix
+    is assembled from EXACT decimal sums (deterministic under any
+    partitioning — pytest-pinned), eigendecomposed on the driver
+    (64×64, kilobytes — the only driver-side object at any corpus
+    size), and the projection is a codegen'd F.aggregate dot product
+    against broadcast literal components: no Python, no shuffle in
+    the projection pass. Rows-only: eigenvectors aren't expressible
+    in one SQL query; orthonormality, eigenvalue ordering,
+    partitioning-invariance and variance capture are pytest-verified
+    (tests/test_pca.py)."""
+    from ..operators.pca import pca_fit, pca_project
+
+    e = T(spark, sf_dir, "embeddings")
+    comps, _ = pca_fit(e, "embedding", dim=64, q=4)
+    return pca_project(e, "embedding", comps).select(
+        "vec_id", "label", "pc1", "pc2", "pc3", "pc4"
+    ).orderBy("vec_id")
