@@ -503,6 +503,138 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- kNN-distance outlier scores --------------------------------------------
+
+@register(
+    "q_knn_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 10 = 0 AND vec_id < 5000),
+    d AS (SELECT q.q_id, q.q_label,
+                 round(sqrt(list_sum(list_transform(range(64),
+                     i -> (e.v[i+1] - q.qv[i+1])
+                        * (e.v[i+1] - q.qv[i+1])))), 6) AS dist,
+                 e.vec_id
+          FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+    r AS (SELECT q_id, q_label, dist,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dist, vec_id) AS rn
+          FROM d)
+    SELECT q_id, q_label, dist AS d5
+    FROM r WHERE rn = 5
+    ORDER BY d5 DESC, q_id LIMIT 20
+    """,
+)
+def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier detection (Ramaswamy et al. 2000): a
+    vector's outlier score is its distance to its 5th nearest
+    neighbor; the top-scored vectors are the corrupt/mislabeled
+    embeddings a curation pass quarantines before index build. Probes
+    are the fixed-SIZE deterministic sample the eval family uses
+    (vec_id % 10 = 0, capped — q_knn_confusion's convention, so cost
+    stays one scan × a constant at any SF). Plan family = batch exact
+    KNN: broadcast probes × one base scan, per-probe rank window,
+    rank-5 filter, global top-20. At 100 TB the base side swaps for
+    the IVF tier and the score is the probe's 5th candidate distance."""
+    from ..functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    d = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.round(V.l2_distance("v", "qv"), 6).alias("dist"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        d.select("q_id", "q_label", "dist", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 5)
+        .select("q_id", "q_label", F.col("dist").alias("d5"))
+        .orderBy(F.col("d5").desc(), "q_id")
+        .limit(20)
+    )
+
+
+# --- seasonal-naive forecast backtest ---------------------------------------
+
+@register(
+    "q_seasonal_backtest",
+    oracle="""
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    j AS (SELECT a.event_type, a.n AS actual, f.n AS fcst
+          FROM h a JOIN h f
+            ON a.event_type = f.event_type
+           AND f.hr = a.hr - INTERVAL 24 HOURS
+          WHERE a.hr >= (SELECT max(date_trunc('hour', ts))
+                         FROM events) - INTERVAL 23 HOURS)
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           SUM(actual) AS total_actual,
+           (SUM(abs(actual - fcst)) * 1000000) // SUM(actual) AS wape_ppm
+    FROM j GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: seasonal-naive (same hour, previous day)
+    hourly event-count forecasts scored over the stream's final 24
+    hours, one WAPE per event type (weighted absolute percentage
+    error in exact integer ppm — the robust denominator-pooled form,
+    no per-hour division blowups, no floats). The capacity-planning
+    eval a streaming pipeline runs before trusting its volume
+    forecasts. Scale shape: everything beyond the first hash
+    aggregate operates on the HOURLY grain — types × hours rows,
+    data-size-independent; the self-join on (type, hr−24h) and the
+    final aggregate are bounded by the calendar, not the event
+    count."""
+    e = T(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    last_hr = h.agg(F.max("hr").alias("mx"))
+    a = h.select("event_type", "hr", F.col("n").alias("actual"))
+    f = h.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("hr") + F.expr("INTERVAL 24 HOURS")).alias("f_hr"),
+        F.col("n").alias("fcst"),
+    )
+    j = (
+        a.join(
+            f,
+            (a["event_type"] == f["f_type"]) & (a["hr"] == f["f_hr"]),
+        )
+        .crossJoin(F.broadcast(last_hr))
+        .filter(F.col("hr") >= F.col("mx") - F.expr("INTERVAL 23 HOURS"))
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("actual").alias("total_actual"),
+            F.expr(
+                "(SUM(abs(actual - fcst)) * 1000000) div SUM(actual)"
+            ).alias("wape_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- corpus boilerplate n-grams ---------------------------------------------
 
 @register(
