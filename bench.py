@@ -115,6 +115,9 @@ HEADLINE = [
     "q_rfm_segments",      # two-phased quartiles, re-planned r8
     "q_pad_waste",         # grouped two-phase per-bucket deal (r8)
     "q_ndcg",              # literal-discount graded retrieval (r8)
+    "q_heavy_hitters",     # exact two-pass Misra-Gries HH (r8)
+    "q_importance_weights",# DSIR hashed-feature ratios (r8)
+    "q_knn_outliers",      # 5th-NN distance outlier scores (r8)
 ]
 
 
