@@ -1461,7 +1461,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(r.ratio_ppm) AS sum_ratio
           FROM t JOIN r USING (b) GROUP BY t.doc_id)
     SELECT doc_id, n_toks, sum_ratio // n_toks AS importance_ppm
-    FROM d ORDER BY doc_id
+    FROM d
     """,
 )
 def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1528,7 +1528,6 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks",
             F.expr("sum_ratio div n_toks").alias("importance_ppm"),
         )
-        .orderBy("doc_id")
     )
 
 

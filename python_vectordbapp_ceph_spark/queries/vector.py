@@ -673,4 +673,4 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps, _ = pca_fit(e, "embedding", dim=64, q=4)
     return pca_project(e, "embedding", comps).select(
         "vec_id", "label", "pc1", "pc2", "pc3", "pc4"
-    ).orderBy("vec_id")
+    )
