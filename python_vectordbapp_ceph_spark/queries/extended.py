@@ -830,6 +830,47 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, probes, "l_partkey", depth=5, width=1024)
 
 
+@register("q_theta_intersect")  # KMV estimator → rows-only by design
+def q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta bottom-k sketch set algebra (operators/theta.py —
+    Beyer et al. 2007, the Apache DataSketches theta construction):
+    estimate the DISTINCT-USER overlap between 'click' and 'purchase'
+    activity from two k=64 sketches — the intersection question HLL
+    cannot answer (its union-only algebra needs inclusion-exclusion,
+    which is exactly what the KMV estimator makes sound here). Every
+    term is exact integer/decimal arithmetic over deterministic
+    xxhash64 bottom-k sets, so the estimate reproduces bit-for-bit
+    under any partitioning (pytest-pinned, with an accuracy bound vs
+    exact and an exact-when-|set|<k fallback). Rows-only: an
+    ESTIMATOR by design. Scale: sketches are ≤ k rows per set after
+    one distinct + one WindowGroupLimit rank; the algebra after
+    touches ≤ 2k rows — kilobytes at any corpus size, mergeable
+    across batches like the HLL/CMS tiers."""
+    from ..operators.theta import kmv_estimate, kmv_sketch, kmv_union
+
+    K = 64
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = kmv_sketch(e, "event_type", "user_id", K)
+    a = sk.filter(F.col("event_type") == "click")
+    b = sk.filter(F.col("event_type") == "purchase")
+    union = kmv_union(a, b, "event_type", K)
+    ests = kmv_estimate(sk.unionByName(union), "event_type", K)
+    wide = ests.groupBy().pivot(
+        "event_type", ["click", "purchase", "_union_"]
+    ).agg(F.first("est_distinct"))
+    return wide.select(
+        F.col("click").alias("est_click"),
+        F.col("purchase").alias("est_purchase"),
+        F.col("_union_").alias("est_union"),
+        F.greatest(
+            F.lit(0),
+            F.col("click") + F.col("purchase") - F.col("_union_"),
+        ).alias("est_intersect"),
+    )
+
+
 @register("q_bloom_decontaminate")  # bit-set sketch → rows-only by design
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination: the benchmark set's normalized
