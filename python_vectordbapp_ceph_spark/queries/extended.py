@@ -383,6 +383,57 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_hash_uniformity",
+    oracle="""
+    WITH b AS (SELECT ((((o_orderkey % 2147483648) + 2147483648)
+                       % 2147483648) * 2654435761) % 4294967296 % 100 AS b
+               FROM orders),
+    per AS (SELECT b, COUNT(*) AS cnt FROM b GROUP BY b),
+    tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS n_buckets FROM per)
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT n_buckets FROM tot) AS n_buckets,
+           MIN(cnt) AS min_cnt,
+           MAX(cnt) AS max_cnt,
+           MAX(abs(cnt * 100 - (SELECT n FROM tot)) * 1000000
+               // (SELECT n FROM tot)) AS max_dev_ppm
+    FROM per
+    """,
+)
+def q_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniformity audit of the Knuth hash bucketing every
+    deterministic split/sample/fold rides on (q_train_split,
+    q_weighted_sample, q_group_kfold): per-bucket occupancy over 100
+    buckets plus the worst deviation from the uniform share in exact
+    integer ppm — the acceptance check that the multiplicative hash
+    isn't resonating with the key distribution (sequential keys are
+    its classic failure mode). One hash aggregate to 100 bucket rows,
+    then constant-size math; output is one row at any scale."""
+    from ..operators.split import split_bucket
+
+    o = T(spark, sf_dir, "orders")
+    per = (
+        o.select(split_bucket("o_orderkey", 100).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_buckets")
+        .agg(
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+            F.max(
+                F.expr("abs(cnt * 100 - n) * 1000000 div n")
+            ).alias("max_dev_ppm"),
+        )
+        .select("n", "n_buckets", "min_cnt", "max_cnt", "max_dev_ppm")
+    )
+
+
 # --- LLM training-data pipeline (composed plan, rows-only) -----------------
 
 @register("q_training_pipeline")
