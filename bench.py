@@ -118,6 +118,9 @@ HEADLINE = [
     "q_heavy_hitters",     # exact two-pass Misra-Gries HH (r8)
     "q_importance_weights",# DSIR hashed-feature ratios (r8)
     "q_knn_outliers",      # 5th-NN distance outlier scores (r8)
+    "q_decay_halflife",    # power-of-two half-life aggregate (r8)
+    "q_linear_attribution",# exact-ppm multi-touch credit (r8)
+    "q_reciprocal_best_match",  # mutual-NN pair mining (r8)
 ]
 
 

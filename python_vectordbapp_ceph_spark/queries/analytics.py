@@ -1842,3 +1842,180 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_z"),
     )
+
+
+# --- half-life decayed aggregation ------------------------------------------
+
+# 7-day half-life in epoch-microseconds; ages cap at 40 half-lives so
+# the power-of-two weight (1 << (40-k)) stays inside a BIGINT and events
+# older than ~9 months contribute the minimum weight 1 instead of 0
+# (a pure cutoff would make the metric discontinuous at the horizon).
+_HL_US = 7 * 86400 * 1_000_000
+_HL_CAP = 40
+
+
+@register(
+    "q_decay_halflife",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+    w AS (SELECT event_type,
+                 1::BIGINT << ({_HL_CAP} - LEAST(
+                     (ref.ref_us - epoch_us(e.ts)) // {_HL_US},
+                     {_HL_CAP})) AS wt,
+                 CAST(floor(e.value * 1000000) AS BIGINT) AS value_micro
+          FROM events e CROSS JOIN ref),
+    a AS (SELECT event_type,
+                 COUNT(*) AS n_events,
+                 SUM(CAST(wt AS DECIMAL(38,0))) AS decayed_n,
+                 SUM(CAST(wt AS DECIMAL(38,0)) * value_micro)
+                     AS decayed_value_micro
+          FROM w GROUP BY event_type),
+    t AS (SELECT SUM(decayed_n) AS total_n FROM a)
+    -- HUGEINT `//` is exact integer floor; DECIMAL `//` would round
+    SELECT a.event_type, a.n_events, a.decayed_n, a.decayed_value_micro,
+           CAST((CAST(a.decayed_n AS HUGEINT) * 1000000)
+                // CAST(t.total_n AS HUGEINT) AS BIGINT) AS share_ppm
+    FROM a CROSS JOIN t
+    ORDER BY a.event_type
+    """,
+)
+def q_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed event aggregation — the recency weighting a
+    feature store / trending-topics job applies so that last week's
+    signal outweighs last quarter's — computed EXACTLY: the decay
+    factor 2^-(age/H) is discretized to whole half-lives and applied
+    as a power-of-two integer weight (1 << (CAP - k)), so the whole
+    metric is integer/decimal arithmetic and no engine ever evaluates
+    exp/log (the registry's no-transcendentals rule). Weighted sums
+    accumulate in decimal(38,0): weight ≤ 2^40 ≈ 1.1e12 times micro
+    values ≤ 5e8 leaves 17 orders of magnitude of headroom over a
+    100 TB event corpus before the decimal ceiling.
+
+    Plan: one scalar max (broadcast back via cross join of a 1-row
+    aggregate), one fact-scale hash aggregate on event_type, then a
+    5-row share join — a single shuffle on the group key at any SF;
+    the decayed sums are algebraic so partial aggregation (map-side
+    combine) applies. Reference scope: the app (s3vectors-app/
+    pythonvectordbceph.py) timestamps nothing; this is the recency
+    semantics its event feed needs for ranking freshness."""
+    e = T(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    w = e.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.expr(
+            f"shiftleft(1L, {_HL_CAP} - least("
+            f"(ref_us - unix_micros(ts)) div {_HL_US}L, {_HL_CAP}L))"
+        ).alias("wt"),
+        F.floor(F.col("value") * F.lit(1000000.0)).alias("value_micro"),
+    )
+    a = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("wt").cast("decimal(38,0)")).alias("decayed_n"),
+        F.sum(F.col("wt").cast("decimal(38,0)") * F.col("value_micro")).alias(
+            "decayed_value_micro"
+        ),
+    )
+    t = a.agg(F.sum("decayed_n").alias("total_n"))
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "n_events",
+            "decayed_n",
+            "decayed_value_micro",
+            F.expr("CAST((decayed_n * 1000000) div total_n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- linear multi-touch attribution -----------------------------------------
+
+@register(
+    "q_linear_attribution",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS fp_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY e.user_id) AS n
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'
+    ),
+    credit AS (
+        SELECT event_type,
+               (1000000 // n)
+               + CASE WHEN rn = 1
+                      THEN 1000000 - (1000000 // n) * n ELSE 0 END
+                   AS credit_ppm,
+               rn
+        FROM touches
+    )
+    SELECT event_type,
+           SUM(credit_ppm) AS credit_ppm,
+           COUNT(*) AS n_touches,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_first
+    FROM credit GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — q_first_touch's companion that
+    splits each conversion's credit EQUALLY across every touch before
+    the first purchase instead of crediting only the earliest. Credit
+    is exact integer ppm: each touch gets 1e6 // n and the FIRST touch
+    absorbs the remainder, so per-user credits sum to exactly 1e6 and
+    the per-channel totals are engine-exact integers (sum over
+    channels = 1e6 × converting-users-with-touches, an invariant the
+    pytest asserts).
+
+    Plan: purchase side collapses to (user, min ts) before the join;
+    the rank/count windows partition on user_id (per-user event counts
+    are bounded by construction — the sessionize family's contract),
+    so the fact table shuffles once on user_id and aggregates once on
+    event_type. The broadcast hint fits converter cardinality; at
+    extreme user counts AQE falls back to the same-keyed shuffle the
+    windows already paid for."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_fp_ts"))
+    )
+    wu = Window.partitionBy("user_id")
+    touches = (
+        e.join(F.broadcast(fp), "user_id")
+        .filter((F.col("ts") < F.col("_fp_ts")) & (F.col("event_type") != "purchase"))
+        .select(
+            "event_type",
+            F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(wu).alias("n"),
+        )
+    )
+    credit = touches.select(
+        "event_type",
+        "rn",
+        (
+            F.expr("1000000 div n")
+            + F.when(
+                F.col("rn") == 1, F.lit(1000000) - F.expr("(1000000 div n) * n")
+            ).otherwise(F.lit(0))
+        ).alias("credit_ppm"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.sum("credit_ppm").alias("credit_ppm"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_first"),
+        )
+        .orderBy("event_type")
+    )

@@ -569,6 +569,116 @@ def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- reciprocal best-match pair mining ---------------------------------------
+
+@register(
+    "q_reciprocal_best_match",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    a AS (SELECT vec_id AS a_id, label AS a_label, v AS av
+          FROM e WHERE vec_id % 25 = 0 AND vec_id < 5000),
+    b AS (SELECT vec_id AS b_id, label AS b_label, v AS bv
+          FROM e WHERE vec_id % 25 = 5 AND vec_id < 5000),
+    d AS (SELECT a.a_id, a.a_label, b.b_id, b.b_label,
+                 round(sqrt(list_sum(list_transform(range(64),
+                     i -> (a.av[i+1] - b.bv[i+1])
+                        * (a.av[i+1] - b.bv[i+1])))), 6) AS dist
+          FROM a CROSS JOIN b),
+    r AS (SELECT a_id, a_label, b_id, b_label, dist,
+                 row_number() OVER (PARTITION BY a_id
+                                    ORDER BY dist, b_id) AS rn_a,
+                 row_number() OVER (PARTITION BY b_id
+                                    ORDER BY dist, a_id) AS rn_b,
+                 lead(dist) OVER (PARTITION BY a_id
+                                  ORDER BY dist, b_id) AS d2
+          FROM d)
+    SELECT a_id, b_id, a_label, b_label, dist,
+           CASE WHEN dist = 0 THEN 1000000000
+                WHEN d2 IS NULL THEN 1000000
+                ELSE CAST(floor(d2 / dist * 1000000) AS BIGINT)
+           END AS margin_ppm
+    FROM r WHERE rn_a = 1 AND rn_b = 1
+    ORDER BY a_id
+    """,
+)
+def q_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match pair mining — the mutual-nearest-neighbor
+    criterion parallel-corpus miners (LASER/CCMatrix-style) use to
+    pair items across two collections: (a, b) survives only when b is
+    a's nearest neighbor in B AND a is b's nearest in A, which kills
+    the hub matches a one-directional top-1 keeps. Each kept pair
+    carries the CCMatrix-style margin (runner-up distance / match
+    distance, exact integer ppm of a double ratio both engines
+    compute identically from the same rounded distances; ties at
+    distance 0 cap at 1e9, a singleton runner-up defaults to 1e6) —
+    downstream filters threshold on margin to trade pair yield for
+    precision. Probe sets are the eval family's fixed-size
+    deterministic samples (q_knn_confusion's convention: disjoint
+    residue classes, id-capped), so the pair matrix is constant-sized
+    at ANY corpus scale.
+
+    Plan: one base scan feeds both probe filters, one broadcast cross
+    of two constant-size sets, two rank windows over the same pair
+    table (partition keys = probe ids), conjunctive rank-1 filter. At
+    100 TB both directions swap their exact scan for the IVF tier —
+    the mutual test and margin survive unchanged on the candidate
+    lists."""
+    from ..functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 5000)).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("av"),
+    )
+    b = e.filter((F.col("vec_id") % 25 == 5) & (F.col("vec_id") < 5000)).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("bv"),
+    )
+    d = a.crossJoin(F.broadcast(b)).select(
+        "a_id",
+        "a_label",
+        "b_id",
+        "b_label",
+        F.round(V.l2_distance("av", "bv"), 6).alias("dist"),
+    )
+    wa = Window.partitionBy("a_id").orderBy("dist", "b_id")
+    wb = Window.partitionBy("b_id").orderBy("dist", "a_id")
+    r = d.select(
+        "a_id",
+        "a_label",
+        "b_id",
+        "b_label",
+        "dist",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wb).alias("rn_b"),
+        F.lead("dist").over(wa).alias("d2"),
+    )
+    return (
+        r.filter((F.col("rn_a") == 1) & (F.col("rn_b") == 1))
+        .select(
+            "a_id",
+            "b_id",
+            "a_label",
+            "b_label",
+            "dist",
+            F.when(F.col("dist") == 0, F.lit(1000000000))
+            .when(F.col("d2").isNull(), F.lit(1000000))
+            .otherwise(
+                F.floor(F.col("d2") / F.col("dist") * F.lit(1000000.0))
+            )
+            .cast("long")
+            .alias("margin_ppm"),
+        )
+        .orderBy("a_id")
+    )
+
+
 # --- seasonal-naive forecast backtest ---------------------------------------
 
 @register(

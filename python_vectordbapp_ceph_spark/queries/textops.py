@@ -1028,6 +1028,103 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- degree assortativity ---------------------------------------------------
+
+@register(
+    "q_degree_assortativity",
+    oracle=f"""
+    WITH {_PAIRS_05_SQL},
+    dirs AS (SELECT id_a AS u, id_b AS v FROM e
+             UNION ALL SELECT id_b, id_a FROM e),
+    deg AS (SELECT u AS id, COUNT(*) AS d FROM dirs GROUP BY u),
+    xy AS (SELECT du.d AS x, dv.d AS y
+           FROM dirs JOIN deg du ON dirs.u = du.id
+                     JOIN deg dv ON dirs.v = dv.id),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM xy)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST(CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN 0
+                ELSE CASE WHEN m.n * m.sxy - m.sx * m.sx < 0 THEN -1 ELSE 1 END
+                     * (abs(m.n * m.sxy - m.sx * m.sx) * 1000000
+                        // (m.n * m.sxx - m.sx * m.sx))
+                END AS BIGINT) AS assort_ppm
+    FROM m
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the similarity graph — the Newman
+    coefficient that says whether high-degree documents (near-dup hub
+    templates) attach to other hubs (r > 0, dense clique blocks LSH
+    must bucket-split) or to leaves (r < 0, star-shaped template
+    families where one canonical doc anchors many variants). Because
+    the directed edge list contains BOTH orientations, the x and y
+    marginals are identical, so Pearson's r is a pure RATIONAL:
+    r = (n·Σxy − (Σx)²) / (n·Σxx − (Σx)²) — no square root — and the
+    output is an exact integer ppm, sign applied outside a
+    nonnegative truncating division so Spark's `div` and DuckDB's
+    HUGEINT `//` agree. Completes the graph-shape family
+    (q_degree_hist / q_triangle_count) on the same fixed-size sample
+    (_graph_sample), so the exact pair stage is scale-invariant; the
+    production corpus runs the LSH funnel instead.
+
+    Plan: one edge build, one degree aggregate, two id-keyed joins
+    (degree table broadcasts — node-cardinality), one scalar moment
+    aggregate in decimal(38,0)."""
+    from ..cache import tracked_persist
+
+    d = _graph_sample(spark, sf_dir)
+    pairs = tracked_persist(
+        jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5).select(
+            "id_a", "id_b"
+        )
+    )
+    dirs = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = dirs.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        dirs.join(
+            F.broadcast(deg.select(F.col("id").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("id").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
+        .select("x", "y")
+    )
+    d38 = "decimal(38,0)"
+    m = xy.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+    ).select(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(
+            m.select(
+                F.when(F.col("den") == 0, F.lit(0))
+                .otherwise(
+                    F.when(F.col("num") < 0, F.lit(-1))
+                    .otherwise(F.lit(1))
+                    * F.expr("(abs(num) * 1000000) div den")
+                )
+                .cast("long")
+                .alias("assort_ppm")
+            )
+        )
+    )
+
+
 # --- inverted-index materialization ----------------------------------------
 
 @register(

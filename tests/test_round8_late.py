@@ -1,0 +1,153 @@
+"""Round-8 late additions: semantic invariants the oracle hash can't
+express — credit conservation for multi-touch attribution, the
+power-of-two weight law for half-life decay, the rational-assortativity
+recompute, and the mutuality/margin contract of reciprocal best-match.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.queries.analytics import (
+    _HL_CAP,
+    _HL_US,
+    q_decay_halflife,
+    q_linear_attribution,
+)
+from python_vectordbapp_ceph_spark.queries.evaluation import (
+    q_reciprocal_best_match,
+)
+from python_vectordbapp_ceph_spark.queries.textops import (
+    _GRAPH_SAMPLE_N,
+    _graph_sample,
+    q_degree_assortativity,
+)
+from python_vectordbapp_ceph_spark.operators.dedup import jaccard_pairs
+
+from conftest import SF_DIR
+
+
+# --- q_decay_halflife --------------------------------------------------------
+
+
+def test_decay_shares_sum_to_one_within_floor_loss(spark):
+    """Exact-floor ppm shares lose at most (n_groups - 1) ppm total."""
+    rows = q_decay_halflife(spark, SF_DIR).collect()
+    total = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - (len(rows) - 1) <= total <= 1_000_000
+
+
+def test_decay_weight_bounds(spark):
+    """decayed_n is a sum of powers of two in [1, 2^CAP]: it must lie
+    between n_events (all ancient) and n_events << CAP (all fresh),
+    and the freshest group strictly dominates the uniform floor."""
+    rows = q_decay_halflife(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_events <= int(r.decayed_n) <= r.n_events * (1 << _HL_CAP)
+
+
+def test_decay_matches_python_recompute(spark):
+    """Row-level recompute of the discretized decay in pure Python —
+    pins the epoch-microsecond bucketing (div, cap) end-to-end."""
+    from python_vectordbapp_ceph_spark.queries._common import T
+
+    ev = (
+        T(spark, SF_DIR, "events")
+        .select("event_type", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    ref = max(r.us for r in ev)
+    exp_n = {}
+    for r in ev:
+        k = min((ref - r.us) // _HL_US, _HL_CAP)
+        exp_n[r.event_type] = exp_n.get(r.event_type, 0) + (1 << (_HL_CAP - k))
+    got = {r.event_type: int(r.decayed_n) for r in q_decay_halflife(spark, SF_DIR).collect()}
+    assert got == exp_n
+
+
+# --- q_linear_attribution ----------------------------------------------------
+
+
+def test_attribution_conserves_credit(spark):
+    """Sum of channel credit == 1e6 x converting users with >=1 prior
+    touch (each user's credits sum to exactly 1e6 by remainder
+    assignment)."""
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    n_users = (
+        e.join(fp, "user_id")
+        .filter((F.col("ts") < F.col("fp_ts")) & (F.col("event_type") != "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    rows = q_linear_attribution(spark, SF_DIR).collect()
+    assert sum(r.credit_ppm for r in rows) == 1_000_000 * n_users
+    assert sum(r.n_first for r in rows) == n_users
+
+
+# --- q_degree_assortativity --------------------------------------------------
+
+
+def test_assortativity_matches_python_recompute(spark):
+    """Exact rational recompute from the same edge list; also pins
+    |r| <= 1 (ppm bounds) and the both-orientations marginal trick."""
+    d = _graph_sample(spark, SF_DIR)
+    edges = [
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(d, block_col="source", shingle_n=1, threshold=0.5)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    dirs = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    n = len(dirs)
+    sx = sum(deg[u] for u, _ in dirs)
+    sxy = sum(deg[u] * deg[v] for u, v in dirs)
+    sxx = sum(deg[u] * deg[u] for u, _ in dirs)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    exp = 0 if den == 0 else (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+    row = q_degree_assortativity(spark, SF_DIR).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.assort_ppm == exp
+    assert -1_000_000 <= row.assort_ppm <= 1_000_000
+
+
+# --- q_reciprocal_best_match -------------------------------------------------
+
+
+def test_reciprocal_pairs_are_mutual_and_margin_floor(spark):
+    """Each endpoint appears at most once (top-1 both ways is a
+    partial matching); margin >= 1e6 because the runner-up distance
+    can't beat the best; brute-force recompute confirms mutuality."""
+    rows = q_reciprocal_best_match(spark, SF_DIR).collect()
+    a_ids = [r.a_id for r in rows]
+    b_ids = [r.b_id for r in rows]
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+    assert all(r.margin_ppm >= 1_000_000 for r in rows)
+
+    e = {
+        r.vec_id: r.v
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    }
+    A = sorted(k for k in e if k % 25 == 0 and k < 5000)
+    B = sorted(k for k in e if k % 25 == 5 and k < 5000)
+
+    def dist(x, y):
+        return round(math.sqrt(sum((a - b) * (a - b) for a, b in zip(x, y))), 6)
+
+    best_b = {a: min(B, key=lambda b: (dist(e[a], e[b]), b)) for a in A}
+    best_a = {b: min(A, key=lambda a: (dist(e[a], e[b]), a)) for b in B}
+    exp = {(a, b) for a, b in best_b.items() if best_a[b] == a}
+    assert {(r.a_id, r.b_id) for r in rows} == exp
