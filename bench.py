@@ -121,6 +121,7 @@ HEADLINE = [
     "q_decay_halflife",    # power-of-two half-life aggregate (r8)
     "q_linear_attribution",# exact-ppm multi-touch credit (r8)
     "q_reciprocal_best_match",  # mutual-NN pair mining (r8)
+    "q_bootstrap_ci",      # deterministic Poisson bootstrap (r8)
 ]
 
 

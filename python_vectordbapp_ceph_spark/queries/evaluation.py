@@ -1391,3 +1391,149 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (CAST(n AS DECIMAL(38,0)) * sg) AS BIGINT)"
         ).alias("fano_floor_us"),
     ).orderBy("event_type")
+
+
+# --- Poisson-bootstrap confidence intervals ----------------------------------
+
+# Cumulative Poisson(1) pmf in floor-ppm — the deterministic stand-in
+# for per-(row, resample) Poisson draws: a shared integer hash u in
+# [0, 1e6) maps to multiplicity k via these literal thresholds, so BOTH
+# engines draw the identical bootstrap and neither evaluates exp().
+# Generated offline: floor(1e6 * sum_{j<=k} e^-1/j!) for k = 0..7;
+# u >= the last threshold caps at multiplicity 8.
+_POIS_PPM = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+_BOOT_B = 40  # resamples; rank 1 / rank 39 = 2.5% / 97.5% disc quantiles
+_KNUTH = 2654435761
+
+
+def _mult_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_PPM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 1000000) AS BIGINT) AS vm,
+                      event_id % 2147483648 AS fk
+               FROM events),
+    x AS (SELECT event_type, vm,
+                 ((fk * 127 + b) % 2147483648 * {_KNUTH})
+                   % 4294967296 % 1000000 AS u, b
+          FROM e CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b)),
+    r AS (SELECT event_type, b,
+                 SUM({_mult_case_sql('u')}) AS s1,
+                 SUM(CAST({_mult_case_sql('u')} AS HUGEINT) * vm) AS sv
+          FROM x GROUP BY event_type, b),
+    m AS (SELECT event_type, b,
+                 CAST(sv // CAST(s1 AS HUGEINT) AS BIGINT) AS mean_b
+          FROM r WHERE s1 > 0),
+    k AS (SELECT event_type, mean_b,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY mean_b, b) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY mean_b DESC, b DESC) AS rn_d
+          FROM m),
+    base AS (SELECT event_type, COUNT(*) AS n_rows,
+                    CAST(SUM(CAST(vm AS HUGEINT))
+                         // COUNT(*) AS BIGINT) AS mean_micro
+             FROM e GROUP BY event_type)
+    SELECT base.event_type, base.n_rows, base.mean_micro,
+           MAX(CASE WHEN k.rn_a = 1 THEN k.mean_b END) AS ci_lo_micro,
+           MAX(CASE WHEN k.rn_d = 2 THEN k.mean_b END) AS ci_hi_micro
+    FROM base JOIN k ON base.event_type = k.event_type
+    GROUP BY base.event_type, base.n_rows, base.mean_micro
+    ORDER BY base.event_type
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals — THE distributed
+    bootstrap (per-row multiplicities ~ Poisson(1) instead of a global
+    n-with-replacement draw, so resamples need no coordination) made
+    fully deterministic: multiplicity comes from the registry's Knuth
+    split hash mapped through a literal cumulative-pmf table
+    (_POIS_PPM, floor-ppm, generated offline), so both engines draw
+    the IDENTICAL 40 resamples and the whole estimator is exact
+    integer arithmetic — per-resample means as integral-div micro
+    units, CI = rank-1 / rank-39 discrete quantiles with total-order
+    tiebreaks. The uncertainty attached to every per-source quality
+    mean a curation report ships.
+
+    Plan: the B-fold expansion happens INSIDE the map stage (explode
+    of a literal sequence, zero-multiplicity rows dropped before the
+    exchange, ~37% of the expansion) and collapses to type x B rows
+    via a partial-aggregating hash aggregate, so the only shuffle
+    carries |types| * 40 rows at ANY corpus size; the rank windows run
+    on that bounded table. Decimal(38,0) weighted sums: multiplicity
+    <= 8 x micro values <= 5e8 x 1e12 rows stays 16 orders under the
+    ceiling."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).alias("vm"),
+        F.pmod(F.col("event_id"), F.lit(1 << 31)).alias("fk"),
+    )
+    x = e.select(
+        "event_type",
+        "vm",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "fk",
+    ).select(
+        "event_type",
+        "vm",
+        "b",
+        F.pmod(
+            F.pmod(
+                F.pmod(F.col("fk") * 127 + F.col("b"), F.lit(1 << 31))
+                * F.lit(_KNUTH),
+                F.lit(1 << 32),
+            ),
+            F.lit(1000000),
+        ).alias("u"),
+    )
+    mult = F.expr(_mult_case_sql("u"))
+    r = (
+        x.select("event_type", "b", "vm", mult.alias("mult"))
+        .filter(F.col("mult") > 0)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("mult").alias("s1"),
+            F.sum(F.col("mult").cast("decimal(38,0)") * F.col("vm")).alias("sv"),
+        )
+    )
+    m = r.filter(F.col("s1") > 0).select(
+        "event_type",
+        "b",
+        F.expr("CAST(sv div CAST(s1 AS DECIMAL(38,0)) AS BIGINT)").alias("mean_b"),
+    )
+    wa = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("mean_b").desc(), F.col("b").desc()
+    )
+    k = m.select(
+        "event_type",
+        "mean_b",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(vm AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    return (
+        base.join(k, "event_type")
+        .groupBy("event_type", "n_rows", "mean_micro")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("mean_b"))).alias(
+                "ci_lo_micro"
+            ),
+            F.max(F.when(F.col("rn_d") == 2, F.col("mean_b"))).alias(
+                "ci_hi_micro"
+            ),
+        )
+        .orderBy("event_type")
+    )

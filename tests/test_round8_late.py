@@ -151,3 +151,27 @@ def test_reciprocal_pairs_are_mutual_and_margin_floor(spark):
     best_a = {b: min(A, key=lambda a: (dist(e[a], e[b]), a)) for b in B}
     exp = {(a, b) for a, b in best_b.items() if best_a[b] == a}
     assert {(r.a_id, r.b_id) for r in rows} == exp
+
+
+# --- q_bootstrap_ci ----------------------------------------------------------
+
+
+def test_bootstrap_pmf_table_provenance():
+    """The literal threshold table IS floor-ppm of the cumulative
+    Poisson(1) pmf (the test may use math.exp; the engines never do)."""
+    from python_vectordbapp_ceph_spark.queries.evaluation import _POIS_PPM
+
+    c = 0.0
+    for k, t in enumerate(_POIS_PPM):
+        c += math.exp(-1) / math.factorial(k)
+        assert t == math.floor(c * 1_000_000)
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """Deterministic dataset -> deterministic CI; the discrete 2.5/97.5
+    band must be ordered and bracket the sample mean here."""
+    from python_vectordbapp_ceph_spark.queries.evaluation import q_bootstrap_ci
+
+    for r in q_bootstrap_ci(spark, SF_DIR).collect():
+        assert r.ci_lo_micro <= r.mean_micro <= r.ci_hi_micro
+        assert r.ci_lo_micro < r.ci_hi_micro
