@@ -1937,3 +1937,90 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- effective sample size of the importance reweighting --------------------
+
+@register(
+    "q_effective_sample_size",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b
+               FROM (SELECT doc_id, lang, unnest({_TOKS_LOWER}) AS tok
+                     FROM documents)),
+    stats AS (SELECT b, COUNT(*) AS raw_cnt,
+                     COUNT(*) FILTER (WHERE lang = 'en') AS tgt_cnt
+              FROM t GROUP BY b),
+    tot AS (SELECT SUM(raw_cnt) AS n_raw, SUM(tgt_cnt) AS n_tgt FROM stats),
+    r AS (SELECT b,
+                 ((tgt_cnt + 1) * (SELECT n_raw + 64 FROM tot) * 1000000)
+                 // ((raw_cnt + 1) * (SELECT n_tgt + 64 FROM tot)) AS ratio_ppm
+          FROM stats),
+    d AS (SELECT t.doc_id, COUNT(*) AS n_toks,
+                 SUM(r.ratio_ppm) AS sum_ratio
+          FROM t JOIN r USING (b) GROUP BY t.doc_id),
+    w AS (SELECT doc_id, sum_ratio // n_toks AS w FROM d),
+    g AS (SELECT doc.source, COUNT(*) AS n_docs,
+                 SUM(CAST(w.w AS HUGEINT)) AS sw,
+                 SUM(CAST(w.w AS HUGEINT) * w.w) AS sww
+          FROM w JOIN documents doc USING (doc_id)
+          GROUP BY doc.source
+          UNION ALL
+          SELECT 'ALL', COUNT(*), SUM(CAST(w AS HUGEINT)),
+                 SUM(CAST(w AS HUGEINT) * w)
+          FROM w)
+    SELECT source, n_docs,
+           CAST(sw // n_docs AS BIGINT) AS mean_w_ppm,
+           CAST(sw * sw * 1000000 // (n_docs * sww) AS BIGINT) AS ess_ppm
+    FROM g ORDER BY source
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR reweighting — Kish's
+    ESS = (Σw)²/(Σw²), reported per source (and 'ALL') as a ppm
+    fraction of the nominal count: the diagnostic that says how much
+    of each source the importance weights actually keep (ess_ppm →
+    1e6 means uniform weights / nothing lost; a tiny ess_ppm warns
+    the resampler is about to collapse the source onto a few docs).
+    Composes the registry's own q_importance_weights signal (same
+    CTE, same add-one-smoothed integer ratios) with the exact
+    rational ESS — no variance estimate, no floats; (Σw)² stays
+    inside decimal(38,0) up to ~10T docs at ppm-scale weights, and
+    Spark raises (ANSI) rather than wrapping beyond that.
+
+    Plan: the weight computation's two hash aggregates + broadcast
+    64-row ratio join, then ONE more shuffle — the doc_id join back
+    to (doc_id, source) — and a source-cardinality aggregate; the
+    'ALL' row re-aggregates the per-source partials, not the corpus.
+    Cite: Xie et al. 2023 (DSIR) resampling diagnostics; Kish 1965."""
+    d38 = "decimal(38,0)"
+    w = q_importance_weights(spark, sf_dir).select(
+        "doc_id", F.col("importance_ppm").alias("w")
+    )
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    per_doc = w.join(src, "doc_id").select(
+        "source", F.col("w").cast(d38).alias("wd"), F.col("w").alias("wl")
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("wd").alias("sw"),
+        F.sum(F.col("wd") * F.col("wl")).alias("sww"),
+    )
+    allg = g.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sw").alias("sw"),
+        F.sum("sww").alias("sww"),
+    ).select(F.lit("ALL").alias("source"), "n_docs", "sw", "sww")
+    return (
+        g.unionByName(allg)
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST(sw div n_docs AS BIGINT)").alias("mean_w_ppm"),
+            F.expr(
+                "CAST(sw * sw * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * sww)"
+                " AS BIGINT)"
+            ).alias("ess_ppm"),
+        )
+        .orderBy("source")
+    )

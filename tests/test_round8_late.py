@@ -193,3 +193,22 @@ def test_user_overlap_bounds_and_theta_cell(spark):
         assert 0 <= r.jaccard_ppm <= 1_000_000
     cp = [r for r in rows if {r.type_a, r.type_b} == {"click", "purchase"}]
     assert len(cp) == 1
+
+
+# --- q_effective_sample_size -------------------------------------------------
+
+
+def test_ess_cauchy_schwarz_bound_and_all_row(spark):
+    """ESS <= n by Cauchy-Schwarz -> ess_ppm <= 1e6; the ALL row's
+    n_docs equals the sum of the per-source rows."""
+    from python_vectordbapp_ceph_spark.queries.textops import (
+        q_effective_sample_size,
+    )
+
+    rows = q_effective_sample_size(spark, SF_DIR).collect()
+    per = [r for r in rows if r.source != "ALL"]
+    al = [r for r in rows if r.source == "ALL"]
+    assert len(al) == 1
+    assert al[0].n_docs == sum(r.n_docs for r in per)
+    for r in rows:
+        assert 0 < r.ess_ppm <= 1_000_000
