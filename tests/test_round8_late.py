@@ -212,3 +212,58 @@ def test_ess_cauchy_schwarz_bound_and_all_row(spark):
     assert al[0].n_docs == sum(r.n_docs for r in per)
     for r in rows:
         assert 0 < r.ess_ppm <= 1_000_000
+
+
+# --- plan pins for the late batch ---------------------------------------------
+
+
+def test_bootstrap_plan_expansion_stays_map_side(spark):
+    """The 40x Poisson expansion must collapse BEFORE the exchange:
+    the Generate (explode) sits under the (event_type, b) partial
+    hash aggregate, so the shuffle carries types x B rows, not
+    corpus x B. A plan where Generate appears above an Exchange on
+    the fact path would re-shuffle the expansion."""
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+    from python_vectordbapp_ceph_spark.queries.evaluation import q_bootstrap_ci
+
+    plan = explain_str(q_bootstrap_ci(spark, SF_DIR), "simple")
+    lines = plan.splitlines()
+    gen = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert gen, "explode missing from plan"
+    # the explode feeds a partial HashAggregate before any Exchange
+    # (deeper plan lines = earlier execution; scan upward from Generate)
+    above = lines[: gen[0]]
+    agg_after_gen = [
+        l for l in reversed(above) if "HashAggregate" in l or "Exchange" in l
+    ]
+    assert agg_after_gen and "HashAggregate" in agg_after_gen[0], (
+        "no partial aggregate between explode and the first exchange"
+    )
+
+
+def test_decay_plan_is_one_fact_aggregate(spark):
+    """No window anywhere; the only fact-scale exchange is the
+    event_type hash aggregate's."""
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+    from python_vectordbapp_ceph_spark.queries.analytics import q_decay_halflife
+
+    plan = explain_str(q_decay_halflife(spark, SF_DIR), "simple")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # the scalar max rides broadcast
+
+
+def test_attribution_windows_partition_on_user(spark):
+    """Both windows must partition by user_id (bounded per-user event
+    counts), never unpartitioned."""
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+    from python_vectordbapp_ceph_spark.queries.analytics import (
+        q_linear_attribution,
+    )
+
+    plan = explain_str(q_linear_attribution(spark, SF_DIR), "simple")
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "user_id#" not in ln
+    ]
+    assert bad == [], bad
