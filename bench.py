@@ -122,6 +122,7 @@ HEADLINE = [
     "q_linear_attribution",# exact-ppm multi-touch credit (r8)
     "q_reciprocal_best_match",  # mutual-NN pair mining (r8)
     "q_bootstrap_ci",      # deterministic Poisson bootstrap (r8)
+    "q_effective_sample_size",  # Kish ESS of DSIR weights (r8)
 ]
 
 
