@@ -267,3 +267,88 @@ def test_attribution_windows_partition_on_user(spark):
         if "windowspecdefinition(" in ln and "user_id#" not in ln
     ]
     assert bad == [], bad
+
+
+# --- streaming decay monitor ---------------------------------------------------
+
+
+def test_streaming_decay_equals_batch(spark, tmp_path):
+    """Batch/stream unification for the half-life decay: events fed
+    through the monitor in TWO micro-batches (incremental view folds
+    + manifest commits) yield exactly the bucket-anchored decay the
+    shared assembly computes over the union of all events — including
+    weight saturation: the span exceeds the 40-half-life cap, so the
+    oldest rows ride the saturated weight 1."""
+    import json
+
+    from python_vectordbapp_ceph_spark.operators.decay import (
+        HL_US,
+        decayed_bucket_totals,
+    )
+    from python_vectordbapp_ceph_spark.streaming.decay import (
+        init_monitor,
+        monitor_stream,
+        read_decayed,
+    )
+
+    rows = []
+    eid = 0
+    # 2023-01 .. 2024-01 weekly: > 52 half-lives of span -> saturation
+    for week in range(0, 55):
+        day = 1 + 7 * week
+        y, rem = 2023 + day // 365, day % 365
+        m, d = 1 + rem // 31, 1 + rem % 28
+        for etype, n in (("a", 2), ("b", 1 + week % 3)):
+            for i in range(n):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": f"{y}-{m:02d}-{d:02d} 0{i}:30:00",
+                        "event_type": etype,
+                        "value": 1.5 + (eid % 7) * 0.25,
+                    }
+                )
+                eid += 1
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rows) // 2
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:half]))
+
+    view = str(tmp_path / "view")
+    init_monitor(spark, view)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    q = monitor_stream(
+        spark.readStream.schema(schema).json(str(src)), view,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[half:]))
+    q = monitor_stream(
+        spark.readStream.schema(schema).json(str(src)), view,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.n_events, int(r.decayed_n), int(r.decayed_value_micro))
+        for r in read_decayed(spark, view).collect()
+    }
+
+    batch = spark.read.schema(schema).json(str(src))
+    agg = batch.groupBy(
+        "event_type", F.expr(f"unix_micros(ts) div {HL_US}L").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("value") * 1000000.0)).alias("total"),
+    )
+    want = {
+        (r.event_type, r.n_events, int(r.decayed_n), int(r.decayed_value_micro))
+        for r in decayed_bucket_totals(
+            agg, "event_type", "b", "cnt", total_col="total"
+        ).collect()
+    }
+    assert got == want
+    # saturation really exercised: oldest bucket is > cap behind ref
+    bs = [r.b for r in agg.select("b").distinct().collect()]
+    assert max(bs) - min(bs) > 40
