@@ -123,6 +123,7 @@ HEADLINE = [
     "q_reciprocal_best_match",  # mutual-NN pair mining (r8)
     "q_bootstrap_ci",      # deterministic Poisson bootstrap (r8)
     "q_effective_sample_size",  # Kish ESS of DSIR weights (r8)
+    "q_corpus_checksum",   # layout-invariant content stamp (r8)
 ]
 
 

@@ -2024,3 +2024,74 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- corpus content checksum (reproducibility stamp) -------------------------
+
+@register(
+    "q_corpus_checksum",
+    oracle="""
+    WITH h AS (SELECT source,
+                      ('0x' || substr(md5(text), 1, 15))::BIGINT AS hh,
+                      n_chars
+               FROM documents),
+    g AS (SELECT source, COUNT(*) AS n_docs,
+                 SUM(CAST(hh AS HUGEINT)) AS checksum,
+                 SUM(CAST(n_chars AS HUGEINT)) AS total_chars
+          FROM h GROUP BY source
+          UNION ALL
+          SELECT 'ALL', COUNT(*), SUM(CAST(hh AS HUGEINT)),
+                 SUM(CAST(n_chars AS HUGEINT))
+          FROM h)
+    SELECT source, n_docs,
+           CAST(checksum AS DECIMAL(38,0)) AS checksum,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM g ORDER BY source
+    """,
+)
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed corpus checksum — the reproducibility stamp a
+    dataset card / training-run manifest records so 'the same corpus'
+    is CHECKABLE, not asserted: per source (and ALL), the document
+    count, an order- and partitioning-invariant content checksum
+    (SUM of 60-bit md5 prefixes — addition commutes, so any shuffle,
+    any file layout, any merge order produces the identical stamp;
+    the md5-prefix-as-int trick is q_feature_hash's, exact in both
+    engines), and total characters. Any single-character edit,
+    dropped doc, or duplicate insertion moves the stamp. Composes
+    with q_merge_time_travel: stamp each committed generation and a
+    resume can verify its inputs byte-for-byte without re-reading old
+    generations' text.
+
+    Plan: one scan, one map-side-combinable aggregate on source, the
+    ALL row re-aggregated from per-source partials — the cheapest
+    possible full-corpus pass (no window, no join, 60-bit hash sums
+    in decimal(38,0) leave 18 orders of headroom)."""
+    d38 = "decimal(38,0)"
+    h = T(spark, sf_dir, "documents").select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hh"),
+        "n_chars",
+    )
+    g = h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("hh").cast(d38)).alias("checksum"),
+        F.sum(F.col("n_chars").cast(d38)).alias("total_chars"),
+    )
+    allg = g.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("checksum").alias("checksum"),
+        F.sum("total_chars").alias("total_chars"),
+    ).select(F.lit("ALL").alias("source"), "n_docs", "checksum", "total_chars")
+    return (
+        g.unionByName(allg)
+        .select(
+            "source",
+            "n_docs",
+            F.col("checksum").cast(d38).alias("checksum"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

@@ -352,3 +352,38 @@ def test_streaming_decay_equals_batch(spark, tmp_path):
     # saturation really exercised: oldest bucket is > cap behind ref
     bs = [r.b for r in agg.select("b").distinct().collect()]
     assert max(bs) - min(bs) > 40
+
+
+# --- q_corpus_checksum ---------------------------------------------------------
+
+
+def test_corpus_checksum_is_layout_invariant_and_edit_sensitive(spark, tmp_path):
+    """The stamp must not move under repartitioning, and must move
+    under a single-document edit."""
+    from python_vectordbapp_ceph_spark.queries.textops import q_corpus_checksum
+
+    base = {(r.source, str(r.checksum)) for r in q_corpus_checksum(spark, SF_DIR).collect()}
+
+    # re-layout the corpus: 7 shuffled partitions, same content
+    import shutil
+    alt = tmp_path / "alt"
+    for t in ("documents",):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").repartition(7).write.parquet(
+            str(alt / f"{t}.parquet")
+        )
+    got = {(r.source, str(r.checksum)) for r in q_corpus_checksum(spark, str(alt)).collect()}
+    assert got == base
+
+    # flip one character in one doc -> ALL row (and one source) move
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edited = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") == d.select(F.min("doc_id")).collect()[0][0],
+               F.concat(F.col("text"), F.lit("!"))).otherwise(F.col("text")),
+    )
+    ed = tmp_path / "ed"
+    edited.write.parquet(str(ed / "documents.parquet"))
+    moved = {(r.source, str(r.checksum)) for r in q_corpus_checksum(spark, str(ed)).collect()}
+    assert moved != base
