@@ -124,6 +124,7 @@ HEADLINE = [
     "q_bootstrap_ci",      # deterministic Poisson bootstrap (r8)
     "q_effective_sample_size",  # Kish ESS of DSIR weights (r8)
     "q_corpus_checksum",   # layout-invariant content stamp (r8)
+    "q_lorenz_deciles",    # two-phase-ntile concentration curve (r8)
 ]
 
 

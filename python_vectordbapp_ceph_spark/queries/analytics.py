@@ -2019,3 +2019,80 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Lorenz concentration deciles -------------------------------------------
+
+@register(
+    "q_lorenz_deciles",
+    oracle="""
+    WITH base AS (SELECT o_custkey,
+                         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+                  FROM orders GROUP BY o_custkey),
+    t AS (SELECT o_custkey, spend,
+                 ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+          FROM base),
+    d AS (SELECT decile, COUNT(*) AS n_customers,
+                 SUM(CAST(spend * 100 AS HUGEINT)) AS cents
+          FROM t GROUP BY decile),
+    tot AS (SELECT SUM(cents) AS tc FROM d)
+    SELECT decile, n_customers,
+           CAST(cents AS DECIMAL(38,0)) AS spend_cents,
+           CAST(cents * 1000000 // tot.tc AS BIGINT) AS share_ppm,
+           CAST(SUM(cents) OVER (ORDER BY decile) * 1000000 // tot.tc
+                AS BIGINT) AS cum_share_ppm
+    FROM d CROSS JOIN tot ORDER BY decile
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve in spend deciles — the curve POINTS
+    behind q_gini_spend's scalar: per ascending-spend decile of the
+    customer base, exact cent sums and the cumulative revenue share in
+    integer ppm (cum_share of decile 10 = exactly 1e6; the gap between
+    the curve and the diagonal IS the Gini). The how-top-heavy-is-the-
+    corpus question, asked of revenue the way q_domain_mixture asks it
+    of tokens.
+
+    Plan: per-customer aggregate (the only fact-scale shuffle), then
+    the EXACT two-phase ntile (operators/twophase.global_ntile — no
+    unpartitioned customer-cardinality window, same machinery as
+    q_rfm_segments), a 10-row rollup and a 10-row running sum. Decimal
+    cents end-to-end; shares by exact integral div."""
+    from pyspark.sql.window import Window
+
+    from ..operators.twophase import global_ntile
+
+    d38 = "decimal(38,0)"
+    o = T(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.sum(dec2("o_totalprice")).alias("spend")
+    )
+    scored = global_ntile(base, ["spend", "o_custkey"], 10, "decile")
+    dec = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("spend") * 100).cast(d38)).alias("cents"),
+    )
+    tot = dec.agg(F.sum("cents").alias("tc"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("cents").cast(d38).alias("spend_cents"),
+            F.expr("CAST(cents * 1000000 div tc AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(1000000 AS DECIMAL(38,0))")
+            .alias("_m"),
+            F.col("cents").alias("_c"),
+            F.col("tc").alias("_tc"),
+        )
+        .withColumn("_cum", F.sum("_c").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            "spend_cents",
+            "share_ppm",
+            F.expr("CAST(_cum * _m div _tc AS BIGINT)").alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -387,3 +387,22 @@ def test_corpus_checksum_is_layout_invariant_and_edit_sensitive(spark, tmp_path)
     edited.write.parquet(str(ed / "documents.parquet"))
     moved = {(r.source, str(r.checksum)) for r in q_corpus_checksum(spark, str(ed)).collect()}
     assert moved != base
+
+
+# --- q_lorenz_deciles ----------------------------------------------------------
+
+
+def test_lorenz_curve_is_convex_and_closes_at_one(spark):
+    """Lorenz invariants: ascending-spend deciles have non-decreasing
+    shares (convex curve), cumulative share closes at exactly 1e6,
+    every decile below the diagonal or on it."""
+    from python_vectordbapp_ceph_spark.queries.analytics import q_lorenz_deciles
+
+    rows = sorted(q_lorenz_deciles(spark, SF_DIR).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert rows[-1].cum_share_ppm == 1_000_000
+    for r in rows:
+        # Lorenz curve never exceeds the diagonal (floor loss aside)
+        assert r.cum_share_ppm <= r.decile * 100_000 + 1
