@@ -235,6 +235,7 @@ def read_buckets(
     path: str,
     buckets: list[int] | None = None,
     version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Manifest-resolved read. ``buckets=None`` reads the whole base;
     a bucket list prunes at the FILE-LISTING level — untouched bucket
@@ -261,9 +262,13 @@ def read_buckets(
     if not live:
         return None
     dirs = [f"{path}/gen={g}/_kb={b}" for b, g in sorted(live.items())]
-    return (
-        spark.read.option("basePath", path).parquet(*dirs).drop("gen")
-    )
+    reader = spark.read.option("basePath", path)
+    if merge_schema:
+        # footer-merge across generations whose schemas evolved (e.g.
+        # a shard ledger whose newer segments carry columns the older
+        # ones predate) — metadata-sized cost, never reads row data
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*dirs).drop("gen")
 
 
 def _staged_write(

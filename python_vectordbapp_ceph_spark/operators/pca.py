@@ -35,17 +35,32 @@ from pyspark.sql import functions as F
 
 def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
     """Exact (rounded-6-grid) covariance matrix of the first ``dim``
-    components, deterministic under any partitioning."""
-    x = df.select(
-        F.monotonically_increasing_id().alias("_rid"),
-        F.posexplode(F.slice(vec_col, 1, dim)).alias("i", "_x"),
-    ).select("_rid", "i", F.round(F.col("_x").cast("double"), 6).alias("v"))
-    a = x.select("_rid", F.col("i").alias("di"), F.col("v").alias("va"))
-    b = x.select(
-        F.col("_rid").alias("_rb"), F.col("i").alias("dj"), F.col("v").alias("vb")
+    components, deterministic under any partitioning.
+
+    The (i ≤ j) component pairs are generated INSIDE each row by two
+    chained generators (posexplode of the vector, then posexplode of
+    its j ≥ i suffix) — no row id, no self-join: a row-id pairing
+    (monotonically_increasing_id on two branches) is only correct for
+    deterministic file scans and silently mis-pairs under upstream
+    shuffles or nondeterministic sources, and it shuffles n·d rows.
+    Here rows never leave their input partition until the d(d+1)/2-
+    group aggregate's map-side partials."""
+    base = df.select(
+        F.transform(
+            F.slice(F.col(vec_col), 1, dim),
+            lambda c: F.round(c.cast("double"), 6),
+        ).alias("_v")
     )
+    a = base.select("_v", F.posexplode("_v").alias("di", "va"))
     p = (
-        a.join(b, (a["_rid"] == b["_rb"]) & (a["di"] <= b["dj"]))
+        a.select(
+            "di",
+            "va",
+            F.posexplode(
+                F.slice(F.col("_v"), F.col("di") + 1, F.lit(dim) - F.col("di"))
+            ).alias("_p", "vb"),
+        )
+        .select("di", (F.col("di") + F.col("_p")).alias("dj"), "va", "vb")
         .groupBy("di", "dj")
         .agg(
             F.count(F.lit(1)).alias("n"),

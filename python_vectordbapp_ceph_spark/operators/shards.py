@@ -36,13 +36,12 @@ shard artifact with exactly-once visibility.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bloom import bloom_build, bloom_contains
 from .merge import (
+    _fs,
     _gen_token,
     _publish,
     _staged_write,
@@ -77,12 +76,15 @@ def _pack(docs: DataFrame, budget: int, offset) -> DataFrame:
         ),
     )
     c = global_cumsum(t, ["_k", "doc_id"], "n_tokens", cum_col="cum")
+    # offset enters as a typed literal column (never f-string SQL — a
+    # None or unexpected type fails loudly at plan time, not as a
+    # confusing parse error) and folds into the committed `cum`, so
+    # shard_id derives from the already-offset running total
     return c.select(
         "doc_id",
         "n_tokens",
-        (F.col("cum") + F.lit(offset)).alias("cum"),
-        F.expr(f"(cum + {offset} - n_tokens) div {budget}").alias("shard_id"),
-    )
+        (F.col("cum") + F.lit(int(offset)).cast("bigint")).alias("cum"),
+    ).withColumn("shard_id", F.expr(f"(cum - n_tokens) div {int(budget)}"))
 
 
 def dedup_against_ledger(
@@ -109,8 +111,12 @@ def dedup_against_ledger(
     version, live = current_manifest(spark, path)
     if version is None or not live:
         return docs
+    # sidecar presence via the Hadoop FS of the LEDGER's path (s3a://,
+    # hdfs://, file://) — a local os.path check would be always-false
+    # off local disk and silently disable the prune
+    fs, hpath = _fs(spark, path)
     sidecars = [f"{path}/gen={g}/_bloom" for g in live.values()]
-    if all(os.path.isdir(p) for p in sidecars):
+    if all(fs.exists(hpath(p)) for p in sidecars):
         bloom = spark.read.parquet(*sidecars).distinct()
         probe = bloom_contains(
             bloom, docs.select("doc_id"), "doc_id", BLOOM_K, BLOOM_M
@@ -133,7 +139,12 @@ def append_segment(
 ) -> int:
     """Append ``docs`` (doc_id, n_tokens) to the ledger at ``path`` as
     the next segment; creates the ledger on first call. Returns the
-    committed segment id. The packing continues from the last
+    committed segment id, or ``-1`` when the (possibly deduped) batch
+    packed to ZERO rows — nothing is committed then: publishing an
+    empty segment would put a data-less path into the manifest and
+    brick every later read (the staged empty generation is an
+    unreferenced orphan that vacuum() reclaims). The packing
+    continues from the last
     committed token offset, so incremental appends produce the SAME
     doc→shard mapping as a one-shot pack over the segment-major
     concatenation (pytest-pinned).
@@ -155,14 +166,33 @@ def append_segment(
             # cum of the last segment; the rest of the ledger is never
             # listed, read, or re-packed
             last = read_buckets(spark, path, buckets=[max(live)])
-            offset = last.agg(F.max("cum")).collect()[0][0]
+            # defensive coalesce: committed segments are non-empty by
+            # the survivors guard below, but a None max must not reach
+            # the packing arithmetic
+            offset = last.agg(F.max("cum")).collect()[0][0] or 0
         else:
             offset = 0
     if dedup:
         docs = dedup_against_ledger(spark, path, docs)
-    packed = _pack(docs, budget, offset).withColumn("_kb", F.lit(seg))
+    # `segment` rides IN the data too (not only as the _kb directory):
+    # compaction rewrites many segments into one container directory,
+    # and the data column is what lets the merged rows keep their
+    # original segment ids byte-for-byte (read_ledger coalesces
+    # data-column over directory)
+    packed = (
+        _pack(docs, budget, offset)
+        .withColumn("segment", F.lit(seg))
+        .withColumn("_kb", F.lit(seg))
+    )
     gen = _gen_token(v)
-    _staged_write(spark, path, packed, gen, 1, files_per_segment)
+    survivors = _staged_write(spark, path, packed, gen, 1, files_per_segment)
+    if not survivors:
+        # the batch packed to zero rows (e.g. dedup dropped an already-
+        # committed redelivery): publishing would map `seg` to a
+        # generation with no _kb directory and every later read would
+        # raise PATH_NOT_FOUND. Skip the commit; the empty staged dir
+        # is an unreferenced orphan vacuum() reclaims.
+        return -1
     # key bloom into the SAME staged (still-invisible) generation dir:
     # published by the rename below or orphaned with it on a crash
     bloom_build(
@@ -180,11 +210,103 @@ def read_ledger(
 ) -> DataFrame:
     """The full doc→shard assignment (doc_id, n_tokens, cum, shard_id,
     segment), manifest-resolved; ``version=`` time-travels to the
-    ledger as of an earlier append."""
-    df = read_buckets(spark, path, version=version)
+    ledger as of an earlier append (valid while the superseded
+    generations are retained — compaction keeps them; vacuum()
+    reclaims).
+
+    ``segment`` resolves data-column-first: a compacted container
+    holds rows from many original segments, each carrying its own id
+    in the data, while pre-compaction (and pre-column) segments derive
+    it from their `_kb` directory — so compaction never changes what a
+    reader sees."""
+    df = read_buckets(spark, path, version=version, merge_schema=True)
     if df is None:
         raise FileNotFoundError(f"no committed shard ledger under {path}")
+    if "segment" in df.columns:
+        return df.withColumn(
+            "segment", F.coalesce(F.col("segment"), F.col("_kb"))
+        ).drop("_kb")
     return df.withColumnRenamed("_kb", "segment")
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    max_segments: int = 16,
+    files_per_segment: int = 4,
+) -> int:
+    """SEGMENT COMPACTION — the small-files defense for a long-running
+    ledger. Every append (and every streaming micro-batch) commits one
+    segment: its own `_kb` directory, its own parquet files, its own
+    bloom sidecar. Left alone, a nightly stream accumulates thousands
+    of tiny directories, and at 100 TB the file-listing + footer reads
+    dominate every scan — the classic small-files killer.
+
+    When the live container count exceeds ``max_segments``, the OLDEST
+    ``count − max_segments + 1`` containers are rewritten into ONE new
+    container (coalesced files, one merged bloom sidecar), leaving
+    exactly ``max_segments`` live containers. The rewrite is published
+    as a normal manifest generation, so every ledger guarantee
+    survives:
+
+      - WRITE-ONCE: the merged data stages into a fresh uniquely-named
+        `gen=<v>-<tok>` directory; committed directories are never
+        touched. A racing writer (append or compaction) targeting the
+        same version loses the publish rename cleanly and can never
+        have clobbered the winner's files.
+      - READ-IDENTICAL: rows carry their ORIGINAL segment ids in the
+        data column, so read_ledger returns exactly the pre-compaction
+        frame — compaction changes layout, never content.
+      - TIME TRAVEL: superseded generation directories are retained
+        (not deleted), so `version=` still replays every
+        pre-compaction state; vacuum() reclaims them when the caller
+        is done with history.
+      - CONTINUITY: the new container's manifest key is the MAX of the
+        merged ids, so `max(live)` — which both the next segment id
+        and the token-offset read key derive from — is unchanged.
+      - DEDUP GATE: the merged bloom is rebuilt from the merged keys
+        (bit-identical to a position-set union, since positions are
+        deterministic per key), so dedup_against_ledger keeps its
+        metadata-sized prune with ONE sidecar where there were K.
+
+    Returns the number of containers merged away (0 = nothing to do,
+    the count was within budget). Recent segments stay un-merged — the
+    hot tail keeps append cost proportional to the batch.
+
+    Reference anchor: this is the ledger's equivalent of the segment
+    compaction the reference delegates to Milvus (milvus-app/README.md
+    index/admin surface)."""
+    version, live = current_manifest(spark, path)
+    if version is None or len(live) <= max_segments:
+        return 0
+    merged_ids = sorted(live)[: len(live) - max_segments + 1]
+    target = max(merged_ids)
+    # read via the manifest, data-column segment semantics — re-
+    # compacting an already-compacted container preserves the original
+    # ids transitively
+    old = read_buckets(
+        spark, path, buckets=merged_ids, merge_schema=True
+    )
+    if "segment" in old.columns:
+        old = old.withColumn(
+            "segment", F.coalesce(F.col("segment"), F.col("_kb"))
+        ).drop("_kb")
+    else:
+        old = old.withColumnRenamed("_kb", "segment")
+    merged = old.withColumn("_kb", F.lit(target))
+    gen = _gen_token(version + 1)
+    _staged_write(spark, path, merged, gen, 1, files_per_segment)
+    bloom_build(
+        merged.select("doc_id"), "doc_id", BLOOM_K, BLOOM_M
+    ).write.mode("overwrite").parquet(f"{path}/gen={gen}/_bloom")
+    new_map = {b: g for b, g in live.items() if b not in set(merged_ids)}
+    new_map[target] = gen
+    # the atomic visibility point; a racing commit at version+1 makes
+    # this raise and the staged directory an unreferenced orphan
+    _publish(spark, path, version + 1, new_map)
+    # superseded generations retained for time travel; vacuum() reclaims
+    spark.catalog.refreshByPath(path)
+    return len(merged_ids)
 
 
 def shard_manifest(ledger: DataFrame) -> DataFrame:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment
+from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment, compact
 
 
 def stream_append(
@@ -38,16 +38,27 @@ def stream_append(
     checkpoint_dir: str,
     budget: int = SHARD_BUDGET_DEFAULT,
     available_now: bool = True,
+    max_segments: int | None = None,
 ) -> StreamingQuery:
     """Pack a streaming (doc_id, n_tokens) frame into the ledger at
     ``path``, one committed segment per non-empty micro-batch.
     ``available_now=True`` drains the current backlog and stops — the
-    nightly-batch mode; False runs continuously."""
+    nightly-batch mode; False runs continuously.
+
+    ``max_segments`` arms in-line compaction: after each committed
+    batch, once the live container count exceeds the bound, the oldest
+    containers are rewritten into one (operators.shards.compact) — the
+    small-files defense a long-running stream needs, without a side
+    maintenance job. Each compaction is its own manifest commit, so a
+    crash between the append and the compaction loses nothing: the
+    next batch's compaction pass picks up where it left off."""
 
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         append_segment(batch.sparkSession, path, batch, budget)
+        if max_segments is not None:
+            compact(batch.sparkSession, path, max_segments)
 
     writer = stream.writeStream.foreachBatch(pack_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -250,6 +250,227 @@ def test_dedup_exact_even_with_saturated_bloom(spark, tmp_path, monkeypatch):
     assert kept == list(range(150, 200))
 
 
+def test_empty_append_commits_nothing_and_never_bricks(spark, tmp_path):
+    """A batch that packs to zero rows (empty input, or dedup=True on a
+    fully already-committed redelivery) must NOT publish: a committed
+    segment with no data directory would make every later read raise
+    PATH_NOT_FOUND. The append reports -1, the ledger stays readable,
+    and the next real append gets the next segment id and continues
+    the token sequence exactly."""
+    path = str(tmp_path / "ledger")
+    assert append_segment(spark, path, _docs(spark, 0, 100), BUDGET) == 0
+    before = {
+        (r.doc_id, r.cum, r.shard_id, r.segment)
+        for r in read_ledger(spark, path).collect()
+    }
+
+    # dedup=True on an exact redelivery: everything drops
+    assert append_segment(
+        spark, path, _docs(spark, 0, 100), BUDGET, dedup=True
+    ) == -1
+    # a literally empty batch, with and without dedup
+    empty = _docs(spark, 0, 100).filter(F.lit(False))
+    assert append_segment(spark, path, empty, BUDGET) == -1
+    assert append_segment(spark, path, empty, BUDGET, dedup=True) == -1
+
+    # ledger unchanged and fully readable after the no-op appends
+    spark.catalog.refreshByPath(path)
+    assert {
+        (r.doc_id, r.cum, r.shard_id, r.segment)
+        for r in read_ledger(spark, path).collect()
+    } == before
+
+    # the next real append is segment 1 and the sequence is coherent
+    assert append_segment(spark, path, _docs(spark, 500, 50), BUDGET) == 1
+    by_cum = sorted(read_ledger(spark, path).collect(), key=lambda r: r.cum)
+    prev = 0
+    for r in by_cum:
+        assert r.cum == prev + r.n_tokens
+        prev = r.cum
+
+    # an empty FIRST append creates no ledger at all
+    fresh = str(tmp_path / "fresh")
+    assert append_segment(spark, fresh, empty, BUDGET) == -1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_ledger(spark, fresh)
+
+
+def _ledger_rows(spark, path, version=None):
+    return {
+        (r.doc_id, r.n_tokens, r.cum, r.shard_id, r.segment)
+        for r in read_ledger(spark, path, version=version).collect()
+    }
+
+
+def _live_layout(path):
+    """current manifest -> (container ids, parquet file count, dir count)."""
+    cdir = os.path.join(path, "_commits")
+    names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+    with open(os.path.join(cdir, names[-1])) as f:
+        m = json.load(f)
+    files, dirs = 0, 0
+    for seg, g in m["buckets"].items():
+        full = os.path.join(path, f"gen={g}", f"_kb={seg}")
+        dirs += 1
+        files += sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+    return sorted(int(s) for s in m["buckets"]), files, dirs
+
+
+def test_compaction_read_identical_and_fewer_files(spark, tmp_path):
+    """compact() must change LAYOUT only: same rows (original segment
+    ids preserved in the data), strictly fewer live directories and
+    parquet files, manifest max key unchanged, appends continue the
+    token sequence, and the dedup gate still prunes through the merged
+    bloom."""
+    from python_vectordbapp_ceph_spark.operators.shards import (
+        compact,
+        dedup_against_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    for i in range(6):
+        append_segment(spark, path, _docs(spark, i * 1000, 60), BUDGET)
+    before = _ledger_rows(spark, path)
+    segs_b, files_b, dirs_b = _live_layout(path)
+    assert segs_b == [0, 1, 2, 3, 4, 5]
+
+    # merge the 4 oldest into one: 6 containers -> 3
+    assert compact(spark, path, max_segments=3, files_per_segment=1) == 4
+    spark.catalog.refreshByPath(path)
+    assert _ledger_rows(spark, path) == before, "content is untouched"
+    segs_a, files_a, dirs_a = _live_layout(path)
+    assert segs_a == [3, 4, 5], "merged container keyed by max merged id"
+    assert dirs_a < dirs_b and files_a < files_b
+    # the merged container coalesced to exactly files_per_segment files
+    cdir = os.path.join(path, "_commits")
+    names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+    with open(os.path.join(cdir, names[-1])) as f:
+        g3 = json.load(f)["buckets"]["3"]
+    merged_dir = os.path.join(path, f"gen={g3}", "_kb=3")
+    assert (
+        sum(1 for f in os.listdir(merged_dir) if f.endswith(".parquet")) == 1
+    )
+    # within budget -> no-op
+    assert compact(spark, path, max_segments=3) == 0
+
+    # dedup gate prunes via the MERGED bloom sidecar (every live
+    # generation has one) and stays exact
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against_ledger(
+            spark, path, _docs(spark, 0, 100)
+        ).collect()
+    )
+    assert kept == list(range(60, 100)), "committed 0..59 pruned exactly"
+    # append continuity: next id = max(live)+1, token sequence coherent
+    assert append_segment(spark, path, _docs(spark, 9000, 40), BUDGET) == 6
+    by_cum = sorted(read_ledger(spark, path).collect(), key=lambda r: r.cum)
+    prev = 0
+    for r in by_cum:
+        assert r.cum == prev + r.n_tokens
+        prev = r.cum
+
+    # re-compaction is transitive: original segment ids survive a
+    # second merge that swallows the already-compacted container
+    want = _ledger_rows(spark, path)
+    assert compact(spark, path, max_segments=1, files_per_segment=1) == 4
+    spark.catalog.refreshByPath(path)
+    assert _ledger_rows(spark, path) == want
+    assert _live_layout(path)[0] == [6]
+
+
+def test_compaction_preserves_time_travel(spark, tmp_path):
+    """Every pre-compaction version= read must replay unchanged —
+    compaction retains superseded generations (vacuum owns cleanup)."""
+    from python_vectordbapp_ceph_spark.operators.shards import compact
+
+    path = str(tmp_path / "ledger")
+    snaps = {}
+    for i in range(5):
+        append_segment(spark, path, _docs(spark, i * 1000, 50), BUDGET)
+        snaps[i] = _ledger_rows(spark, path)
+    assert compact(spark, path, max_segments=2) == 4
+    spark.catalog.refreshByPath(path)
+    for v, want in snaps.items():
+        assert _ledger_rows(spark, path, version=v) == want, f"version {v}"
+    # current read == last pre-compaction state
+    assert _ledger_rows(spark, path) == snaps[4]
+
+
+def test_racing_compaction_loses_cleanly(spark, tmp_path, monkeypatch):
+    """A compaction that staged against a manifest another writer has
+    since superseded must FAIL its publish rename (first-writer-wins)
+    and leave the winner's ledger fully intact."""
+    import pytest
+
+    import python_vectordbapp_ceph_spark.operators.shards as sh
+
+    path = str(tmp_path / "ledger")
+    for i in range(4):
+        append_segment(spark, path, _docs(spark, i * 1000, 50), BUDGET)
+
+    # freeze the loser's view of the manifest, then let an append win
+    # the next version before the loser publishes
+    stale = sh.current_manifest(spark, path)
+    append_segment(spark, path, _docs(spark, 9000, 50), BUDGET)
+    want = _ledger_rows(spark, path)
+
+    monkeypatch.setattr(sh, "current_manifest", lambda *_a, **_k: stale)
+    with pytest.raises(RuntimeError, match="lost the publish race"):
+        sh.compact(spark, path, max_segments=2)
+    monkeypatch.undo()
+
+    spark.catalog.refreshByPath(path)
+    assert _ledger_rows(spark, path) == want, "winner's state untouched"
+    # loser's staged orphan is reclaimable, and reclaim changes nothing
+    from python_vectordbapp_ceph_spark.operators.merge import vacuum
+
+    assert vacuum(spark, path) >= 1
+    spark.catalog.refreshByPath(path)
+    assert _ledger_rows(spark, path) == want
+
+
+def test_streaming_compaction_bounds_container_count(spark, tmp_path):
+    """A drip-fed stream with max_segments= keeps the live container
+    count bounded while reading back the exact batch-union ledger."""
+    from python_vectordbapp_ceph_spark.streaming.shard_ingest import (
+        stream_append,
+    )
+
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    ckpt = str(tmp_path / "ckpt")
+    total = set()
+    for i in range(5):
+        batch = _docs(spark, i * 1000, 40)
+        total |= {(r.doc_id, r.n_tokens) for r in batch.collect()}
+        batch.coalesce(1).write.mode("append").parquet(src)
+        q = stream_append(
+            spark.readStream.schema("doc_id long, n_tokens long").parquet(src),
+            led,
+            ckpt,
+            BUDGET,
+            max_segments=2,
+        )
+        q.awaitTermination(120)
+        spark.catalog.refreshByPath(led)
+        segs, _, dirs = _live_layout(led)
+        assert len(segs) <= 2 and dirs <= 2, f"round {i}: {segs}"
+    got = {
+        (r.doc_id, r.n_tokens)
+        for r in read_ledger(spark, led).collect()
+    }
+    assert got == total
+    # the packing stayed one coherent sequence across all compactions
+    by_cum = sorted(read_ledger(spark, led).collect(), key=lambda r: r.cum)
+    prev = 0
+    for r in by_cum:
+        assert r.cum == prev + r.n_tokens
+        prev = r.cum
+
+
 def test_dedup_falls_back_without_sidecar(spark, tmp_path):
     """A ledger whose segments predate the bloom sidecar still dedups
     exactly via the full-key anti-join fallback."""
