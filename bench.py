@@ -157,14 +157,19 @@ def main() -> None:
         cold[name], warm[name] = runs[0], runs[1]
 
     total = round(sum(warm.values()), 3)
+    # KEY ORDER IS LOAD-BEARING: the round driver archives only a
+    # bounded TAIL of this line, so the cold diagnostics print FIRST
+    # and the authoritative warm per-query dict + warm total print
+    # LAST — truncation sheds cold data, never the round-over-round
+    # signal (r8 verdict: the r8 artifact lost the warm dict).
     print(json.dumps({
         "metric": "headline_queries_total",
-        "value": total,
         "unit": "sec",
-        "queries": warm,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": warm,
+        "value": total,
     }))
     spark.stop()
 

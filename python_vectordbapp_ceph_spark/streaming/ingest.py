@@ -96,11 +96,22 @@ def ingest_stream(
     checkpoint_dir: str | None = None,
     object_text: DataFrame | None = None,
     compact_log_ratio: float | None = None,
+    object_type: str = "TEXT",
+    object_bytes: DataFrame | None = None,
 ):
     """Wire a parsed event stream into a VectorCollection via
     foreachBatch. ``object_text`` (key → text) stands in for the S3
     get_object fetch in hermetic tests; on a real deployment this is a
     binaryFile/text read against s3a://.
+
+    ``object_type`` is the reference's deployment-level modality
+    switch (the OBJECT_TYPE env read at pythonvectordbceph.py:157-171:
+    a deployment embeds either TEXT via the 384-dim sentence model or
+    IMAGE via the 512-dim resnet tower — one modality, one index
+    dimension, per deployment). ``"IMAGE"`` embeds the raw bytes
+    column of ``object_bytes`` (key → content binary; the hermetic
+    stand-in for a binaryFile scan) with the image tower's iterator
+    pandas_udf.
 
     ``compact_log_ratio`` enables post-batch auto-compaction: when the
     change log outgrows that multiple of the live rows, the batch hook
@@ -110,7 +121,12 @@ def ingest_stream(
     Returns the StreamingQuery (caller awaits/stops).
     """
     from ..collection import object_url_col
-    from ..embed import text_embed_udf
+    from ..embed import image_embed_udf, text_embed_udf
+
+    if object_type not in ("TEXT", "IMAGE"):
+        # the reference 400s on unknown formats (:172-174); fail the
+        # wiring eagerly rather than per-batch
+        raise ValueError(f"unknown object format: {object_type!r}")
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         # persist the parsed micro-batch: the upsert/delete split reads
@@ -119,10 +135,20 @@ def ingest_stream(
         try:
             ups = batch_df.filter(F.col("op") == "upsert")
             dels = batch_df.filter(F.col("op") == "delete")
-            if object_text is not None:
+            if object_type == "IMAGE":
+                if object_bytes is not None:
+                    ups = ups.join(object_bytes, "key", "left")
+                else:
+                    ups = ups.withColumn(
+                        "content", F.encode(F.col("key"), "utf-8")
+                    )
+                embed_col = image_embed_udf(F.col("content"))
+            elif object_text is not None:
                 ups = ups.join(object_text, "key", "left")
+                embed_col = text_embed_udf(F.col("text"))
             else:
                 ups = ups.withColumn("text", F.col("key"))
+                embed_col = text_embed_udf(F.col("text"))
             # emptiness is probed BEFORE the embedding UDF enters the
             # plan, so the model runs exactly once per row — in the
             # write job itself (the reference re-ran it per request,
@@ -133,7 +159,7 @@ def ingest_stream(
                     object_url_col(
                         endpoint, F.col("bucket"), F.col("key")
                     ).alias("url"),
-                    text_embed_udf(F.col("text")).alias("embedding"),
+                    embed_col.alias("embedding"),
                     F.col("tags"),
                     F.lit(None).cast("map<string,string>").alias("props"),
                     F.col("ingest_ts"),
