@@ -276,6 +276,7 @@ def compact(
     Reference anchor: this is the ledger's equivalent of the segment
     compaction the reference delegates to Milvus (milvus-app/README.md
     index/admin surface)."""
+    max_segments = max(1, int(max_segments))
     version, live = current_manifest(spark, path)
     if version is None or len(live) <= max_segments:
         return 0
