@@ -569,6 +569,7 @@ def dedup_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     driver_finish_edges: int = 1 << 20,
+    broadcast_labels: int = 1 << 22,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → (id, component), with
@@ -679,12 +680,22 @@ def dedup_components(
                 F.least(F.col("src"), F.col("_mn")).alias("_new"),
             )
         )
+        # the relabel map has ≤ one row per LIVE node and three joins
+        # consume it (comp composition + both edge-rewrite sides).
+        # Left to static planning its size is unknown (persisted but
+        # not yet materialized) → sort-merge, which shuffles the FULL
+        # edge set twice per round — at sfx30 that is 805M rows ×2.
+        # The count() both materializes the persist and gates an
+        # explicit broadcast (64 MB at the 4 Mi-label default; above
+        # that, billions of live nodes, shuffle is the right plan).
+        n_lab = relab.count()
+        rel_j = F.broadcast(relab) if n_lab <= broadcast_labels else relab
         new_comp = _ckpt(
-            comp.join(relab, comp["comp"] == relab["_u"], "left")
+            comp.join(rel_j, comp["comp"] == relab["_u"], "left")
             .select(F.col("id"), F.coalesce(F.col("_new"), F.col("comp")).alias("comp"))
         )
-        ra = relab.select(F.col("_u").alias("_ua"), F.col("_new").alias("_na"))
-        rb = relab.select(F.col("_u").alias("_ub"), F.col("_new").alias("_nb"))
+        ra = rel_j.select(F.col("_u").alias("_ua"), F.col("_new").alias("_na"))
+        rb = rel_j.select(F.col("_u").alias("_ub"), F.col("_new").alias("_nb"))
         new_edges = _ckpt(
             edges.join(ra, edges["src"] == ra["_ua"])
             .join(rb, edges["dst"] == rb["_ub"])
