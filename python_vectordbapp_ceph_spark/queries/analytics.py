@@ -384,7 +384,7 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(linear)
     )
     zorder_write(e, ["event_id", "user_id"], zpath, bits=10, num_files=8)
-    uid_max = e.agg(F.max("user_id")).collect()[0][0]
+    uid_max = e.agg(F.max("user_id")).collect()[0][0] or 0
     pred = {"user_id": (0, max(0, uid_max // 8))}
     rows = [
         ("linear_event_id", *file_stats_pruning(linear, pred)),

@@ -26,7 +26,11 @@ commit messages converge on the driver.
 
 JSONL keeps the demo hermetic (no external store in the container);
 swapping ``_emit`` for a boto3/S3Vectors client call reproduces the
-reference wire format exactly.
+reference wire format exactly. NOTE the local-path staging (os.*)
+assumes tasks and driver share the filesystem — true in local mode
+and on shared mounts; the real-store swap replaces both the staged
+write and the commit rename with the store's own conditional-put, so
+the assumption disappears with the demo.
 """
 
 from __future__ import annotations
