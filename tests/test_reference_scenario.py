@@ -122,6 +122,65 @@ def test_text_lifecycle_with_midway_restart(spark, tmp_path):
     assert hits[0].tags == {"stage": "enriched"}
 
 
+def test_index_admin_lifecycle_composes_with_ingest(spark, tmp_path):
+    """The Milvus deployment flavor's index-admin surface composed
+    with streaming ingest (milvus-app/pythonvectordbceph_milvus.py:
+    97-106): ingest → create_index(IVF)+load → approx search → MORE
+    ingest invalidates the index (stale reads must fail loudly, never
+    silently serve pre-mutation results) → rebuild → approx search
+    sees the new doc; exact search agrees on the winner throughout."""
+    import pytest
+
+    from python_vectordbapp_ceph_spark.embed import stub_text_embedding
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "coll"), dim=384, name="b1"
+    ).ensure_exists()
+    texts = {f"k{i}": f"document number {i} about topic {i % 3}"
+             for i in range(8)}
+    texts["fresh"] = "a brand new document arriving after the index"
+    object_text = spark.createDataFrame(
+        list(texts.items()), "key string, text string"
+    )
+    ckpt = tmp_path / "ckpt"
+
+    for i in range(8):
+        (events_dir / f"e{i}.json").write_text(json.dumps(_event(f"k{i}")))
+    _drain(spark, events_dir, coll, ckpt, object_text=object_text)
+
+    # index admin: none → build → described
+    assert coll.list_indexes() == []
+    coll.create_index(nlist=4, nprobe=4).load()
+    assert coll.list_indexes() == ["b1_ivf"]
+    desc = coll.describe_index()
+    assert desc["index_type"] == "IVF_FLAT" and desc["nlist"] == 4
+
+    q = stub_text_embedding(texts["k3"])
+    approx = coll.search(q, k=2, approx=True).collect()
+    assert approx[0].key == "k3" and approx[0].distance == 0.0
+    exact = coll.search(q, k=2).collect()
+    assert exact[0].key == approx[0].key
+
+    # a mutation through the SAME ingest path invalidates the index:
+    # stale approx search must raise, not silently skip the new doc
+    (events_dir / "e9.json").write_text(
+        json.dumps(_event("fresh", t="2024-01-02T00:00:00Z"))
+    )
+    _drain(spark, events_dir, coll, ckpt, object_text=object_text)
+    with pytest.raises(ValueError, match="no index"):
+        coll.search(q, k=2, approx=True)
+
+    # rebuild over the post-mutation snapshot: the new doc is findable
+    coll.create_index(nlist=4, nprobe=4)
+    qf = stub_text_embedding(texts["fresh"])
+    hits = coll.search(qf, k=2, approx=True).collect()
+    assert hits[0].key == "fresh" and hits[0].distance == 0.0
+    assert coll.search(qf, k=2).collect()[0].key == "fresh"
+    coll.release()
+
+
 def test_image_lifecycle_top2_by_l2(spark, tmp_path):
     """The IMAGE deployment flavor (OBJECT_TYPE=IMAGE, 512-dim resnet
     tower — stub kernel here, real-model probe order in the UDF): PUT
