@@ -176,24 +176,45 @@ def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> Non
         )
 
 
-def vacuum(spark: SparkSession, path: str) -> int:
-    """Delete every `gen=*/_kb=*` directory the CURRENT manifest does
-    not reference (crashed stages, superseded generations whose lazy
-    cleanup was interrupted). Returns the number of dirs removed.
-    Safe for readers pinned to the current manifest; callers running
-    time-travel readers own their retention window."""
+def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
+    """Delete every `gen=*/_kb=*` directory that none of the newest
+    ``keep_versions`` manifests references (crashed stages, superseded
+    generations whose lazy cleanup was interrupted, compacted-away
+    segments), and drop the commit files OLDER than the retention
+    window so `_commits/` listing stays bounded over a long-running
+    table's lifetime instead of growing one JSON per merge forever.
+
+    ``keep_versions=1`` (default) keeps only the current state — the
+    historical behavior. ``keep_versions=N`` is the RETENTION WINDOW:
+    `version=` time travel keeps working for the newest N commits
+    while everything older is reclaimed — space reclamation and
+    snapshot reads coexist, each caller choosing its own horizon (the
+    usual lakehouse retention contract). Returns the number of data
+    dirs removed. Safe for readers pinned to any retained manifest."""
     fs, hpath = _fs(spark, path)
-    _, live = current_manifest(spark, path)
-    keep = {(g, b) for b, g in live.items()}
-    removed = 0
     root = hpath(path)
     if not fs.exists(root):
         return 0
+    cdir = hpath(f"{path}/{_COMMITS}")
+    versions: list[int] = []
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                versions.append(int(name[1:-5]))
+    versions.sort()
+    kept_versions = versions[-max(1, int(keep_versions)):]
+    keep = set()
+    for v in kept_versions:
+        _, live = current_manifest(spark, path, version=v)
+        keep |= {(g, b) for b, g in live.items()}
+    removed = 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not name.startswith("gen="):
             continue
         g = name.split("=", 1)[1]
+        kept_here = False
         for sub in fs.listStatus(st.getPath()):
             sname = sub.getPath().getName()
             if not sname.startswith("_kb="):
@@ -202,8 +223,19 @@ def vacuum(spark: SparkSession, path: str) -> int:
             if (g, b) not in keep:
                 fs.delete(sub.getPath(), True)
                 removed += 1
-        if not fs.listStatus(st.getPath()):
+            else:
+                kept_here = True
+        if not kept_here:
+            # nothing retained references this generation: remove it
+            # whole, including non-data sidecars (`_bloom`, _SUCCESS)
+            # that would otherwise keep the dir "non-empty" forever
             fs.delete(st.getPath(), True)
+    # superseded commit files reference reclaimed generations — drop
+    # them so a time-travel read past the window fails at manifest
+    # resolution ("commit not found") instead of mid-scan, and so the
+    # commit listing cost stays O(keep_versions)
+    for v in versions[: len(versions) - len(kept_versions)]:
+        fs.delete(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}"), False)
     return removed
 
 

@@ -471,6 +471,69 @@ def test_streaming_compaction_bounds_container_count(spark, tmp_path):
         prev = r.cum
 
 
+def test_retention_vacuum_keeps_window_and_bounds_metadata(spark, tmp_path):
+    """vacuum(keep_versions=N): time travel keeps working inside the
+    retention window after compaction, everything older is reclaimed
+    (data dirs AND their bloom sidecars AND superseded commit JSONs),
+    and the ledger's current read plus the dedup gate stay exact."""
+    import pytest
+
+    from python_vectordbapp_ceph_spark.operators.merge import vacuum
+    from python_vectordbapp_ceph_spark.operators.shards import (
+        compact,
+        dedup_against_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    snaps = {}
+    for i in range(5):
+        append_segment(spark, path, _docs(spark, i * 1000, 50), BUDGET)
+        snaps[i] = _ledger_rows(spark, path)
+    compact(spark, path, max_segments=2)  # version 5
+    spark.catalog.refreshByPath(path)
+    snaps[5] = _ledger_rows(spark, path)
+    assert snaps[5] == snaps[4]
+
+    # keep the last two versions: 4 (pre-compaction, references ALL
+    # original generations) and 5 (current). Nothing is reclaimable
+    # yet — retention must NOT delete data a kept manifest references —
+    # but the commit listing is already trimmed to the window.
+    assert vacuum(spark, path, keep_versions=2) == 0
+    spark.catalog.refreshByPath(path)
+    assert _ledger_rows(spark, path) == snaps[5]
+    assert _ledger_rows(spark, path, version=4) == snaps[4]
+    for old in (0, 1, 2, 3):
+        with pytest.raises(Exception):
+            read_ledger(spark, path, version=old).collect()
+    cdir = os.path.join(path, "_commits")
+    assert sorted(n for n in os.listdir(cdir) if n.endswith(".json")) == [
+        "v000000000004.json", "v000000000005.json",
+    ]
+
+    # shrink the window to the current version: the four compacted-away
+    # pre-compaction generations (data + bloom sidecars) are reclaimed
+    assert vacuum(spark, path, keep_versions=1) == 4
+    spark.catalog.refreshByPath(path)
+    assert _ledger_rows(spark, path) == snaps[5]
+    with pytest.raises(Exception):
+        read_ledger(spark, path, version=4).collect()
+    assert sorted(n for n in os.listdir(cdir) if n.endswith(".json")) == [
+        "v000000000005.json",
+    ]
+    with open(os.path.join(cdir, "v000000000005.json")) as f:
+        live_gens = set(json.load(f)["buckets"].values())
+    on_disk = {n.split("=", 1)[1] for n in os.listdir(path)
+               if n.startswith("gen=")}
+    assert on_disk == live_gens, "no orphaned generation or bloom dirs"
+
+    # the gate still prunes through the surviving blooms, exactly
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against_ledger(spark, path, _docs(spark, 0, 60)).collect()
+    )
+    assert kept == list(range(50, 60))
+
+
 def test_dedup_falls_back_without_sidecar(spark, tmp_path):
     """A ledger whose segments predate the bloom sidecar still dedups
     exactly via the full-key anti-join fallback."""
