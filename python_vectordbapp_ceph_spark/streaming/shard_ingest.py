@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.merge import vacuum
 from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment, compact
 
 
@@ -39,6 +40,7 @@ def stream_append(
     budget: int = SHARD_BUDGET_DEFAULT,
     available_now: bool = True,
     max_segments: int | None = None,
+    vacuum_keep: int | None = None,
 ) -> StreamingQuery:
     """Pack a streaming (doc_id, n_tokens) frame into the ledger at
     ``path``, one committed segment per non-empty micro-batch.
@@ -51,7 +53,16 @@ def stream_append(
     small-files defense a long-running stream needs, without a side
     maintenance job. Each compaction is its own manifest commit, so a
     crash between the append and the compaction loses nothing: the
-    next batch's compaction pass picks up where it left off."""
+    next batch's compaction pass picks up where it left off.
+
+    ``vacuum_keep`` adds the retention pass (operators.merge.vacuum):
+    after each batch the newest N manifests stay time-travelable and
+    everything older — compacted-away segments, their bloom sidecars,
+    superseded commit JSONs — is reclaimed. With both knobs set, a
+    stream that runs for a year holds ≤ max_segments live containers
+    and ≤ vacuum_keep manifests of history, independent of how many
+    micro-batches ever committed: storage AND metadata are bounded by
+    policy, not by stream lifetime."""
 
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -59,6 +70,8 @@ def stream_append(
         append_segment(batch.sparkSession, path, batch, budget)
         if max_segments is not None:
             compact(batch.sparkSession, path, max_segments)
+        if vacuum_keep is not None:
+            vacuum(batch.sparkSession, path, keep_versions=vacuum_keep)
 
     writer = stream.writeStream.foreachBatch(pack_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -433,8 +433,10 @@ def test_racing_compaction_loses_cleanly(spark, tmp_path, monkeypatch):
 
 
 def test_streaming_compaction_bounds_container_count(spark, tmp_path):
-    """A drip-fed stream with max_segments= keeps the live container
-    count bounded while reading back the exact batch-union ledger."""
+    """A drip-fed stream with max_segments= + vacuum_keep= keeps the
+    live container count, the on-disk generation count, AND the commit
+    listing bounded while reading back the exact batch-union ledger —
+    storage and metadata bounded by policy, not stream lifetime."""
     from python_vectordbapp_ceph_spark.streaming.shard_ingest import (
         stream_append,
     )
@@ -453,11 +455,17 @@ def test_streaming_compaction_bounds_container_count(spark, tmp_path):
             ckpt,
             BUDGET,
             max_segments=2,
+            vacuum_keep=2,
         )
         q.awaitTermination(120)
         spark.catalog.refreshByPath(led)
         segs, _, dirs = _live_layout(led)
         assert len(segs) <= 2 and dirs <= 2, f"round {i}: {segs}"
+        n_commits = len([n for n in os.listdir(os.path.join(led, "_commits"))
+                         if n.endswith(".json")])
+        assert n_commits <= 2, f"round {i}: {n_commits} commits"
+        n_gens = len([n for n in os.listdir(led) if n.startswith("gen=")])
+        assert n_gens <= 4, f"round {i}: {n_gens} generation dirs"
     got = {
         (r.doc_id, r.n_tokens)
         for r in read_ledger(spark, led).collect()
