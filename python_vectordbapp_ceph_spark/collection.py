@@ -272,6 +272,36 @@ class VectorCollection:
                               "nlist": nlist, "nprobe": nprobe}
         return self
 
+    def save_index(self, path: str) -> "VectorCollection":
+        """Persist the built IVF index (inverted lists + centroids) so
+        a later session — or another reader — serves approx searches
+        without refitting: the durability the reference's backend
+        provides (a Milvus index survives the client process)."""
+        from .operators.ivf import save_ivf
+
+        if self._ivf is None:
+            raise ValueError("no index to save: call create_index() first")
+        save_ivf(self._ivf, path)
+        return self
+
+    def load_index(self, path: str, nprobe: int = 4) -> "VectorCollection":
+        """Attach a saved IVF index. The loaded inverted lists are the
+        partitioned parquet itself, so probes prune at file-listing
+        level. The index reflects the collection AS OF its save — the
+        same staleness contract as create_index: mutations after the
+        save require a rebuild (enforced by the mutation hook only for
+        in-session indexes; a loaded index is the caller's cadence
+        decision, as with any external index server)."""
+        from .operators.ivf import load_ivf
+
+        self._ivf = load_ivf(self.spark, path)
+        self._nprobe = nprobe
+        self._index_params = {
+            "index_type": "IVF_FLAT", "metric_type": "L2",
+            "nlist": len(self._ivf.centroids), "nprobe": nprobe,
+        }
+        return self
+
     def list_indexes(self) -> list[str]:
         """client.list_indexes() analog
         (milvus-app/pythonvectordbceph_milvus.py:97-99): the single

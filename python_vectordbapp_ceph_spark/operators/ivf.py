@@ -136,6 +136,55 @@ def write_partitioned(index: IVFIndex, path: str) -> None:
     ).parquet(path)
 
 
+def save_ivf(index: IVFIndex, path: str) -> None:
+    """Persist the WHOLE index — inverted lists AND centroids — so a
+    fresh session reconstructs it without refitting KMeans. This is
+    the durability the reference gets for free from its backend (the
+    Milvus index survives the client process; a session-local index
+    would have to be rebuilt on every restart — at 100 TB, a full
+    KMeans pass per restart).
+
+    Layout: ``path/assigned`` = the inverted-file parquet partitioned
+    by cluster_id (probes prune at the file listing); ``path/_meta``
+    = one tiny parquet of (cluster_id, centroid, vec_col, id_col) —
+    nlist rows, kilobytes, everything load_ivf needs."""
+    spark = index.assigned.sparkSession
+    write_partitioned(index, f"{path}/assigned")
+    # centroids persist as float64: they are index METADATA (probe
+    # ranking inputs), not at-rest vector data — the canonical-f32
+    # rule applies to the assigned table's vectors; doubles make the
+    # save/load roundtrip bit-exact so probe order never drifts
+    meta = spark.createDataFrame(
+        [
+            (cid, [float(x) for x in c], index.vec_col, index.id_col)
+            for cid, c in enumerate(index.centroids)
+        ],
+        "cluster_id int, centroid array<double>, vec_col string, id_col string",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def load_ivf(spark, path: str) -> IVFIndex:
+    """Reconstruct a saved index. The assigned side is the
+    partitioned parquet itself, so a probe's ``cluster_id IN (...)``
+    filter prunes at the FILE-LISTING level — a loaded index reads
+    nprobe/nlist of the data per search, which is the entire point of
+    IVF at scale (the in-session index filters a computed frame; the
+    loaded one never touches the unprobed files)."""
+    meta = sorted(
+        spark.read.parquet(f"{path}/_meta").collect(),
+        key=lambda r: r.cluster_id,
+    )
+    if not meta:
+        raise FileNotFoundError(f"no IVF metadata under {path}/_meta")
+    return IVFIndex(
+        assigned=spark.read.parquet(f"{path}/assigned"),
+        centroids=[[float(x) for x in r.centroid] for r in meta],
+        vec_col=meta[0].vec_col,
+        id_col=meta[0].id_col,
+    )
+
+
 def assign_new(index: IVFIndex, new_df: DataFrame) -> DataFrame:
     """Incremental index ADD: assign NEW vectors to the EXISTING
     centroids — the per-upsert path the reference's backend runs on

@@ -648,3 +648,80 @@ def test_mmr_string_id_column(spark):
     out = mmr_topk(df, [1.0, 0.0], k=2, fetch_k=2, id_col="key")
     assert dict(out.dtypes)["key"] == "string"
     assert [r.key for r in out.orderBy("mmr_rank").collect()] == ["a", "b"]
+
+
+def test_ivf_save_load_roundtrip_and_pruning(vec_df, tmp_path, spark):
+    """save_ivf/load_ivf: a reconstructed index returns EXACTLY the
+    in-session index's results (same centroids, same assignment, same
+    probe order), and its probe scan prunes at the file-listing level
+    — only the probed clusters' files enter the plan. This is the
+    Milvus-style index durability the reference delegates to its
+    backend: no KMeans refit on restart."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        load_ivf,
+        save_ivf,
+    )
+
+    index = build_ivf(vec_df, nlist=4)
+    path = str(tmp_path / "ivf_full")
+    save_ivf(index, path)
+    loaded = load_ivf(spark, path)
+
+    assert loaded.centroids == [
+        [float(x) for x in c] for c in index.centroids
+    ]
+    assert (loaded.vec_col, loaded.id_col) == (index.vec_col, index.id_col)
+    want = [
+        (r.vec_id, r.cluster_id, r.distance)
+        for r in index.search(QUERY, k=K, nprobe=2).collect()
+    ]
+    got = [
+        (r.vec_id, r.cluster_id, r.distance)
+        for r in loaded.search(QUERY, k=K, nprobe=2).collect()
+    ]
+    assert got == want
+
+    # partition pruning: the probed plan carries PartitionFilters on
+    # cluster_id (file-listing-level pruning over the partitioned
+    # layout) and reads a strict subset of the rows
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    probes = set(loaded.probe_clusters(QUERY, 2))
+    probed = loaded.assigned.filter(F.col("cluster_id").isin(list(probes)))
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    assert probed.count() < loaded.assigned.count()
+
+
+def test_collection_index_save_load_across_sessions(spark, tmp_path):
+    """VectorCollection.save_index/load_index: a second collection
+    handle (the 'new session') serves approx searches from the saved
+    index without create_index, matching the builder's results."""
+    from python_vectordbapp_ceph_spark.collection import VectorCollection
+    from python_vectordbapp_ceph_spark.embed import stub_text_embedding
+
+    cpath = str(tmp_path / "coll")
+    coll = VectorCollection(
+        spark=spark, path=cpath, dim=384, name="b1"
+    ).ensure_exists()
+    rows = spark.createDataFrame(
+        [(f"k{i}", f"u{i}", stub_text_embedding(f"text {i}"), None, None, None)
+         for i in range(12)],
+        "key string, url string, embedding array<float>, "
+        "tags map<string,string>, props map<string,string>, ingest_ts timestamp",
+    )
+    coll.upsert(rows)
+    coll.create_index(nlist=3, nprobe=3)
+    ipath = str(tmp_path / "idx")
+    coll.save_index(ipath)
+    q = stub_text_embedding("text 7")
+    want = [(r.key, r.distance) for r in coll.search(q, k=2, approx=True).collect()]
+
+    fresh = VectorCollection(spark=spark, path=cpath, dim=384, name="b1")
+    assert fresh.list_indexes() == []
+    fresh.load_index(ipath, nprobe=3)
+    assert fresh.list_indexes() == ["b1_ivf"]
+    assert fresh.describe_index()["nlist"] == 3
+    got = [(r.key, r.distance) for r in fresh.search(q, k=2, approx=True).collect()]
+    assert got == want and got[0][0] == "k7"
