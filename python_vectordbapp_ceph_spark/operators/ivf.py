@@ -170,7 +170,14 @@ def load_ivf(spark, path: str) -> IVFIndex:
     filter prunes at the FILE-LISTING level — a loaded index reads
     nprobe/nlist of the data per search, which is the entire point of
     IVF at scale (the in-session index filters a computed frame; the
-    loaded one never touches the unprobed files)."""
+    loaded one never touches the unprobed files).
+
+    Composes with the streaming maintenance path: point
+    ``stream_into_ivf`` at ``<path>/assigned`` and every micro-batch's
+    no-refit append (same centroids, so the ``_meta`` sidecar stays
+    valid by construction) is visible to the next load_ivf/search —
+    the persisted index IS the live index, exactly the backend-index
+    contract the reference delegates."""
     meta = sorted(
         spark.read.parquet(f"{path}/_meta").collect(),
         key=lambda r: r.cluster_id,

@@ -176,6 +176,37 @@ def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> Non
         )
 
 
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit log as a DataFrame (version, committed_at,
+    n_buckets, n_generations) — the DESCRIBE HISTORY ops surface: what
+    `version=` values time travel accepts right now (i.e. what the
+    retention window has kept), when each landed, and how wide each
+    state was. Reads only `_commits/` JSONs — metadata-sized at any
+    table size, and O(keep_versions) after retention vacuums."""
+    fs, hpath = _fs(spark, path)
+    cdir = hpath(f"{path}/{_COMMITS}")
+    rows = []
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            name = st.getPath().getName()
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:-5])
+            _, live = current_manifest(spark, path, version=v)
+            rows.append(
+                (v, st.getModificationTime(), len(live), len(set(live.values())))
+            )
+    df = spark.createDataFrame(
+        rows, "version long, committed_at_ms long, n_buckets long, n_generations long"
+    )
+    return df.select(
+        "version",
+        F.timestamp_millis(F.col("committed_at_ms")).alias("committed_at"),
+        "n_buckets",
+        "n_generations",
+    ).orderBy("version")
+
+
 def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
     """Delete every `gen=*/_kb=*` directory that none of the newest
     ``keep_versions`` manifests references (crashed stages, superseded

@@ -725,3 +725,51 @@ def test_collection_index_save_load_across_sessions(spark, tmp_path):
     assert fresh.describe_index()["nlist"] == 3
     got = [(r.key, r.distance) for r in fresh.search(q, k=2, approx=True).collect()]
     assert got == want and got[0][0] == "k7"
+
+
+def test_persisted_ivf_composes_with_streaming_maintenance(
+    vec_df, tmp_path, spark
+):
+    """save_ivf -> stream_into_ivf(<path>/assigned) -> load_ivf: the
+    persisted index IS the live index. A fresh load after the stream
+    drains sees the streamed vectors in the right inverted lists with
+    the original centroids (no refit), and a probe targeting a
+    streamed vector finds it at distance 0."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        load_ivf,
+        save_ivf,
+    )
+    from python_vectordbapp_ceph_spark.streaming.ivf_ingest import (
+        stream_into_ivf,
+    )
+
+    index = build_ivf(vec_df, nlist=4)
+    path = str(tmp_path / "ivf")
+    save_ivf(index, path)
+    n0 = load_ivf(spark, path).assigned.count()
+
+    # stream two new vectors: one exactly on a centroid's territory
+    probe_vec = [float(x) for x in index.centroids[0]]
+    new = spark.createDataFrame(
+        [(9001, probe_vec), (9002, [v + 0.01 for v in probe_vec])],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "src")
+    new.coalesce(1).write.parquet(src)
+    q = stream_into_ivf(
+        spark.readStream.schema(new.schema).parquet(src),
+        index,
+        f"{path}/assigned",
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+
+    spark.catalog.refreshByPath(f"{path}/assigned")
+    loaded = load_ivf(spark, path)
+    assert loaded.assigned.count() == n0 + 2
+    assert loaded.centroids == [
+        [float(x) for x in c] for c in index.centroids
+    ], "no refit: the _meta sidecar stays valid across streamed appends"
+    hits = loaded.search(probe_vec, k=2, nprobe=1).collect()
+    assert hits[0].vec_id == 9001 and hits[0].distance == 0.0

@@ -497,3 +497,32 @@ def test_merge_race_loser_cannot_clobber_winner(spark, tmp_path, monkeypatch):
     # loser's unique staged dir is an unreferenced orphan -> vacuumed
     assert M.vacuum(spark, path) > 0
     assert {(r.key, r.val) for r in read_base(spark, path).collect()} == won
+
+
+def test_describe_history_tracks_commits_and_retention(spark, tmp_path):
+    """describe_history lists exactly the time-travelable versions with
+    their widths; retention vacuum shrinks the listing to the window."""
+    from python_vectordbapp_ceph_spark.operators.merge import (
+        describe_history,
+        merge_into,
+        vacuum,
+        write_bucketed_base,
+    )
+
+    path = str(tmp_path / "base")
+    write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    for i in range(2):
+        changes = spark.createDataFrame(
+            [(f"k{i}", 1000 + i, i + 1, "upsert")],
+            "key string, val long, ts long, op string",
+        )
+        merge_into(spark, path, changes, key_col="key", ts_col="ts",
+                   n_buckets=N_BUCKETS, keep_history=True)
+
+    hist = describe_history(spark, path).collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    assert all(r.n_buckets >= 1 and r.committed_at is not None for r in hist)
+
+    vacuum(spark, path, keep_versions=2)
+    hist2 = describe_history(spark, path).collect()
+    assert [r.version for r in hist2] == [1, 2]
