@@ -26,9 +26,13 @@ from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
 SFS = [("0.001", "/root/testdata/sf0.001"),
        ("0.01", "/root/testdata/sf0.01"),
        ("0.1", "/root/testdata/sf0.1")]
-# extra scale point from tools/make_sf1.py, included when present
+# extra scale points from tools/make_sf1.py, included when present
 if os.path.isdir("/tmp/sfx10/lineitem.parquet"):
     SFS.append(("1(x10)", "/tmp/sfx10"))
+if os.path.isdir("/tmp/sfx30/lineitem.parquet"):
+    # second decade; NOTE the key-shift clone caveat for similarity-
+    # family queries (tools/plans_appendix.md round-9 section)
+    SFS.append(("3(x30)", "/tmp/sfx30"))
 
 DEFAULT = [
     "q_agg_group",       # scan+agg: expect ~linear
