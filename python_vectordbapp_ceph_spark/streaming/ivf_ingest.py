@@ -14,12 +14,18 @@ Here the same contract runs as Structured Streaming:
           append_partitioned(...)       # writes ONLY the cluster dirs
                                         # the batch lands in
 
-Exactly-once: checkpointed source offsets make each batch processed
-once; the append is per-batch atomic enough for the probe path because
-readers see whole parquet files (a killed batch is replayed from the
-checkpoint — rows may duplicate on crash-retry, which the keyed
-upsert/compaction path (collection.py) resolves; for the pure-append
-index, duplicate vectors only cost space, never wrong top-k ids).
+Delivery: checkpointed source offsets make each batch processed once
+in normal operation; a batch killed MID-APPEND is replayed, so the
+pure-append layout is at-least-once — a crash-retry can duplicate
+rows, and a duplicated id can then occupy two of a search's k result
+slots (same distance twice), displacing the true k-th neighbor. The
+two exactly-once paths resolve this where it matters: the collection
+route (ingest.py → keyed upsert, last-writer-wins snapshot) dedupes by
+key, and the manifest-committed ledgers (operators/merge.py /
+shards.py) make a replayed batch an invisible orphan. Use the bare
+append layout when the feed itself is idempotent or duplicate slots
+are acceptable (e.g. recall evaluation); route through the collection
+otherwise.
 
 At 100 TB: the streaming batch is the only thing in flight —
 assignment is a map-side argmin against broadcast centroids, the
