@@ -41,6 +41,7 @@ def stream_append(
     available_now: bool = True,
     max_segments: int | None = None,
     vacuum_keep: int | None = None,
+    dedup: bool = False,
 ) -> StreamingQuery:
     """Pack a streaming (doc_id, n_tokens) frame into the ledger at
     ``path``, one committed segment per non-empty micro-batch.
@@ -62,12 +63,21 @@ def stream_append(
     stream that runs for a year holds ≤ max_segments live containers
     and ≤ vacuum_keep manifests of history, independent of how many
     micro-batches ever committed: storage AND metadata are bounded by
-    policy, not by stream lifetime."""
+    policy, not by stream lifetime.
+
+    ``dedup=True`` routes every batch through the ledger's bloom-gated
+    key dedup (operators.shards.dedup_against_ledger) — the streaming
+    case is exactly where it earns its keep: an at-least-once upstream
+    feed (or a source whose files get rewritten in place) re-delivers
+    documents, and the gate drops the already-committed keys at
+    metadata-sized cost before packing. A batch that dedups to zero
+    commits nothing (append_segment's empty guard), so re-delivery
+    never mints empty segments."""
 
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        append_segment(batch.sparkSession, path, batch, budget)
+        append_segment(batch.sparkSession, path, batch, budget, dedup=dedup)
         if max_segments is not None:
             compact(batch.sparkSession, path, max_segments)
         if vacuum_keep is not None:

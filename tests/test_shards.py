@@ -479,6 +479,48 @@ def test_streaming_compaction_bounds_container_count(spark, tmp_path):
         prev = r.cum
 
 
+def test_streaming_dedup_drops_redelivered_keys(spark, tmp_path):
+    """A stream with dedup=True over a partially re-delivering source:
+    each doc packs exactly once, re-deliveries commit nothing (no
+    empty segments), and the ledger equals the dedup-less union of the
+    genuinely new docs."""
+    from python_vectordbapp_ceph_spark.streaming.shard_ingest import (
+        stream_append,
+    )
+
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_append(
+            spark.readStream.schema("doc_id long, n_tokens long").parquet(src),
+            led, ckpt, BUDGET, dedup=True,
+        )
+        assert q.awaitTermination(120)
+        spark.catalog.refreshByPath(led)
+
+    _docs(spark, 0, 100).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # second drop: ids 50..149 — half re-delivered, half new
+    _docs(spark, 50, 100).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # third drop: a FULL re-delivery — must commit nothing
+    _docs(spark, 0, 150).coalesce(1).write.mode("append").parquet(src)
+    segs_before, _, _ = _live_layout(led)
+    drain()
+    segs_after, _, _ = _live_layout(led)
+    assert segs_after == segs_before, "full re-delivery minted a segment"
+
+    rows = read_ledger(spark, led).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(150)), "each id once"
+    by_cum = sorted(rows, key=lambda r: r.cum)
+    prev = 0
+    for r in by_cum:
+        assert r.cum == prev + r.n_tokens
+        prev = r.cum
+
+
 def test_retention_vacuum_keeps_window_and_bounds_metadata(spark, tmp_path):
     """vacuum(keep_versions=N): time travel keeps working inside the
     retention window after compaction, everything older is reclaimed
