@@ -301,6 +301,40 @@ def rebuild_ivf(
     )
 
 
+def rebuild_saved_ivf(
+    spark, root: str, nlist: int = 16, seed: int = 42, max_iter: int = 20
+) -> IVFIndex:
+    """Rebuild a SAVED index in place (the save_ivf layout:
+    ``root/assigned`` + ``root/_meta``), refreshing BOTH halves.
+    Calling bare rebuild_ivf on ``root/assigned`` would refit the
+    centroids and swap the data while leaving the ``_meta`` sidecar
+    stale — a later load_ivf would then rank probes with the OLD
+    centroids against the NEW cluster ids and silently search the
+    wrong inverted lists. This wrapper reads the column names from the
+    existing sidecar, rebuilds the data layout (same atomic two-rename
+    swap), and rewrites the sidecar with the fresh centroids; the
+    sidecar rewrite is itself a whole-directory parquet overwrite, and
+    a crash between the swap and the rewrite is recoverable by calling
+    this again (the refit is deterministic: fixed seed, same rows)."""
+    meta = spark.read.parquet(f"{root}/_meta").limit(1).collect()
+    if not meta:
+        raise FileNotFoundError(f"no IVF metadata under {root}/_meta")
+    vec_col, id_col = meta[0].vec_col, meta[0].id_col
+    index = rebuild_ivf(
+        spark, f"{root}/assigned", nlist=nlist, vec_col=vec_col,
+        id_col=id_col, seed=seed, max_iter=max_iter,
+    )
+    save_meta = spark.createDataFrame(
+        [
+            (cid, [float(x) for x in c], vec_col, id_col)
+            for cid, c in enumerate(index.centroids)
+        ],
+        "cluster_id int, centroid array<double>, vec_col string, id_col string",
+    )
+    save_meta.coalesce(1).write.mode("overwrite").parquet(f"{root}/_meta")
+    return index
+
+
 def append_partitioned(
     assigned_new: DataFrame, path: str, vec_col: str = "embedding"
 ) -> None:

@@ -773,3 +773,52 @@ def test_persisted_ivf_composes_with_streaming_maintenance(
     ], "no refit: the _meta sidecar stays valid across streamed appends"
     hits = loaded.search(probe_vec, k=2, nprobe=1).collect()
     assert hits[0].vec_id == 9001 and hits[0].distance == 0.0
+
+
+def test_rebuild_saved_ivf_refreshes_centroids_and_sidecar(
+    vec_df, tmp_path, spark
+):
+    """After streamed drift-y appends, rebuild_saved_ivf refits AND
+    rewrites the _meta sidecar — a subsequent load_ivf searches the
+    NEW lists with the NEW centroids (full-probe equals brute force
+    over the grown corpus), where a bare rebuild_ivf would have left
+    stale centroids ranking probes against reassigned cluster ids."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        load_ivf,
+        rebuild_saved_ivf,
+        save_ivf,
+    )
+    from python_vectordbapp_ceph_spark.operators.knn import knn_topk
+
+    index = build_ivf(vec_df, nlist=4)
+    root = str(tmp_path / "ivf")
+    save_ivf(index, root)
+
+    # append a shifted cloud the original centroids never saw
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(5 + (i % 3)), *([5.0] * (DIM - 1))])
+         for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        append_partitioned,
+        assign_new,
+    )
+
+    append_partitioned(assign_new(index, extra), f"{root}/assigned")
+    spark.catalog.refreshByPath(f"{root}/assigned")
+
+    rebuilt = rebuild_saved_ivf(spark, root, nlist=4)
+    loaded = load_ivf(spark, root)
+    assert loaded.centroids == [
+        [float(x) for x in c] for c in rebuilt.centroids
+    ], "sidecar carries the refit centroids"
+
+    # full probe over the loaded, rebuilt index == exact brute force
+    # over the grown corpus (including the appended cloud)
+    base = spark.read.parquet(f"{root}/assigned").drop("cluster_id")
+    probe = [5.0] * DIM
+    want = [r.vec_id for r in knn_topk(base, probe, 5).collect()]
+    got = [r.vec_id for r in loaded.search(probe, k=5, nprobe=4).collect()]
+    assert got == want and all(v >= 1000 for v in got)
