@@ -37,17 +37,72 @@ from ..functions.text import normalize_for_fingerprint, fingerprint
 from ..cache import release_caches, tracked_persist as _tracked_persist  # noqa: E402,F401
 
 
+# Shared ceiling for "broadcast this id list" decisions. 4 Mi ids ≈
+# 64 MB serialized — comfortably under executor heaps and far under
+# Spark's 8 GB broadcast hard cap. Above it (billions of drop ids at
+# web-crawl dup rates on 100 TB) an explicit broadcast OOMs executors;
+# a plain join lets AQE pick shuffle vs broadcast from the REAL size.
+BROADCAST_ID_GATE = 4 * 1024 * 1024
+
+
+def gate_broadcast(side: DataFrame, gate: int | None = None) -> DataFrame:
+    """Count-gated broadcast: persist ``side``, count it, and return
+    ``F.broadcast(side)`` only when the count fits under ``gate``
+    (default ``BROADCAST_ID_GATE``, resolved at call time).
+
+    Mirrors the relabel gate inside ``dedup_components`` — the drop /
+    delete / dirty-id lists one call downstream were the remaining
+    unconditional broadcasts ("tiny relative to the corpus" is true
+    proportionally, not absolutely). The persist means the count never
+    recomputes the funnel that produced the list, and the join reuses
+    the materialized blocks either way.
+    """
+    if gate is None:
+        gate = BROADCAST_ID_GATE
+    side = _tracked_persist(side)
+    n = side.count()
+    return F.broadcast(side) if n <= gate else side
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure CPU-bound per-row compute (shingling, hashing) runs at
     cluster parallelism. Small local inputs arrive as 1-2 parquet
     splits — without this every downstream expression runs on one
     core. When the scan already has enough partitions (the 100 TB
     case) this is a no-op, so the extra shuffle is never paid at scale.
+
+    The probe reads the FILE INDEX only (``inputFiles`` + sizes for
+    the few-file case) — no ``df.rdd`` conversion, which planned the
+    whole query to RDD form just to read a partition count and sat as
+    an analysis barrier AQE could not see through.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df  # at least one split per file → already parallel
+    if files:
+        # few files may still mean many splits (maxPartitionBytes
+        # splits large files) — estimate from sizes; few files ⇒ few
+        # cheap driver-side FS calls
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        total = 0
+        try:
+            max_split = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+            )
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            total, max_split = 0, 1
+        if total // max_split >= target:
+            return df
+    return df.repartition(target, key)
 
 
 def exact_dedup(
@@ -729,13 +784,21 @@ def dedup_survivors(
     pairs: DataFrame,
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    broadcast_ids: int | None = None,
 ) -> DataFrame:
     """Keep one row per near-dup component (the min id) plus every row
-    that appears in no pair — the corpus-level dedup finisher."""
+    that appears in no pair — the corpus-level dedup finisher.
+
+    The drop list is count-gated like the relabel map inside
+    ``dedup_components``: broadcast below ``broadcast_ids`` (the common
+    case), plain anti-join above it (100 TB dup rates make the list
+    corpus-scale — billions of ids is over the broadcast cap)."""
     comps = dedup_components(pairs, checkpoint_dir=checkpoint_dir)
     drop = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("_drop_id")
     )
     return df.join(
-        F.broadcast(drop), F.col(id_col) == F.col("_drop_id"), "left_anti"
+        gate_broadcast(drop, broadcast_ids),
+        F.col(id_col) == F.col("_drop_id"),
+        "left_anti",
     )

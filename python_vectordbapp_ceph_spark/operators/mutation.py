@@ -50,10 +50,15 @@ def upsert_last_writer(
 def delete_keys(df: DataFrame, deletes: DataFrame, key_cols: list[str]) -> DataFrame:
     """Remove rows whose key appears in ``deletes`` — left anti-join.
 
-    The delete set is usually tiny → Catalyst broadcasts it and the
-    base table is never shuffled.
+    The delete set is usually tiny (user-issued delete calls →
+    broadcast, base never shuffles), but a bulk GDPR-style purge can be
+    corpus-scale — the broadcast is count-gated like the dedup drop
+    lists, falling back to a plain anti-join AQE can plan from the
+    real size.
     """
-    return df.join(F.broadcast(deletes.select(*key_cols).distinct()),
+    from .dedup import gate_broadcast
+
+    return df.join(gate_broadcast(deletes.select(*key_cols).distinct()),
                    on=key_cols, how="left_anti")
 
 

@@ -9,8 +9,9 @@ Every stage is one of the registry's tested operators; this module
 only sequences them into a single lazy plan (the driver sees one
 DataFrame — Catalyst fuses the stages; nothing materializes until the
 sink). The LSH candidate set is the only stage that must resolve
-before the anti-join, which is why it lands in a broadcastable
-drop-list rather than a second full shuffle.
+before the anti-join; the resulting drop-list is count-gated —
+broadcast while it fits (the common case), plain anti-join above the
+gate (at 100 TB web-crawl dup rates the list is corpus-scale).
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from .functions import vector as V
 from .io import load_table
 from .operators.dedup import (
     exact_dedup,
+    gate_broadcast,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -43,8 +45,8 @@ def near_dup_drop_list(
 
     Funnel: LSH candidates (bucket-join, no n²) → exact Jaccard verify
     restricted to the candidate pairs → keep-min/drop-max survivor
-    rule. The drop list is tiny relative to the corpus → broadcast
-    anti-join against the base."""
+    rule. The drop list is small PROPORTIONALLY but not absolutely —
+    the caller anti-joins it through ``gate_broadcast``."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(sigs, id_col, bands)
     # verify stage: exact Jaccard only on candidate pairs — join the
@@ -148,9 +150,12 @@ def decontaminate(
         ).distinct()
     )
     # anti-join is conditioned on split=='train' so an eval row sharing
-    # an id (impossible here, but cheap insurance) is never dropped
+    # an id (impossible here, but cheap insurance) is never dropped.
+    # Count-gated broadcast: a contaminated-train list is usually small,
+    # but nothing bounds it a priori — above the gate the plain join
+    # lets AQE plan from the real size instead of OOMing on broadcast.
     return docs.join(
-        F.broadcast(dirty_train.withColumnRenamed(id_col, "_dirty_id")),
+        gate_broadcast(dirty_train.withColumnRenamed(id_col, "_dirty_id")),
         (F.col(id_col) == F.col("_dirty_id")) & (F.col(split_col) == "train"),
         "left_anti",
     )
@@ -172,7 +177,9 @@ def prepare_training_corpus(
 
     deduped = exact_dedup(docs)
     drops = near_dup_drop_list(deduped, jaccard_threshold=jaccard_threshold)
-    kept = deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+    # count-gated: at web-crawl dup rates (30-60%) the near-dup drop
+    # list is corpus-scale — broadcast only while it provably fits
+    kept = deduped.join(gate_broadcast(drops), "doc_id", "left_anti")
 
     annotated = kept.select(
         "doc_id", "text", "source", "n_chars",

@@ -279,3 +279,72 @@ def test_lsh_precision_query_floor(spark):
     # sample <= 2000 docs -> all-pairs would be ~2M; candidates must
     # be well under it
     assert row.n_candidates < 500_000
+
+
+def test_drop_list_broadcast_gated_both_sides(spark):
+    """The survivor finisher's drop-list anti-join must be an EXPLICIT
+    broadcast below the id gate and a plain (AQE-planned) join above
+    it — at 100 TB dup rates the drop list is billions of ids, over
+    Spark's 8 GB broadcast cap, so the unconditional hint was an
+    executor OOM waiting to happen. Pin both sides of the gate with
+    autoBroadcastJoinThreshold disabled so only the HINT can introduce
+    a static broadcast."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.operators.dedup import dedup_survivors
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        below = dedup_survivors(docs, pairs)  # default gate ≫ 3 drop ids
+        plan_below = explain_str(below)
+        assert "BroadcastHashJoin" in plan_below, plan_below
+
+        above = dedup_survivors(docs, pairs, broadcast_ids=0)
+        plan_above = explain_str(above)
+        # no hint → with autoBroadcast off the static plan must shuffle;
+        # on a real cluster AQE may still convert from the RUNTIME size,
+        # which is exactly the desired above-gate behavior
+        assert "SortMergeJoin" in plan_above or "ShuffledHashJoin" in plan_above, plan_above
+
+        kept_b = {r.doc_id for r in below.collect()}
+        kept_a = {r.doc_id for r in above.collect()}
+        assert kept_b == kept_a == {1, 10, 99}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        release_caches()
+
+
+def test_pipeline_drop_lists_respect_gate(spark, monkeypatch):
+    """decontaminate / prepare_training_corpus route their drop lists
+    through gate_broadcast — with the gate forced to 0 the plans carry
+    no broadcast hint yet results are unchanged."""
+    import python_vectordbapp_ceph_spark.operators.dedup as dd
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.pipelines import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "train"),
+            (2, "the quick brown fox jumps over the lazy dog today", "test"),
+            (3, "completely unrelated text about spark physical plans", "train"),
+            (4, "another unrelated document mentioning parquet readers", "valid"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    try:
+        kept_default = {r.doc_id for r in decontaminate(docs).collect()}
+        monkeypatch.setattr(dd, "BROADCAST_ID_GATE", 0)
+        kept_gated = {r.doc_id for r in decontaminate(docs).collect()}
+        # doc 1 is a train-side near-dup of eval doc 2 → dropped; the
+        # eval copy and clean train rows survive on BOTH gate sides
+        assert kept_default == kept_gated == {2, 3, 4}
+    finally:
+        release_caches()
