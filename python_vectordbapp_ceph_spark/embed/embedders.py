@@ -100,7 +100,14 @@ def image_embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Same lifecycle for the image tower; input is the raw bytes
     column of a binaryFile scan. Real path: PIL RGB decode + timm
     preprocess + no-grad forward + L2 normalize (the reference's
-    FeatureExtractor contract); stub path: hash embedding."""
+    FeatureExtractor contract); stub path: hash embedding.
+
+    The real path is decode-tolerant: a null/empty/corrupt byte string
+    falls back to the deterministic hash embedding for THAT row instead
+    of raising — one bad object must not crash (and forever-retry) a
+    whole streaming micro-batch. Upstream ingest additionally drops
+    null-content rows with a logged count; this is the second seatbelt
+    for callers that feed the UDF directly."""
     model = _load_image_model()
     for series in batches:
         if model is not None:
@@ -111,12 +118,23 @@ def image_embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
             cfg = timm.data.resolve_data_config({}, model=model)
             tfm = timm.data.create_transform(**cfg)
-            tensors = [
-                tfm(Image.open(io.BytesIO(b)).convert("RGB")) for b in series
-            ]
-            with torch.no_grad():
-                feats = model(torch.stack(tensors)).numpy()
-            feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
-            yield pd.Series([f.astype(np.float32).tolist() for f in feats])
+            decoded: list[tuple[int, object]] = []
+            out: list[list[float] | None] = [None] * len(series)
+            for i, b in enumerate(series):
+                try:
+                    decoded.append(
+                        (i, tfm(Image.open(io.BytesIO(b)).convert("RGB")))
+                    )
+                except Exception:
+                    out[i] = stub_image_embedding(bytes(b or b""))
+            if decoded:
+                with torch.no_grad():
+                    feats = model(
+                        torch.stack([t for _, t in decoded])
+                    ).numpy()
+                feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+                for (i, _), f in zip(decoded, feats):
+                    out[i] = f.astype(np.float32).tolist()
+            yield pd.Series(out)
         else:
             yield series.map(lambda b: stub_image_embedding(bytes(b or b"")))

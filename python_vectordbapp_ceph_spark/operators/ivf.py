@@ -136,20 +136,7 @@ def write_partitioned(index: IVFIndex, path: str) -> None:
     ).parquet(path)
 
 
-def save_ivf(index: IVFIndex, path: str) -> None:
-    """Persist the WHOLE index — inverted lists AND centroids — so a
-    fresh session reconstructs it without refitting KMeans. This is
-    the durability the reference gets for free from its backend (the
-    Milvus index survives the client process; a session-local index
-    would have to be rebuilt on every restart — at 100 TB, a full
-    KMeans pass per restart).
-
-    Layout: ``path/assigned`` = the inverted-file parquet partitioned
-    by cluster_id (probes prune at the file listing); ``path/_meta``
-    = one tiny parquet of (cluster_id, centroid, vec_col, id_col) —
-    nlist rows, kilobytes, everything load_ivf needs."""
-    spark = index.assigned.sparkSession
-    write_partitioned(index, f"{path}/assigned")
+def _write_meta(spark, index: IVFIndex, meta_path: str) -> None:
     # centroids persist as float64: they are index METADATA (probe
     # ranking inputs), not at-rest vector data — the canonical-f32
     # rule applies to the assigned table's vectors; doubles make the
@@ -161,7 +148,48 @@ def save_ivf(index: IVFIndex, path: str) -> None:
         ],
         "cluster_id int, centroid array<double>, vec_col string, id_col string",
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    meta.coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
+def save_ivf(index: IVFIndex, path: str) -> None:
+    """Persist the WHOLE index — inverted lists AND centroids — so a
+    fresh session reconstructs it without refitting KMeans. This is
+    the durability the reference gets for free from its backend (the
+    Milvus index survives the client process; a session-local index
+    would have to be rebuilt on every restart — at 100 TB, a full
+    KMeans pass per restart).
+
+    Layout: ``path/assigned`` = the inverted-file parquet partitioned
+    by cluster_id (probes prune at the file listing);
+    ``path/assigned/_meta`` = one tiny parquet of (cluster_id,
+    centroid, vec_col, id_col) — nlist rows, kilobytes, everything
+    load_ivf needs. The sidecar lives INSIDE the assigned directory —
+    underscore-prefixed paths are hidden from parquet scans (the
+    ``_delta_log`` convention) — so a directory-rename rebuild swaps
+    data and centroids at ONE visibility point. Written after the
+    data: a crash in between leaves no sidecar → load_ivf raises
+    FileNotFoundError (no index), never a mismatched one."""
+    spark = index.assigned.sparkSession
+    write_partitioned(index, f"{path}/assigned")
+    _write_meta(spark, index, f"{path}/assigned/_meta")
+
+
+def _read_meta(spark, root: str):
+    """Sorted sidecar rows, probing the canonical location (inside
+    ``assigned``) first, then the legacy sibling ``root/_meta``.
+    Existence goes through the Hadoop FS so a missing directory raises
+    the intended FileNotFoundError, not a raw AnalysisException."""
+    from .merge import _fs
+
+    fs, hpath = _fs(spark, root)
+    for loc in (f"{root}/assigned/_meta", f"{root}/_meta"):
+        if fs.exists(hpath(loc)):
+            rows = sorted(
+                spark.read.parquet(loc).collect(), key=lambda r: r.cluster_id
+            )
+            if rows:
+                return rows
+    raise FileNotFoundError(f"no IVF metadata under {root}/assigned/_meta")
 
 
 def load_ivf(spark, path: str) -> IVFIndex:
@@ -178,12 +206,7 @@ def load_ivf(spark, path: str) -> IVFIndex:
     valid by construction) is visible to the next load_ivf/search —
     the persisted index IS the live index, exactly the backend-index
     contract the reference delegates."""
-    meta = sorted(
-        spark.read.parquet(f"{path}/_meta").collect(),
-        key=lambda r: r.cluster_id,
-    )
-    if not meta:
-        raise FileNotFoundError(f"no IVF metadata under {path}/_meta")
+    meta = _read_meta(spark, path)
     return IVFIndex(
         assigned=spark.read.parquet(f"{path}/assigned"),
         centroids=[[float(x) for x in r.centroid] for r in meta],
@@ -273,26 +296,11 @@ def rebuild_ivf(
         current, nlist=nlist, vec_col=vec_col, id_col=id_col,
         seed=seed, max_iter=max_iter,
     )
-    tmp, old = path + "._rebuild", path + "._old"
+    tmp = path + "._rebuild"
     _canonical_f32(index.assigned, vec_col).write.mode("overwrite").partitionBy(
         "cluster_id"
     ).parquet(tmp)
-    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    fs = hpath(tmp).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    fs.delete(hpath(old), True)  # leftover from a prior crash
-    if not fs.rename(hpath(path), hpath(old)):
-        raise IOError(
-            f"rebuild_ivf: rename {path} -> {old} failed; "
-            "live index untouched, rebuilt layout at the temp path"
-        )
-    if not fs.rename(hpath(tmp), hpath(path)):
-        fs.rename(hpath(old), hpath(path))  # roll back
-        raise IOError(
-            f"rebuild_ivf: rename {tmp} -> {path} failed; "
-            "old index restored, rebuilt layout at the temp path"
-        )
-    fs.delete(hpath(old), True)
-    spark.catalog.refreshByPath(path)
+    _swap_dirs(spark, tmp, path, op="rebuild_ivf")
     return IVFIndex(
         assigned=spark.read.parquet(path),
         centroids=index.centroids,
@@ -301,38 +309,79 @@ def rebuild_ivf(
     )
 
 
+def _swap_dirs(spark, tmp: str, path: str, op: str) -> None:
+    """Two-rename directory swap (each rename atomic on HDFS/POSIX):
+    ``path`` → ``path._old`` → delete, ``tmp`` → ``path``. A crash
+    between renames leaves the old layout at ``path._old`` —
+    recoverable, never a missing index. Drops cached file listings
+    afterwards so already-open sessions re-list."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = hpath(tmp).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    old = path + "._old"
+    fs.delete(hpath(old), True)  # leftover from a prior crash
+    if not fs.rename(hpath(path), hpath(old)):
+        raise IOError(
+            f"{op}: rename {path} -> {old} failed; "
+            "live index untouched, rebuilt layout at the temp path"
+        )
+    if not fs.rename(hpath(tmp), hpath(path)):
+        fs.rename(hpath(old), hpath(path))  # roll back
+        raise IOError(
+            f"{op}: rename {tmp} -> {path} failed; "
+            "old index restored, rebuilt layout at the temp path"
+        )
+    fs.delete(hpath(old), True)
+    spark.catalog.refreshByPath(path)
+
+
 def rebuild_saved_ivf(
-    spark, root: str, nlist: int = 16, seed: int = 42, max_iter: int = 20
+    spark, root: str, nlist: int | None = None, seed: int = 42,
+    max_iter: int = 20,
 ) -> IVFIndex:
     """Rebuild a SAVED index in place (the save_ivf layout:
-    ``root/assigned`` + ``root/_meta``), refreshing BOTH halves.
-    Calling bare rebuild_ivf on ``root/assigned`` would refit the
-    centroids and swap the data while leaving the ``_meta`` sidecar
-    stale — a later load_ivf would then rank probes with the OLD
-    centroids against the NEW cluster ids and silently search the
-    wrong inverted lists. This wrapper reads the column names from the
-    existing sidecar, rebuilds the data layout (same atomic two-rename
-    swap), and rewrites the sidecar with the fresh centroids; the
-    sidecar rewrite is itself a whole-directory parquet overwrite, and
-    a crash between the swap and the rewrite is recoverable by calling
-    this again (the refit is deterministic: fixed seed, same rows)."""
-    meta = spark.read.parquet(f"{root}/_meta").limit(1).collect()
-    if not meta:
-        raise FileNotFoundError(f"no IVF metadata under {root}/_meta")
+    ``root/assigned`` with the ``_meta`` sidecar inside), refreshing
+    BOTH halves at ONE visibility point. Calling bare rebuild_ivf on
+    ``root/assigned`` would refit the centroids and swap the data
+    while leaving the sidecar stale — a later load_ivf would then rank
+    probes with the OLD centroids against the NEW cluster ids and
+    silently search the wrong inverted lists. This wrapper stages the
+    rebuilt layout AND the fresh sidecar in the temp directory, then
+    runs the same two-rename swap — a reader (concurrent or
+    post-crash) sees old data + old centroids or new data + new
+    centroids, never a mixed pair.
+
+    ``nlist`` defaults to the SAVED index's geometry (the sidecar row
+    count) — a default-arg rebuild refreshes centroids without
+    silently changing how many inverted lists exist."""
+    meta = _read_meta(spark, root)
     vec_col, id_col = meta[0].vec_col, meta[0].id_col
-    index = rebuild_ivf(
-        spark, f"{root}/assigned", nlist=nlist, vec_col=vec_col,
-        id_col=id_col, seed=seed, max_iter=max_iter,
+    if nlist is None:
+        nlist = len(meta)
+    assigned_path = f"{root}/assigned"
+    current = spark.read.parquet(assigned_path).drop("cluster_id")
+    index = build_ivf(
+        current, nlist=nlist, vec_col=vec_col, id_col=id_col,
+        seed=seed, max_iter=max_iter,
     )
-    save_meta = spark.createDataFrame(
-        [
-            (cid, [float(x) for x in c], vec_col, id_col)
-            for cid, c in enumerate(index.centroids)
-        ],
-        "cluster_id int, centroid array<double>, vec_col string, id_col string",
+    tmp = assigned_path + "._rebuild"
+    _canonical_f32(index.assigned, vec_col).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(tmp)
+    _write_meta(spark, index, f"{tmp}/_meta")  # staged WITH the data
+    _swap_dirs(spark, tmp, assigned_path, op="rebuild_saved_ivf")
+    # a legacy sibling sidecar (pre-r10 layout) is now stale — remove
+    # it so nothing can ever read old centroids again; safe after the
+    # swap because the canonical sidecar is already live
+    from .merge import _fs
+
+    fs, hpath = _fs(spark, root)
+    fs.delete(hpath(f"{root}/_meta"), True)
+    return IVFIndex(
+        assigned=spark.read.parquet(assigned_path),
+        centroids=index.centroids,
+        vec_col=vec_col,
+        id_col=id_col,
     )
-    save_meta.coalesce(1).write.mode("overwrite").parquet(f"{root}/_meta")
-    return index
 
 
 def append_partitioned(
@@ -410,6 +459,14 @@ def search_batch(
             ]),
         )
         probes_join = F.broadcast(probes)
+        # static pruning for the persisted layout: the probed-cluster
+        # UNION is known driver-side, so push it as an IN filter — over
+        # a partitionBy('cluster_id') parquet this is file-listing
+        # pruning (PartitionFilters), the same guarantee the
+        # single-query probe has. The join alone gives none: a join key
+        # only prunes via DPP, which local/static plans don't promise.
+        probed_union = sorted({cid for _, cid, _ in probe_rows})
+        base = index.assigned.filter(F.col("cluster_id").isin(probed_union))
     else:
         cents = F.broadcast(
             spark.createDataFrame(
@@ -432,9 +489,10 @@ def search_batch(
             .select(q_id_col, "cluster_id", "_qv")
         )
         probes_join = probes
-    cand = index.assigned.join(
+        base = index.assigned  # union unknown statically → DPP/AQE
+    cand = base.join(
         probes_join,
-        index.assigned["cluster_id"] == probes["cluster_id"],
+        base["cluster_id"] == probes["cluster_id"],
     ).drop(probes["cluster_id"])
     dist = F.round(
         V.l2_distance(F.col(index.vec_col).cast("array<double>"), F.col("_qv")), 6

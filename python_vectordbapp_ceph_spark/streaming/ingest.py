@@ -20,9 +20,13 @@ mirroring B5 (persistent topic, rook-resources.yaml:22).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
 
 # S3 bucket-notification event schema (the fields the reference reads:
 # s3.object.key, eventName, s3.object.tags — pythonvectordbceph.py:128-152).
@@ -138,6 +142,20 @@ def ingest_stream(
             if object_type == "IMAGE":
                 if object_bytes is not None:
                     ups = ups.join(object_bytes, "key", "left")
+                    # left join ⇒ a key missing from the object store
+                    # yields NULL content; embedding it would crash the
+                    # micro-batch (Image.open on None), which then
+                    # retries forever. Drop those rows with a logged
+                    # count — the reference 404s the single request,
+                    # the stream must not wedge on it.
+                    n_missing = ups.filter(F.col("content").isNull()).count()
+                    if n_missing:
+                        _log.warning(
+                            "ingest_stream batch %s: dropping %d upsert(s) "
+                            "whose object bytes are missing",
+                            batch_id, n_missing,
+                        )
+                        ups = ups.filter(F.col("content").isNotNull())
                 else:
                     ups = ups.withColumn(
                         "content", F.encode(F.col("key"), "utf-8")

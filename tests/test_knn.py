@@ -822,3 +822,125 @@ def test_rebuild_saved_ivf_refreshes_centroids_and_sidecar(
     want = [r.vec_id for r in knn_topk(base, probe, 5).collect()]
     got = [r.vec_id for r in loaded.search(probe, k=5, nprobe=4).collect()]
     assert got == want and all(v >= 1000 for v in got)
+
+
+def test_load_ivf_missing_path_raises_file_not_found(spark, tmp_path):
+    """A missing index directory (or one without a sidecar) must raise
+    the intended FileNotFoundError, not a raw AnalysisException from
+    the parquet reader — callers branch on 'no index' (ADVICE r9)."""
+    from python_vectordbapp_ceph_spark.operators.ivf import load_ivf
+
+    with pytest.raises(FileNotFoundError):
+        load_ivf(spark, str(tmp_path / "never_saved"))
+    # directory exists but holds no sidecar → same intended error
+    (tmp_path / "half").mkdir()
+    with pytest.raises(FileNotFoundError):
+        load_ivf(spark, str(tmp_path / "half"))
+
+
+def test_rebuild_saved_ivf_defaults_to_saved_geometry(vec_df, tmp_path, spark):
+    """A default-arg rebuild must keep the SAVED index's nlist (read
+    from the sidecar), not silently reset the geometry to a constant —
+    and after the rebuild the sidecar lives INSIDE the swapped assigned
+    directory (one visibility point: a reader sees old data + old
+    centroids or new + new, never mixed), with no stale legacy sibling
+    left behind."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        load_ivf,
+        rebuild_saved_ivf,
+        save_ivf,
+    )
+
+    index = build_ivf(vec_df, nlist=6)
+    root = str(tmp_path / "ivf6")
+    save_ivf(index, root)
+
+    rebuilt = rebuild_saved_ivf(spark, root)  # no nlist argument
+    assert len(rebuilt.centroids) == 6, "geometry preserved by default"
+    loaded = load_ivf(spark, root)
+    assert len(loaded.centroids) == 6
+    assert (tmp_path / "ivf6" / "assigned" / "_meta").exists()
+    assert not (tmp_path / "ivf6" / "_meta").exists()
+    # the sidecar is metadata, not data: scans of the assigned layout
+    # must not see it as rows or a partition
+    assert "cluster_id" in dict(loaded.assigned.dtypes)
+    assert loaded.assigned.count() == N
+
+
+def test_load_ivf_reads_legacy_sibling_sidecar(vec_df, tmp_path, spark):
+    """Indexes saved by the pre-r10 layout (sidecar at root/_meta,
+    beside — not inside — assigned) must keep loading unchanged."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        _write_meta,
+        build_ivf,
+        load_ivf,
+        write_partitioned,
+    )
+
+    index = build_ivf(vec_df, nlist=4)
+    root = str(tmp_path / "legacy")
+    write_partitioned(index, f"{root}/assigned")
+    _write_meta(vec_df.sparkSession, index, f"{root}/_meta")  # old spot
+
+    loaded = load_ivf(spark, root)
+    assert loaded.centroids == [[float(x) for x in c] for c in index.centroids]
+    want = [r.vec_id for r in index.search(QUERY, k=K, nprobe=2).collect()]
+    got = [r.vec_id for r in loaded.search(QUERY, k=K, nprobe=2).collect()]
+    assert got == want
+
+
+def test_persisted_ivf_batch_probe_prunes_partitions(vec_df, tmp_path, spark):
+    """search_batch over a LOADED index must prune the scan to the
+    UNION of the probed clusters — PartitionFilters at the file
+    listing, strictly fewer rows read than the full layout — and
+    return exactly the in-session index's results (VERDICT r9 ask #4:
+    the single-query probe was plan-pinned on the persisted layout,
+    the batch path wasn't)."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        load_ivf,
+        save_ivf,
+        search_batch,
+    )
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    index = build_ivf(vec_df, nlist=4)
+    root = str(tmp_path / "ivfb")
+    save_ivf(index, root)
+    loaded = load_ivf(spark, root)
+
+    queries = spark.createDataFrame(
+        [(i, VECS[i * 3].tolist()) for i in range(4)],
+        "q_id long, q_embedding array<float>",
+    )
+    got_df = search_batch(loaded, queries, k=5, nprobe=2)
+    plan = explain_str(got_df)
+    # a REAL partition filter (the probed-cluster IN list), not the
+    # vacuous `PartitionFilters: [isnotnull(...)]` every scan carries
+    import re
+
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*cluster_id[^\]]*\bIN\b", plan
+    ), plan
+
+    # the probed union is a strict subset of the files/rows
+    probed = {
+        cid
+        for i in range(4)
+        for cid in loaded.probe_clusters(
+            [float(x) for x in VECS[i * 3]], 2
+        )
+    }
+    if len(probed) < 4:  # only meaningful when some cluster escapes
+        pruned_rows = loaded.assigned.filter(
+            F.col("cluster_id").isin(list(probed))
+        ).count()
+        assert pruned_rows < loaded.assigned.count()
+
+    want = sorted(
+        [(r.q_id, r.vec_id, r.distance)
+         for r in search_batch(index, queries, k=5, nprobe=2).collect()]
+    )
+    got = sorted([(r.q_id, r.vec_id, r.distance) for r in got_df.collect()])
+    assert got == want

@@ -223,3 +223,31 @@ def test_image_lifecycle_top2_by_l2(spark, tmp_path):
     hits = coll.search(stub_image_embedding(blobs["cat.png"]), k=2).collect()
     assert [h.key for h in hits] == ["cat.png", "fox.png"]
     assert hits[0].distance == 0.0
+
+
+def test_image_ingest_survives_missing_object_bytes(spark, tmp_path):
+    """A PUT event whose object bytes are absent from the store (left
+    join → NULL content) must NOT crash the micro-batch into a forever
+    retry: the missing row is dropped with a logged count and every
+    other upsert in the same batch lands."""
+    from python_vectordbapp_ceph_spark.embed import stub_image_embedding
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "icoll"), dim=512, name="imgs"
+    ).ensure_exists()
+    # 'ghost.png' has an event but NO bytes in the object store
+    object_bytes = spark.createDataFrame(
+        [("cat.png", b"\x89PNG-fake-cat-bytes")], "key string, content binary"
+    )
+    (events_dir / "e1.json").write_text(json.dumps(_event("cat.png")))
+    (events_dir / "e2.json").write_text(json.dumps(_event("ghost.png")))
+    _drain(spark, events_dir, coll, tmp_path / "ckpt",
+           object_type="IMAGE", object_bytes=object_bytes)
+
+    snap = {r.key: r for r in coll.snapshot().collect()}
+    assert set(snap) == {"cat.png"}  # ghost dropped, batch not wedged
+    assert snap["cat.png"].embedding == stub_image_embedding(
+        b"\x89PNG-fake-cat-bytes"
+    )
