@@ -105,36 +105,27 @@ def _gen_token(version: int) -> str:
     return f"{version}-{uuid.uuid4().hex[:8]}"
 
 
-def current_manifest(spark: SparkSession, path: str, version: int | None = None):
-    """(version, {bucket_id(int) -> gen(int)}) of the highest commit —
-    or of the requested ``version`` (time travel; raises if that
-    commit doesn't exist). (None, {}) if the base has never been
-    committed. Listing `_commits/` is O(#merges) tiny JSON names; no
-    data dirs are touched."""
+def _list_commit_versions(spark: SparkSession, path: str) -> list[tuple[int, object]]:
+    """ONE `_commits/` listing → sorted (version, FileStatus) pairs.
+    Shared by every caller that walks multiple versions so the pass is
+    O(V), not O(V²) re-listings (r9 ADVICE: describe_history/vacuum
+    re-listed the directory per retained version)."""
     fs, hpath = _fs(spark, path)
     cdir = hpath(f"{path}/{_COMMITS}")
-    if not fs.exists(cdir):
-        if version is not None:
-            raise FileNotFoundError(f"no commits under {path}")
-        return None, {}
-    best, best_name = None, None
-    for st in fs.listStatus(cdir):
-        name = st.getPath().getName()
-        if name.startswith("v") and name.endswith(".json"):
-            v = int(name[1:-5])
-            if version is not None:
-                if v == version:
-                    best, best_name = v, name
-                    break
-            elif best is None or v > best:
-                best, best_name = v, name
-    if best is None:
-        if version is not None:
-            raise FileNotFoundError(
-                f"commit v{version} not found under {path}"
-            )
-        return None, {}
-    stream = fs.open(hpath(f"{path}/{_COMMITS}/{best_name}"))
+    out: list[tuple[int, object]] = []
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                out.append((int(name[1:-5]), st))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict[int, str]:
+    """{bucket_id -> gen token} of ONE commit file, no listing."""
+    fs, hpath = _fs(spark, path)
+    stream = fs.open(hpath(f"{path}/{_COMMITS}/{_commit_file(version)}"))
     try:
         jvm = spark._jvm  # noqa: SLF001
         data = bytes(
@@ -145,7 +136,27 @@ def current_manifest(spark: SparkSession, path: str, version: int | None = None)
     m = json.loads(data)
     # generation ids are opaque directory tokens (historically bare
     # ints; now "<version>-<uuid8>") — always strings in memory
-    return best, {int(k): str(g) for k, g in m["buckets"].items()}
+    return {int(k): str(g) for k, g in m["buckets"].items()}
+
+
+def current_manifest(spark: SparkSession, path: str, version: int | None = None):
+    """(version, {bucket_id(int) -> gen(int)}) of the highest commit —
+    or of the requested ``version`` (time travel; raises if that
+    commit doesn't exist). (None, {}) if the base has never been
+    committed. Listing `_commits/` is O(#merges) tiny JSON names; no
+    data dirs are touched."""
+    listed = _list_commit_versions(spark, path)
+    if version is not None:
+        if not any(v == version for v, _ in listed):
+            raise FileNotFoundError(
+                f"commit v{version} not found under {path}"
+            )
+        best = version
+    elif listed:
+        best = listed[-1][0]
+    else:
+        return None, {}
+    return best, _read_manifest(spark, path, best)
 
 
 def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> None:
@@ -183,19 +194,14 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     retention window has kept), when each landed, and how wide each
     state was. Reads only `_commits/` JSONs — metadata-sized at any
     table size, and O(keep_versions) after retention vacuums."""
-    fs, hpath = _fs(spark, path)
-    cdir = hpath(f"{path}/{_COMMITS}")
     rows = []
-    if fs.exists(cdir):
-        for st in fs.listStatus(cdir):
-            name = st.getPath().getName()
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
-            v = int(name[1:-5])
-            _, live = current_manifest(spark, path, version=v)
-            rows.append(
-                (v, st.getModificationTime(), len(live), len(set(live.values())))
-            )
+    # ONE listing, then one direct manifest read per version — O(V),
+    # not O(V²) (each current_manifest call re-listed the directory)
+    for v, st in _list_commit_versions(spark, path):
+        live = _read_manifest(spark, path, v)
+        rows.append(
+            (v, st.getModificationTime(), len(live), len(set(live.values())))
+        )
     df = spark.createDataFrame(
         rows, "version long, committed_at_ms long, n_buckets long, n_generations long"
     )
@@ -226,18 +232,14 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
     root = hpath(path)
     if not fs.exists(root):
         return 0
-    cdir = hpath(f"{path}/{_COMMITS}")
-    versions: list[int] = []
-    if fs.exists(cdir):
-        for st in fs.listStatus(cdir):
-            name = st.getPath().getName()
-            if name.startswith("v") and name.endswith(".json"):
-                versions.append(int(name[1:-5]))
-    versions.sort()
+    # one listing shared by the retention math and the per-version
+    # manifest reads (r9 ADVICE: this pass was O(V²) in commit count
+    # exactly when it mattered — before retention had bounded V)
+    versions = [v for v, _ in _list_commit_versions(spark, path)]
     kept_versions = versions[-max(1, int(keep_versions)):]
     keep = set()
     for v in kept_versions:
-        _, live = current_manifest(spark, path, version=v)
+        live = _read_manifest(spark, path, v)
         keep |= {(g, b) for b, g in live.items()}
     removed = 0
     for st in fs.listStatus(root):

@@ -72,7 +72,15 @@ def stream_append(
     documents, and the gate drops the already-committed keys at
     metadata-sized cost before packing. A batch that dedups to zero
     commits nothing (append_segment's empty guard), so re-delivery
-    never mints empty segments."""
+    never mints empty segments.
+
+    SINGLE WRITER REQUIRED once ``max_segments``/``vacuum_keep`` are
+    set: vacuum deletes any staged generation no retained manifest
+    references, so a concurrent writer's not-yet-committed staging can
+    be reclaimed out from under it. One stream per ledger path is the
+    contract (Structured Streaming's checkpoint lock enforces it for
+    the stream itself; don't run side batch merges against the same
+    path while the knobs are armed)."""
 
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
