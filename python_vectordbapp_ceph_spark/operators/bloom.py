@@ -42,6 +42,48 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).distinct()
 
 
+def bloom_contains_many(
+    blooms: list[tuple[object, DataFrame, int]],
+    probes: DataFrame,
+    key_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Probe MANY filters in one plan: ``blooms`` is [(tag, position
+    frame, m)] — each filter keeps its own m (positions are only
+    comparable within one m). Returns (key, _tag) rows for every
+    (probe key, filter) pair the filter cannot rule out.
+
+    One tagged union on each side and ONE broadcast hash join replace
+    N separate bloom_contains calls — N broadcasts' fixed overhead was
+    the measured cost driver when a streaming dedup gate probed every
+    live container per micro-batch."""
+    probe_keys = probes.select(key_col).distinct()
+    bloom_parts = []
+    pos_parts = []
+    for tag, bloom, m in blooms:
+        bloom_parts.append(
+            bloom.select(F.lit(tag).alias("_tag"), "pos").distinct()
+        )
+        pos_parts.append(
+            _positions(probe_keys, key_col, k, int(m)).select(
+                key_col, F.lit(tag).alias("_tag"), "pos"
+            )
+        )
+    bloom_all = bloom_parts[0]
+    for p in bloom_parts[1:]:
+        bloom_all = bloom_all.unionByName(p)
+    pos_all = pos_parts[0]
+    for p in pos_parts[1:]:
+        pos_all = pos_all.unionByName(p)
+    return (
+        pos_all.join(F.broadcast(bloom_all), ["_tag", "pos"])
+        .groupBy(key_col, "_tag")
+        .agg(F.count(F.lit(1)).alias("_n_hits"))
+        .filter(F.col("_n_hits") == k)
+        .select(key_col, "_tag")
+    )
+
+
 def bloom_contains(
     bloom: DataFrame, probes: DataFrame, key_col: str, k: int = 5, m: int = 4096
 ) -> DataFrame:

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bloom import bloom_build, bloom_contains
+from .bloom import bloom_build, bloom_contains, bloom_contains_many
 from .merge import (
     _fs,
     _gen_token,
@@ -54,12 +54,35 @@ SHARD_BUDGET_DEFAULT = 10_000
 _SALT = ":7"  # the deterministic-shuffle salt shared with q_token_shards
 
 # per-segment membership-bloom sidecar: k hash functions over m bit
-# positions. m bounds the sidecar at 2^17 rows (≈1 MB parquet) per
-# segment regardless of segment size; correctness never depends on
-# these values (bloom positives are exactly verified, negatives are
-# guaranteed absent), only the prune ratio does.
+# positions. m SCALES with the segment's key count (~16 bits/key,
+# power of two, floored at BLOOM_M, capped at BLOOM_M_CAP) and is
+# recorded IN the sidecar — a fixed m saturates once compaction merges
+# many segments' keys into one container (measured in the r10 sfx10
+# soak: 43k keys in 2^17 bits ≈ FPR→1, every probe a maybe, the gate
+# degraded to a full-ledger verify per batch). Correctness never
+# depends on these values (bloom positives are exactly verified,
+# negatives are guaranteed absent), only the prune ratio does. Beyond
+# the cap (≈0.5M keys/container at 16 bits/key) the position-set
+# representation stops being metadata-sized; that's the point to swap
+# the sidecar for a real bitset blob — noted, not needed at tested
+# scales.
 BLOOM_K = 7
 BLOOM_M = 1 << 17
+BLOOM_M_CAP = 1 << 23
+
+# (ledger path, gen token) -> that generation's sidecar m. Gen dirs
+# are write-once, so entries never invalidate; bounded by the live
+# generations ever seen by this driver process.
+_SIDECAR_M_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _bloom_m(n_keys: int) -> int:
+    m = BLOOM_M
+    target = 16 * max(1, int(n_keys))
+    cap = max(BLOOM_M, BLOOM_M_CAP)
+    while m < target and m < cap:
+        m <<= 1
+    return m
 
 
 def _pack(docs: DataFrame, budget: int, offset) -> DataFrame:
@@ -115,15 +138,63 @@ def dedup_against_ledger(
     # hdfs://, file://) — a local os.path check would be always-false
     # off local disk and silently disable the prune
     fs, hpath = _fs(spark, path)
-    sidecars = [f"{path}/gen={g}/_bloom" for g in live.values()]
-    if all(fs.exists(hpath(p)) for p in sidecars):
-        bloom = spark.read.parquet(*sidecars).distinct()
-        probe = bloom_contains(
-            bloom, docs.select("doc_id"), "doc_id", BLOOM_K, BLOOM_M
+    sidecars = {b: f"{path}/gen={g}/_bloom" for b, g in live.items()}
+    if all(fs.exists(hpath(p)) for p in sidecars.values()):
+        from ..cache import tracked_persist
+
+        # probe PER CONTAINER (the count is bounded by max_segments
+        # once in-line compaction runs): each sidecar carries its own
+        # m (r10: m scales with key count so merged containers don't
+        # saturate; legacy m-less sidecars were built at BLOOM_M), and
+        # tagging maybes with their container id lets the exact verify
+        # scan ONLY the flagged containers. Before r10 the verify
+        # anti-joined the FULL ledger key column per batch — O(corpus)
+        # per micro-batch even when the bloom had pruned everything
+        # (measured: the dedup-only sfx10 soak's batch wall grew 1.7×
+        # over 52 batches; flat after this change).
+        keys = docs.select("doc_id").distinct()
+        sides = {b: spark.read.parquet(p) for b, p in sidecars.items()}
+        # each sidecar's m is constant within it and IMMUTABLE for its
+        # generation (write-once dirs), so resolve unknown ones in one
+        # union job and cache by (path, gen): a long-running stream
+        # pays the lookup only for the ≤2 generations each batch mints
+        unknown = [
+            b for b, g in live.items()
+            if (path, g) not in _SIDECAR_M_CACHE
+        ]
+        if unknown:
+            m_parts = [
+                sides[b].select(
+                    F.lit(b).alias("b"),
+                    (F.col("m") if "m" in sides[b].columns
+                     else F.lit(BLOOM_M)).alias("m"),
+                ).limit(1)
+                for b in sorted(unknown)
+            ]
+            m_union = m_parts[0]
+            for p in m_parts[1:]:
+                m_union = m_union.unionByName(p)
+            resolved = {r.b: int(r.m or BLOOM_M) for r in m_union.collect()}
+            for b, m_val in resolved.items():
+                _SIDECAR_M_CACHE[(path, live[b])] = m_val
+        m_by_b = {b: _SIDECAR_M_CACHE[(path, g)] for b, g in live.items()}
+        cand = tracked_persist(
+            bloom_contains_many(
+                [(b, sides[b].select("pos"), m_by_b[b])
+                 for b in sorted(sides)],
+                keys, "doc_id", BLOOM_K,
+            ).withColumnRenamed("_tag", "_container")
         )
-        candidates = probe.filter(F.col("maybe_present")).select("doc_id")
-        committed = read_buckets(spark, path).select("doc_id")
-        confirmed = candidates.join(committed, "doc_id", "left_semi")
+        # bounded driver collect: ≤ one row per live container
+        flagged = [r._container for r in
+                   cand.select("_container").distinct().collect()]
+        if not flagged:
+            return docs  # zero maybes → nothing to verify, nothing to drop
+        committed = read_buckets(spark, path, buckets=flagged).select("doc_id")
+        confirmed = (
+            cand.select("doc_id").distinct()
+            .join(committed, "doc_id", "left_semi")
+        )
         return docs.join(F.broadcast(confirmed), "doc_id", "left_anti")
     committed = read_buckets(spark, path).select("doc_id")
     return docs.join(committed, "doc_id", "left_anti")
@@ -194,10 +265,16 @@ def append_segment(
         # is an unreferenced orphan vacuum() reclaims.
         return -1
     # key bloom into the SAME staged (still-invisible) generation dir:
-    # published by the rename below or orphaned with it on a crash
+    # published by the rename below or orphaned with it on a crash.
+    # Built from the STAGED files (no pack recompute) with m sized to
+    # the key count (parquet-metadata count-star, no data scan)
+    staged = spark.read.parquet(f"{path}/gen={gen}")
+    m = _bloom_m(staged.count())
     bloom_build(
-        packed.select("doc_id"), "doc_id", BLOOM_K, BLOOM_M
-    ).write.mode("overwrite").parquet(f"{path}/gen={gen}/_bloom")
+        staged.select("doc_id"), "doc_id", BLOOM_K, m
+    ).withColumn("m", F.lit(m)).write.mode("overwrite").parquet(
+        f"{path}/gen={gen}/_bloom"
+    )
     new_map = dict(live)
     new_map[seg] = gen
     _publish(spark, path, v, new_map)
@@ -242,12 +319,18 @@ def compact(
     of tiny directories, and at 100 TB the file-listing + footer reads
     dominate every scan — the classic small-files killer.
 
-    When the live container count exceeds ``max_segments``, the OLDEST
-    ``count − max_segments + 1`` containers are rewritten into ONE new
-    container (coalesced files, one merged bloom sidecar), leaving
-    exactly ``max_segments`` live containers. The rewrite is published
-    as a normal manifest generation, so every ledger guarantee
-    survives:
+    When the live container count exceeds ``max_segments``, the
+    SMALLEST ``count − max_segments + 1`` containers (by on-disk
+    bytes, oldest-id tiebreak) are rewritten into ONE new container
+    (coalesced files, one merged bloom sidecar), leaving exactly
+    ``max_segments`` live containers. Smallest-first is LSM tiering:
+    each byte is rewritten O(log n) times over a stream's lifetime,
+    and a large accumulated container only re-merges once its peers
+    have grown comparable — merging the OLDEST instead re-rewrote the
+    ever-growing head container on every steady-state trip, O(total)
+    per micro-batch (measured: first-10→last-10 batch median grew
+    1.6× within a 52-batch sfx10 soak). The rewrite is published as a
+    normal manifest generation, so every ledger guarantee survives:
 
       - WRITE-ONCE: the merged data stages into a fresh uniquely-named
         `gen=<v>-<tok>` directory; committed directories are never
@@ -263,15 +346,17 @@ def compact(
         is done with history.
       - CONTINUITY: the new container's manifest key is the MAX of the
         merged ids, so `max(live)` — which both the next segment id
-        and the token-offset read key derive from — is unchanged.
+        and the token-offset read key derive from — is unchanged (if
+        the newest segment is in the merge set, the merged container
+        inherits its key and still holds the max-cum row).
       - DEDUP GATE: the merged bloom is rebuilt from the merged keys
-        (bit-identical to a position-set union, since positions are
-        deterministic per key), so dedup_against_ledger keeps its
-        metadata-sized prune with ONE sidecar where there were K.
+        with m RESIZED to the merged key count (recorded in the
+        sidecar), so dedup_against_ledger keeps its metadata-sized
+        prune with ONE sidecar where there were K — and the prune
+        ratio survives the growth instead of saturating.
 
     Returns the number of containers merged away (0 = nothing to do,
-    the count was within budget). Recent segments stay un-merged — the
-    hot tail keeps append cost proportional to the batch.
+    the count was within budget).
 
     Reference anchor: this is the ledger's equivalent of the segment
     compaction the reference delegates to Milvus (milvus-app/README.md
@@ -280,7 +365,21 @@ def compact(
     version, live = current_manifest(spark, path)
     if version is None or len(live) <= max_segments:
         return 0
-    merged_ids = sorted(live)[: len(live) - max_segments + 1]
+    # size probe: K driver-side FS summaries of container dirs —
+    # metadata-scale however big the data is
+    fs, hpath = _fs(spark, path)
+
+    def _bytes(b: int, g: str) -> int:
+        try:
+            return fs.getContentSummary(
+                hpath(f"{path}/gen={g}/_kb={b}")
+            ).getLength()
+        except Exception:
+            return 0
+
+    k = len(live) - max_segments + 1
+    by_size = sorted(live.items(), key=lambda bg: (_bytes(*bg), bg[0]))
+    merged_ids = sorted(b for b, _ in by_size[:k])
     target = max(merged_ids)
     # read via the manifest, data-column segment semantics — re-
     # compacting an already-compacted container preserves the original
@@ -297,9 +396,16 @@ def compact(
     merged = old.withColumn("_kb", F.lit(target))
     gen = _gen_token(version + 1)
     _staged_write(spark, path, merged, gen, 1, files_per_segment)
+    # the merged bloom is REBUILT with m resized to the merged key
+    # count — reusing the per-segment m here is exactly how a fixed-m
+    # design saturates as containers grow
+    staged = spark.read.parquet(f"{path}/gen={gen}")
+    m_side = _bloom_m(staged.count())
     bloom_build(
-        merged.select("doc_id"), "doc_id", BLOOM_K, BLOOM_M
-    ).write.mode("overwrite").parquet(f"{path}/gen={gen}/_bloom")
+        staged.select("doc_id"), "doc_id", BLOOM_K, m_side
+    ).withColumn("m", F.lit(m_side)).write.mode("overwrite").parquet(
+        f"{path}/gen={gen}/_bloom"
+    )
     new_map = {b: g for b, g in live.items() if b not in set(merged_ids)}
     new_map[target] = gen
     # the atomic visibility point; a racing commit at version+1 makes

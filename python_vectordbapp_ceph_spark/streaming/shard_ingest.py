@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..cache import release_caches
 from ..operators.merge import vacuum
 from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment, compact
 
@@ -85,11 +86,21 @@ def stream_append(
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        append_segment(batch.sparkSession, path, batch, budget, dedup=dedup)
-        if max_segments is not None:
-            compact(batch.sparkSession, path, max_segments)
-        if vacuum_keep is not None:
-            vacuum(batch.sparkSession, path, keep_versions=vacuum_keep)
+        try:
+            append_segment(
+                batch.sparkSession, path, batch, budget, dedup=dedup
+            )
+            if max_segments is not None:
+                compact(batch.sparkSession, path, max_segments)
+            if vacuum_keep is not None:
+                vacuum(batch.sparkSession, path, keep_versions=vacuum_keep)
+        finally:
+            # the dedup gate persists its candidate set for the
+            # flagged-container collect + verify join; release per
+            # batch — a long stream must not accumulate pinned blocks
+            # (measured: the r10 soak's batch wall doubled from block
+            # churn before this release)
+            release_caches()
 
     writer = stream.writeStream.foreachBatch(pack_batch).option(
         "checkpointLocation", checkpoint_dir

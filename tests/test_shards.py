@@ -239,6 +239,7 @@ def test_dedup_exact_even_with_saturated_bloom(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(sh, "BLOOM_K", 2)
     monkeypatch.setattr(sh, "BLOOM_M", 16)
+    monkeypatch.setattr(sh, "BLOOM_M_CAP", 16)  # pin the r10 auto-scaling too
     path = str(tmp_path / "ledger")
     sh.append_segment(spark, path, _docs(spark, 0, 150), BUDGET)
     kept = sorted(
@@ -330,8 +331,15 @@ def test_compaction_read_identical_and_fewer_files(spark, tmp_path):
     )
 
     path = str(tmp_path / "ledger")
-    for i in range(6):
-        append_segment(spark, path, _docs(spark, i * 1000, 60), BUDGET)
+    # on-disk BYTES strictly increase with id so the size-ordered
+    # merge picks {0,1,2,3} deterministically: single-file segments
+    # (no empty-split noise) with well-separated row counts — at KB
+    # scale parquet footers dominate, so doc counts alone don't order
+    append_segment(spark, path, _docs(spark, 0, 60), BUDGET,
+                   files_per_segment=1)
+    for i in range(1, 6):
+        append_segment(spark, path, _docs(spark, i * 1000, 100 * (i + 1)),
+                       BUDGET, files_per_segment=1)
     before = _ledger_rows(spark, path)
     segs_b, files_b, dirs_b = _live_layout(path)
     assert segs_b == [0, 1, 2, 3, 4, 5]
@@ -610,3 +618,207 @@ def test_dedup_falls_back_without_sidecar(spark, tmp_path):
         ).collect()
     )
     assert kept == list(range(120, 180))
+
+
+def test_ledger_soak_50_batches_bounded_and_constant_time(spark, tmp_path):
+    """SOAK (r9 verdict ask #3): ONE streaming query drives 50+
+    micro-batches (maxFilesPerTrigger=1 over 52 pre-staged files, ~30%
+    of them re-deliveries) with dedup=True, max_segments=2 and
+    vacuum_keep=2 all live. After the drain:
+
+      - on-disk layout is bounded by policy (live containers ≤ 2,
+        generation dirs ≤ 4, _commits JSONs ≤ 2, parquet data files
+        ≤ live_containers × files_per_segment + bloom sidecars) —
+        NOT by the 52 commits that ever happened;
+      - every delivered doc packed exactly once (the bloom gate ate
+        the re-deliveries), and the ledger reads back as ONE coherent
+        token sequence with the one-shot-pack invariants
+        (cum continuity; shard_id == (cum - n_tokens) div budget);
+      - append stays constant-time: the continuity state is one
+        scalar off one directory, so late batches must not slow down
+        as commits accumulate — the last 10 batch walls stay within
+        5× of the first 10's median (generous: catches O(n) metadata
+        walks, tolerates CI jitter).
+    """
+    from python_vectordbapp_ceph_spark.streaming.shard_ingest import (
+        stream_append,
+    )
+
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    delivered = set()
+    n_files = 52
+    for i in range(n_files):
+        # stride 20 over 30-doc files → 10-doc overlap with the
+        # previous file (re-delivery), plus every 7th file is a FULL
+        # re-delivery of the one before it
+        lo = (i - 1 if i % 7 == 3 else i) * 20
+        batch = _docs(spark, lo, 30)
+        delivered |= {(r.doc_id, r.n_tokens) for r in batch.collect()}
+        batch.coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_append(
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        led,
+        str(tmp_path / "ckpt"),
+        BUDGET,
+        max_segments=2,
+        vacuum_keep=2,
+        dedup=True,
+    )
+    assert q.awaitTermination(600), "soak stream did not drain in 600s"
+    walls = [p["batchDuration"] for p in q.recentProgress
+             if p.get("numInputRows", 0) > 0]
+    assert len(walls) >= 50, f"expected ≥50 micro-batches, saw {len(walls)}"
+    spark.catalog.refreshByPath(led)
+
+    # --- bounded metadata + storage ---------------------------------
+    segs, _, dirs = _live_layout(led)
+    assert len(segs) <= 2 and dirs <= 2, f"live layout unbounded: {segs}"
+    n_commits = len([n for n in os.listdir(os.path.join(led, "_commits"))
+                     if n.endswith(".json")])
+    assert n_commits <= 2, f"commit listing unbounded: {n_commits}"
+    n_gens = len([n for n in os.listdir(led) if n.startswith("gen=")])
+    assert n_gens <= 4, f"generation dirs unbounded: {n_gens}"
+    n_parquet = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for root, _, files in os.walk(led)
+        if "_commits" not in root
+    )
+    # vacuum_keep=2 retains ≤ 2 manifests × ≤ 2 containers = ≤ 4
+    # distinct generations: ≤ 4×4 data files + ≤ 4 bloom sidecars +
+    # slack — the point is "bounded by POLICY", vs 52 commits × 5
+    # files ≈ 260 unbounded
+    assert n_parquet <= 24, f"file count unbounded: {n_parquet}"
+
+    # --- exactly-once + one-shot-pack invariants --------------------
+    rows = read_ledger(spark, led).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(
+        d for d, _ in delivered
+    ), "dedup gate must pack each delivered doc exactly once"
+    prev = 0
+    for r in sorted(rows, key=lambda r: r.cum):
+        assert r.cum == prev + r.n_tokens, "token sequence tore"
+        assert r.shard_id == (r.cum - r.n_tokens) // BUDGET
+        prev = r.cum
+
+    # --- constant-time append ---------------------------------------
+    head = sorted(walls[:10])[5]  # median of the first 10
+    for w in walls[-10:]:
+        assert w <= 5 * max(head, 500), (
+            f"append slowed with ledger age: first-10 median {head}ms, "
+            f"late batch {w}ms"
+        )
+
+
+def test_compaction_merges_smallest_not_oldest(spark, tmp_path):
+    """LSM tiering: compaction must pick merge candidates by SIZE, not
+    age — in steady state the oldest container is the ever-growing
+    accumulated one, and re-rewriting it per micro-batch makes append
+    cost O(total). With one big old container and small young
+    segments, compact() must merge the small ones and leave the big
+    container's generation directory untouched; read-back and
+    continuity invariants hold unchanged."""
+    import json as _json
+
+    from python_vectordbapp_ceph_spark.operators.shards import compact
+
+    led = str(tmp_path / "led")
+    append_segment(spark, led, _docs(spark, 0, 400), BUDGET)       # seg 0: big
+    append_segment(spark, led, _docs(spark, 10_000, 10), BUDGET)   # seg 1
+    append_segment(spark, led, _docs(spark, 20_000, 10), BUDGET)   # seg 2
+    append_segment(spark, led, _docs(spark, 30_000, 10), BUDGET)   # seg 3
+
+    def manifest():
+        cdir = os.path.join(led, "_commits")
+        names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+        with open(os.path.join(cdir, names[-1])) as f:
+            return _json.load(f)["buckets"]
+
+    before = manifest()
+    want = {(r.doc_id, r.n_tokens, r.cum, r.shard_id, r.segment)
+            for r in read_ledger(spark, led).collect()}
+
+    merged = compact(spark, led, max_segments=2)
+    assert merged == 3, "3 smallest merge away, leaving 2 live"
+
+    after = manifest()
+    assert after["0"] == before["0"], (
+        "the big container was rewritten — compaction must pick by size"
+    )
+    assert set(after) == {"0", "3"}, after  # target keys max merged id
+    spark.catalog.refreshByPath(led)
+    got = {(r.doc_id, r.n_tokens, r.cum, r.shard_id, r.segment)
+           for r in read_ledger(spark, led).collect()}
+    assert got == want, "compaction changed content"
+
+    # continuity: the next append still chains off the global max cum
+    append_segment(spark, led, _docs(spark, 40_000, 10), BUDGET)
+    spark.catalog.refreshByPath(led)
+    rows = sorted(read_ledger(spark, led).collect(), key=lambda r: r.cum)
+    prev = 0
+    for r in rows:
+        assert r.cum == prev + r.n_tokens
+        prev = r.cum
+
+
+def test_bloom_sidecar_scales_with_merged_keys(spark, tmp_path):
+    """Compaction must RESIZE the merged container's bloom to its key
+    count (m recorded in the sidecar): a fixed-m sidecar saturates as
+    containers grow and silently degrades the dedup gate to a
+    full-ledger verify per batch. Mixed-m sidecars (a legacy m-less
+    one included) must still probe exactly."""
+    import python_vectordbapp_ceph_spark.operators.shards as sh
+
+    path = str(tmp_path / "led")
+    # ~40k keys >> BLOOM_M/16 (=8192) forces an m above the floor
+    append_segment(spark, path, _docs(spark, 0, 30_000), BUDGET)
+    append_segment(spark, path, _docs(spark, 100_000, 12_000), BUDGET)
+    assert sh.compact(spark, path, max_segments=1) == 2
+    spark.catalog.refreshByPath(path)
+
+    cdir = os.path.join(path, "_commits")
+    names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+    with open(os.path.join(cdir, names[-1])) as f:
+        g = list(json.load(f)["buckets"].values())[0]
+    side = spark.read.parquet(os.path.join(path, f"gen={g}", "_bloom"))
+    m_vals = {r.m for r in side.select("m").distinct().collect()}
+    assert m_vals == {sh._bloom_m(42_000)}, m_vals
+    assert sh._bloom_m(42_000) >= 16 * 42_000, "≥16 bits per key"
+
+    # the resized filter keeps the prune sharp: nearly all genuinely
+    # new keys must pass as definite-absent (FPR ≈ 0.1% at 16 bits/key)
+    from python_vectordbapp_ceph_spark.operators.bloom import bloom_contains
+
+    probe = bloom_contains(
+        side.select("pos").distinct(),
+        _docs(spark, 500_000, 5_000).select("doc_id"),
+        "doc_id", sh.BLOOM_K, sh._bloom_m(42_000),
+    )
+    fp = probe.filter(F.col("maybe_present")).count()
+    assert fp <= 50, f"saturated filter: {fp}/5000 false positives"
+
+    # gate exactness over mixed-m sidecars: write a legacy (m-less)
+    # segment beside the resized container, then dedup a half-overlap
+    legacy_docs = _docs(spark, 300_000, 1_000)
+    append_segment(spark, path, legacy_docs, BUDGET)
+    # strip the m column to simulate a pre-r10 sidecar
+    with open(os.path.join(cdir, sorted(
+        n for n in os.listdir(cdir) if n.endswith(".json"))[-1])) as f:
+        live = json.load(f)["buckets"]
+    g_new = live[str(max(int(k) for k in live))]
+    bpath = os.path.join(path, f"gen={g_new}", "_bloom")
+    legacy = spark.read.parquet(bpath).select("pos").collect()
+    import shutil
+
+    shutil.rmtree(bpath)
+    spark.createDataFrame(legacy, "pos long").coalesce(1).write.parquet(bpath)
+
+    kept = sorted(
+        r.doc_id for r in sh.dedup_against_ledger(
+            spark, path, _docs(spark, 300_500, 1_000)
+        ).collect()
+    )
+    assert kept == list(range(301_000, 301_500)), "mixed-m gate inexact"

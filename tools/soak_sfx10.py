@@ -1,0 +1,111 @@
+"""Ledger soak at sfx10 volume (r9 verdict ask #3's evidence row):
+stream the sfx10 documents table (~600k docs) through stream_append in
+~50 micro-batches with dedup / in-line compaction / retention vacuum
+all live, then print one JSON line with the wall, the per-batch trend
+(first-10 vs last-10 median), and the final on-disk counts.
+
+Usage: python tools/soak_sfx10.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
+from python_vectordbapp_ceph_spark.operators.shards import read_ledger  # noqa: E402
+from python_vectordbapp_ceph_spark.streaming.shard_ingest import (  # noqa: E402
+    stream_append,
+)
+
+N_FILES = 52
+BUDGET = 100_000
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_sfx10"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    src, led, ckpt = f"{out}/src", f"{out}/led", f"{out}/ckpt"
+
+    spark = get_spark(app_name="soak_sfx10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            (F.col("n_chars").cast("bigint") / F.lit(4)).cast("bigint")
+            .alias("n_tokens"),
+        )
+        .withColumn("n_tokens", F.greatest(F.col("n_tokens"), F.lit(1)))
+    )
+    n = docs.count()
+    per = n // N_FILES + 1
+    # stage N_FILES drop files; every 7th is a full re-delivery of the
+    # previous file so the bloom dedup gate does real work
+    ordered = docs.withColumn(
+        "_f",
+        ((F.row_number().over(Window.orderBy("doc_id")) - 1) / per).cast("int"),
+    )
+    for i in range(N_FILES):
+        j = i - 1 if i % 7 == 3 else i
+        ordered.filter(F.col("_f") == j).drop("_f").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = time.time()
+    q = stream_append(
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        led,
+        ckpt,
+        BUDGET,
+        max_segments=8,
+        vacuum_keep=2,
+        dedup=True,
+    )
+    ok = q.awaitTermination(3600)
+    wall = round(time.time() - t0, 1)
+    walls = [p["batchDuration"] for p in q.recentProgress
+             if p.get("numInputRows", 0) > 0]
+
+    spark.catalog.refreshByPath(led)
+    rows = read_ledger(spark, led)
+    n_ledger = rows.count()
+    n_commits = len([x for x in os.listdir(f"{led}/_commits")
+                     if x.endswith(".json")])
+    n_gens = len([x for x in os.listdir(led) if x.startswith("gen=")])
+    n_parquet = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for root, _, files in os.walk(led)
+        if "_commits" not in root
+    )
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    print(json.dumps({
+        "drained": ok,
+        "wall_sec": wall,
+        "n_batches": len(walls),
+        "docs_in": n,
+        "docs_ledger": n_ledger,
+        "first10_median_ms": med(walls[:10]),
+        "last10_median_ms": med(walls[-10:]),
+        "n_commits": n_commits,
+        "n_gens": n_gens,
+        "n_parquet_files": n_parquet,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
