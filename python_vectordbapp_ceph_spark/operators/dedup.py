@@ -626,6 +626,7 @@ def dedup_components(
     driver_finish_edges: int = 1 << 20,
     broadcast_labels: int = 1 << 22,
     checkpoint_dir: str | None = None,
+    two_hop: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → (id, component), with
     component = min id reachable. The transitive-closure finisher
@@ -726,15 +727,41 @@ def dedup_components(
             )
             remaining = 0
             break
-        # each live node adopts min(self, min neighbor)
-        relab = tracked_persist(
-            edges.groupBy("src")
-            .agg(F.min("dst").alias("_mn"))
-            .select(
+        # each live node adopts min(self, min neighbor); with
+        # ``two_hop`` it also sees its neighbors' neighbor-mins (one
+        # extra shuffle join per round) — the propagation radius
+        # squares, so long chains halve their round count, at the
+        # price of re-shuffling the edge set once more per round.
+        # Measured at sfx30 (r9 verdict ask #5, table in
+        # tools/plans_appendix.md): dense near-dup graphs contract in
+        # 1-2 rounds either way, so the extra per-round volume LOSES
+        # there — the flag stays off by default and is kept for
+        # long-diameter graphs (reference-chain corpora).
+        m1 = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+        if two_hop:
+            n1 = m1.select(F.col("src").alias("_v"), F.col("_mn").alias("_m1"))
+            m2 = (
+                edges.join(n1, edges["dst"] == n1["_v"])
+                .groupBy("src")
+                .agg(F.min("_m1").alias("_mn2"))
+            )
+            relab_src = (
+                m1.join(m2, "src", "left")
+                .select(
+                    F.col("src").alias("_u"),
+                    F.least(
+                        F.col("src"),
+                        F.col("_mn"),
+                        F.coalesce(F.col("_mn2"), F.col("_mn")),
+                    ).alias("_new"),
+                )
+            )
+        else:
+            relab_src = m1.select(
                 F.col("src").alias("_u"),
                 F.least(F.col("src"), F.col("_mn")).alias("_new"),
             )
-        )
+        relab = tracked_persist(relab_src)
         # the relabel map has ≤ one row per LIVE node and three joins
         # consume it (comp composition + both edge-rewrite sides).
         # Left to static planning its size is unknown (persisted but

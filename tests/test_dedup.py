@@ -348,3 +348,32 @@ def test_pipeline_drop_lists_respect_gate(spark, monkeypatch):
         assert kept_default == kept_gated == {2, 3, 4}
     finally:
         release_caches()
+
+
+def test_dedup_components_two_hop_identical_labels(spark):
+    """two_hop=True must produce EXACTLY the same (id, comp) labeling
+    (component = min reachable id is algorithm-independent); the flag
+    only changes round count/volume. Long chain + dense block + an
+    isolated pair cover the propagation shapes."""
+    from python_vectordbapp_ceph_spark.cache import release_caches
+    from python_vectordbapp_ceph_spark.operators.dedup import dedup_components
+
+    # chain short enough for the ONE-hop path inside max_iter=20 with
+    # the driver finish disabled (min-label contraction shortens a
+    # path roughly one node per round — the very cost two_hop halves)
+    chain = [(i, i + 1) for i in range(1, 13)]          # diameter 12
+    block = [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+    pairs = spark.createDataFrame(
+        chain + block + [(500, 501)], "id_a long, id_b long"
+    )
+    try:
+        # driver_finish disabled so the distributed rounds (where the
+        # two paths differ) actually run
+        one = {r.id: r.comp for r in dedup_components(
+            pairs, driver_finish_edges=0).collect()}
+        two = {r.id: r.comp for r in dedup_components(
+            pairs, driver_finish_edges=0, two_hop=True).collect()}
+        assert one == two
+        assert two[12] == 1 and two[105] == 100 and two[501] == 500
+    finally:
+        release_caches()
