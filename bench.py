@@ -81,6 +81,7 @@ HEADLINE = [
     "q_doc_fluency",       # broadcast count joins onto bigram stream (r5)
     "q_fingerprint_pairs", # df-bounded fingerprint self-join (r5)
     "q_hybrid_rrf",        # BM25 ∥ KNN reciprocal-rank fusion (r5)
+    "q_hybrid_weighted",   # BM25 ∥ KNN WeightedRanker fusion (r10)
     "q_copurchase_pairs",  # bounded-key co-occurrence self-join (r6)
     "q_winsorize",         # rank-threshold clip + decimal aggregate (r6)
     "q_source_similarity", # corpus-level cosine, term-keyed join (r6)

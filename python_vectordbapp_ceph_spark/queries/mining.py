@@ -1028,3 +1028,153 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+# --- hybrid search: WeightedRanker fusion -----------------------------------
+
+@register(
+    "q_hybrid_weighted",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    tf AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+    q AS (SELECT unnest(['query', 'scan']) AS term),
+    hits AS (
+        SELECT t.doc_id, t.tf, d.df, l.dl,
+               s.n_docs, CAST(s.tot_dl AS DOUBLE) / s.n_docs AS avgdl
+        FROM tfc t JOIN q USING (term)
+        JOIN dfc d ON d.term = t.term
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s),
+    scored AS (
+        SELECT doc_id,
+               round(SUM( ((n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * {_K1 + 1.0}) /
+                       (tf + {_K1} * (1.0 - {_B} + {_B} * (dl / avgdl)))) ),
+                     6) AS s
+        FROM hits GROUP BY doc_id),
+    tr AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id LIMIT 50),
+    tstat AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM tr),
+    tn AS (SELECT doc_id,
+                  CASE WHEN mx = mn THEN 1.0
+                       ELSE (s - mn) / (mx - mn) END AS ns
+           FROM tr CROSS JOIN tstat),
+    ev AS (SELECT vec_id AS doc_id,
+                  round(sqrt(list_sum(list_transform(
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                      x -> (x - 0.1) * (x - 0.1)))), 6) AS d
+           FROM embeddings),
+    vtop AS (SELECT doc_id, d FROM ev ORDER BY d, doc_id LIMIT 50),
+    vr AS (SELECT doc_id, round(1.0 / (1.0 + d), 6) AS sv FROM vtop),
+    vstat AS (SELECT MIN(sv) AS mn, MAX(sv) AS mx FROM vr),
+    vn AS (SELECT doc_id,
+                  CASE WHEN mx = mn THEN 1.0
+                       ELSE (sv - mn) / (mx - mn) END AS nv
+           FROM vr CROSS JOIN vstat),
+    fused AS (
+        SELECT COALESCE(tn.doc_id, vn.doc_id) AS doc_id,
+               round(0.7 * COALESCE(ns, 0.0)
+                     + 0.3 * COALESCE(nv, 0.0), 6) AS fused
+        FROM tn FULL OUTER JOIN vn ON tn.doc_id = vn.doc_id)
+    SELECT doc_id, fused FROM fused ORDER BY fused DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with WEIGHTED score fusion — the other Milvus
+    hybrid_search ranker (WeightedRanker(w_text, w_vec)) beside the
+    implemented RRF (q_hybrid_rrf): each retriever's top-50 scores are
+    min-max normalized WITHIN its candidate list and fused as
+    0.7·text + 0.3·vector. Unlike RRF this preserves score MAGNITUDE
+    (a dominant BM25 hit outranks a pack of mediocre mutual-rankers),
+    at the price of the normalization step RRF exists to avoid.
+    Determinism contract: both per-side scores are rounded to 6
+    BEFORE the cut and the normalization, the BM25 sum has ≤2 addends
+    (commutative-safe), and every candidate cut is a total-order
+    (score, id) TakeOrderedAndProject — no unpartitioned window ever
+    sees the corpus, and the 50-row stats aggregate broadcasts. At
+    scale each side swaps for its ANN/posting tier exactly like
+    q_hybrid_rrf."""
+    from ..cache import tracked_persist
+    from ..functions import vector as V
+    from .vector import QVEC
+
+    TERMS = ["query", "scan"]
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    base = d.select("doc_id", toks.alias("t"))
+    dl = base.select("doc_id", F.size("t").alias("dl"))
+    tf = tracked_persist(
+        base.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    ).select(
+        "n_docs",
+        (F.col("tot_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    qterms = F.broadcast(
+        spark.createDataFrame([(t,) for t in TERMS], "term string")
+    )
+    dfreq = tf.join(qterms, "term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfn = (F.col("tf") * F.lit(_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tfn), 6).alias("s"))
+    )
+    tr = scored.orderBy(F.col("s").desc(), "doc_id").limit(50)
+    tstat = tr.agg(F.min("s").alias("_mn"), F.max("s").alias("_mx"))
+    tn = tr.crossJoin(F.broadcast(tstat)).select(
+        "doc_id",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))
+        .otherwise((F.col("s") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")))
+        .alias("ns"),
+    )
+    e = T(spark, sf_dir, "embeddings")
+    qarr = F.array(*[F.lit(float(x)) for x in QVEC])
+    ev = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            V.l2_distance(F.col("embedding").cast("array<double>"), qarr), 6
+        ).alias("d"),
+    )
+    vtop = ev.orderBy("d", "doc_id").limit(50)
+    vr = vtop.select(
+        "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.col("d")), 6).alias("sv")
+    )
+    vstat = vr.agg(F.min("sv").alias("_vmn"), F.max("sv").alias("_vmx"))
+    vn = vr.crossJoin(F.broadcast(vstat)).select(
+        "doc_id",
+        F.when(F.col("_vmx") == F.col("_vmn"), F.lit(1.0))
+        .otherwise(
+            (F.col("sv") - F.col("_vmn")) / (F.col("_vmx") - F.col("_vmn"))
+        )
+        .alias("nv"),
+    )
+    t_ = tn.select(F.col("doc_id").alias("_tk"), "ns")
+    v_ = vn.select(F.col("doc_id").alias("_vk"), "nv")
+    fused = t_.join(v_, t_["_tk"] == v_["_vk"], "full_outer").select(
+        F.coalesce(F.col("_tk"), F.col("_vk")).alias("doc_id"),
+        F.round(
+            F.lit(0.7) * F.coalesce(F.col("ns"), F.lit(0.0))
+            + F.lit(0.3) * F.coalesce(F.col("nv"), F.lit(0.0)),
+            6,
+        ).alias("fused"),
+    )
+    return fused.orderBy(F.col("fused").desc(), "doc_id").limit(20)
