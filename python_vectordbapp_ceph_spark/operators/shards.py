@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bloom import bloom_build, bloom_contains, bloom_contains_many
+from .bloom import bloom_build, bloom_contains_many
 from .merge import (
     _fs,
     _gen_token,
