@@ -38,6 +38,31 @@ def bloom_build(df: DataFrame, key_col: str, k: int = 5, m: int = 4096) -> DataF
     return _positions(df, key_col, k, m).select("pos").distinct()
 
 
+def _pack_positions(pos: DataFrame) -> DataFrame:
+    """(pos) rows → (word, bits): 64 bit positions per row. The
+    BITSET form of the filter — 64× fewer rows than the position set,
+    which is what keeps a filter over millions of keys metadata-sized
+    (the position-set form stops being 'kilobytes' right around the
+    corpus sizes where the filter matters most)."""
+    return (
+        pos.select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) AS int))").alias("_b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_build_packed(
+    df: DataFrame, key_col: str, k: int = 5, m: int = 4096
+) -> DataFrame:
+    """Bitset-form build: (word, bits) rows, ≤ m/64 of them. Same
+    no-false-negative contract as bloom_build; consumed by
+    bloom_contains_many (which accepts either form)."""
+    return _pack_positions(_positions(df, key_col, k, m).select("pos").distinct())
+
+
 def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).distinct()
 
@@ -48,9 +73,12 @@ def bloom_contains_many(
     key_col: str,
     k: int = 5,
 ) -> DataFrame:
-    """Probe MANY filters in one plan: ``blooms`` is [(tag, position
+    """Probe MANY filters in one plan: ``blooms`` is [(tag, filter
     frame, m)] — each filter keeps its own m (positions are only
-    comparable within one m). Returns (key, _tag) rows for every
+    comparable within one m) and may be in EITHER form: bitset
+    (word, bits — bloom_build_packed, the scale form) or legacy
+    position-set (pos — bloom_build); set-form filters are packed on
+    the fly (metadata-sized). Returns (key, _tag) rows for every
     (probe key, filter) pair the filter cannot rule out.
 
     One tagged union on each side and ONE broadcast hash join replace
@@ -61,12 +89,18 @@ def bloom_contains_many(
     bloom_parts = []
     pos_parts = []
     for tag, bloom, m in blooms:
-        bloom_parts.append(
-            bloom.select(F.lit(tag).alias("_tag"), "pos").distinct()
+        packed = (
+            bloom.select("word", "bits")
+            if "bits" in bloom.columns
+            else _pack_positions(bloom.select("pos").distinct())
         )
+        bloom_parts.append(packed.select(F.lit(tag).alias("_tag"), "word", "bits"))
         pos_parts.append(
             _positions(probe_keys, key_col, k, int(m)).select(
-                key_col, F.lit(tag).alias("_tag"), "pos"
+                key_col,
+                F.lit(tag).alias("_tag"),
+                F.expr("pos div 64").alias("word"),
+                F.expr("shiftleft(1L, cast(pmod(pos, 64) AS int))").alias("_pb"),
             )
         )
     bloom_all = bloom_parts[0]
@@ -76,7 +110,8 @@ def bloom_contains_many(
     for p in pos_parts[1:]:
         pos_all = pos_all.unionByName(p)
     return (
-        pos_all.join(F.broadcast(bloom_all), ["_tag", "pos"])
+        pos_all.join(F.broadcast(bloom_all), ["_tag", "word"])
+        .filter(F.expr("(bits & _pb) != 0"))
         .groupBy(key_col, "_tag")
         .agg(F.count(F.lit(1)).alias("_n_hits"))
         .filter(F.col("_n_hits") == k)

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bloom import bloom_build, bloom_contains_many
+from .bloom import bloom_build_packed, bloom_contains_many
 from .merge import (
     _fs,
     _gen_token,
@@ -61,11 +61,12 @@ _SALT = ":7"  # the deterministic-shuffle salt shared with q_token_shards
 # soak: 43k keys in 2^17 bits ≈ FPR→1, every probe a maybe, the gate
 # degraded to a full-ledger verify per batch). Correctness never
 # depends on these values (bloom positives are exactly verified,
-# negatives are guaranteed absent), only the prune ratio does. Beyond
-# the cap (≈0.5M keys/container at 16 bits/key) the position-set
-# representation stops being metadata-sized; that's the point to swap
-# the sidecar for a real bitset blob — noted, not needed at tested
-# scales.
+# negatives are guaranteed absent), only the prune ratio does.
+# Sidecars are stored in the BITSET form (bloom_build_packed: (word,
+# bits) rows, ≤ m/64 of them — 64 set positions per row), so even a
+# cap-sized filter is ~128k rows / ~1 MB parquet; pre-r10 position-set
+# sidecars still probe correctly (bloom_contains_many detects the
+# format and packs on the fly).
 BLOOM_K = 7
 BLOOM_M = 1 << 17
 BLOOM_M_CAP = 1 << 23
@@ -117,9 +118,10 @@ def dedup_against_ledger(
     ledger — the dedup gate of an incremental corpus refresh — at
     bloom-pruned cost:
 
-      1. union the per-segment bloom sidecars (≤ BLOOM_M rows each,
-         written atomically with every segment since this feature) —
-         kilobytes per segment however large the segments are;
+      1. read the per-segment bloom sidecars (bitset form: ≤ m/64
+         rows each, written atomically with every segment since this
+         feature) — kilobytes per segment however large the segments
+         are;
       2. bloom-probe the incoming keys: definite-absent keys (the
          overwhelming majority of a refresh) pass WITHOUT touching the
          ledger data — no false negatives, so nothing committed can
@@ -180,7 +182,7 @@ def dedup_against_ledger(
         m_by_b = {b: _SIDECAR_M_CACHE[(path, g)] for b, g in live.items()}
         cand = tracked_persist(
             bloom_contains_many(
-                [(b, sides[b].select("pos"), m_by_b[b])
+                [(b, sides[b], m_by_b[b])
                  for b in sorted(sides)],
                 keys, "doc_id", BLOOM_K,
             ).withColumnRenamed("_tag", "_container")
@@ -270,7 +272,7 @@ def append_segment(
     # the key count (parquet-metadata count-star, no data scan)
     staged = spark.read.parquet(f"{path}/gen={gen}")
     m = _bloom_m(staged.count())
-    bloom_build(
+    bloom_build_packed(
         staged.select("doc_id"), "doc_id", BLOOM_K, m
     ).withColumn("m", F.lit(m)).write.mode("overwrite").parquet(
         f"{path}/gen={gen}/_bloom"
@@ -401,7 +403,7 @@ def compact(
     # design saturates as containers grow
     staged = spark.read.parquet(f"{path}/gen={gen}")
     m_side = _bloom_m(staged.count())
-    bloom_build(
+    bloom_build_packed(
         staged.select("doc_id"), "doc_id", BLOOM_K, m_side
     ).withColumn("m", F.lit(m_side)).write.mode("overwrite").parquet(
         f"{path}/gen={gen}/_bloom"

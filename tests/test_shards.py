@@ -785,40 +785,48 @@ def test_bloom_sidecar_scales_with_merged_keys(spark, tmp_path):
         g = list(json.load(f)["buckets"].values())[0]
     side = spark.read.parquet(os.path.join(path, f"gen={g}", "_bloom"))
     m_vals = {r.m for r in side.select("m").distinct().collect()}
-    assert m_vals == {sh._bloom_m(42_000)}, m_vals
-    assert sh._bloom_m(42_000) >= 16 * 42_000, "≥16 bits per key"
+    m_big = sh._bloom_m(42_000)
+    assert m_vals == {m_big}, m_vals
+    assert m_big >= 16 * 42_000, "≥16 bits per key"
+    # bitset form: ≤ m/64 (word, bits) rows — the metadata-sized shape
+    assert {"word", "bits", "m"} <= set(side.columns)
+    assert side.count() <= m_big // 64
 
     # the resized filter keeps the prune sharp: nearly all genuinely
     # new keys must pass as definite-absent (FPR ≈ 0.1% at 16 bits/key)
-    from python_vectordbapp_ceph_spark.operators.bloom import bloom_contains
-
-    probe = bloom_contains(
-        side.select("pos").distinct(),
-        _docs(spark, 500_000, 5_000).select("doc_id"),
-        "doc_id", sh.BLOOM_K, sh._bloom_m(42_000),
+    from python_vectordbapp_ceph_spark.operators.bloom import (
+        bloom_contains_many,
     )
-    fp = probe.filter(F.col("maybe_present")).count()
+
+    fp = bloom_contains_many(
+        [(0, side, m_big)],
+        _docs(spark, 500_000, 5_000).select("doc_id"),
+        "doc_id", sh.BLOOM_K,
+    ).count()
     assert fp <= 50, f"saturated filter: {fp}/5000 false positives"
 
-    # gate exactness over mixed-m sidecars: write a legacy (m-less)
-    # segment beside the resized container, then dedup a half-overlap
+    # gate exactness over MIXED sidecar formats: replace the newest
+    # segment's bitset sidecar with a pre-r10 one (position-set, no m
+    # column) and dedup a half-overlap across both
     legacy_docs = _docs(spark, 300_000, 1_000)
     append_segment(spark, path, legacy_docs, BUDGET)
-    # strip the m column to simulate a pre-r10 sidecar
     with open(os.path.join(cdir, sorted(
         n for n in os.listdir(cdir) if n.endswith(".json"))[-1])) as f:
         live = json.load(f)["buckets"]
     g_new = live[str(max(int(k) for k in live))]
     bpath = os.path.join(path, f"gen={g_new}", "_bloom")
-    legacy = spark.read.parquet(bpath).select("pos").collect()
     import shutil
 
+    from python_vectordbapp_ceph_spark.operators.bloom import bloom_build
+
     shutil.rmtree(bpath)
-    spark.createDataFrame(legacy, "pos long").coalesce(1).write.parquet(bpath)
+    bloom_build(
+        legacy_docs.select("doc_id"), "doc_id", sh.BLOOM_K, sh.BLOOM_M
+    ).coalesce(1).write.parquet(bpath)
 
     kept = sorted(
         r.doc_id for r in sh.dedup_against_ledger(
             spark, path, _docs(spark, 300_500, 1_000)
         ).collect()
     )
-    assert kept == list(range(301_000, 301_500)), "mixed-m gate inexact"
+    assert kept == list(range(301_000, 301_500)), "mixed-format gate inexact"
