@@ -85,6 +85,11 @@ def bloom_contains_many(
     N separate bloom_contains calls — N broadcasts' fixed overhead was
     the measured cost driver when a streaming dedup gate probed every
     live container per micro-batch."""
+    if not blooms:
+        # fail loudly: bloom_parts[0] below would raise an opaque
+        # IndexError; an empty filter list is a caller bug (nothing
+        # to probe against), not "no hits"
+        raise ValueError("bloom_contains_many: no filters given")
     probe_keys = probes.select(key_col).distinct()
     bloom_parts = []
     pos_parts = []

@@ -56,6 +56,16 @@ def gate_broadcast(side: DataFrame, gate: int | None = None) -> DataFrame:
     proportionally, not absolutely). The persist means the count never
     recomputes the funnel that produced the list, and the join reuses
     the materialized blocks either way.
+
+    NOT lazy: calling this runs an eager Spark count job over ``side``
+    at call time (plan-building callers — ``delete_keys``,
+    ``decontaminate``, ``prepare_training_corpus``,
+    ``dedup_survivors`` — therefore trigger work before their returned
+    DataFrame is acted on), and the persist stays pinned in the shared
+    tracked-cache registry so repeated batch calls accumulate storage
+    memory until ``release_caches()``. Long-lived batch sessions should
+    call ``release_caches()`` after the consuming join materializes
+    (the streaming ledger path already releases per micro-batch).
     """
     if gate is None:
         gate = BROADCAST_ID_GATE
@@ -84,6 +94,19 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         files = []
     if len(files) >= target:
         return df  # at least one split per file → already parallel
+    if not files:
+        # non-file source (createDataFrame, JDBC, a streaming
+        # micro-batch frame): no file index to probe. Fall back to the
+        # RDD partition count — ONLY in this branch, where the input is
+        # an already-materialized plan rather than a parquet scan AQE
+        # would re-split — so already-parallel inputs keep their
+        # partitioning instead of paying an unconditional shuffle.
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
+        return df.repartition(target, key)
     if files:
         # few files may still mean many splits (maxPartitionBytes
         # splits large files) — estimate from sizes; few files ⇒ few
@@ -819,7 +842,12 @@ def dedup_survivors(
     The drop list is count-gated like the relabel map inside
     ``dedup_components``: broadcast below ``broadcast_ids`` (the common
     case), plain anti-join above it (100 TB dup rates make the list
-    corpus-scale — billions of ids is over the broadcast cap)."""
+    corpus-scale — billions of ids is over the broadcast cap).
+
+    Not fully lazy: the gate counts the drop list eagerly at call time
+    (on top of ``dedup_components``' own actions) and pins it in the
+    tracked-cache registry — batch callers release with
+    ``release_caches()`` after the returned plan materializes."""
     comps = dedup_components(pairs, checkpoint_dir=checkpoint_dir)
     drop = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("_drop_id")

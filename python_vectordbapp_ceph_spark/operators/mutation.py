@@ -55,6 +55,12 @@ def delete_keys(df: DataFrame, deletes: DataFrame, key_cols: list[str]) -> DataF
     corpus-scale — the broadcast is count-gated like the dedup drop
     lists, falling back to a plain anti-join AQE can plan from the
     real size.
+
+    Not fully lazy: the gate runs an eager count job over the delete
+    set at call time and pins it in the tracked-cache registry —
+    long-lived batch sessions release it with
+    ``operators.dedup.release_caches()`` once the returned plan has
+    materialized.
     """
     from .dedup import gate_broadcast
 

@@ -100,6 +100,11 @@ def decontaminate(
     removal, but only CROSS-split pairs matter and only the train side
     is dropped — eval rows are never touched. Returns the input minus
     contaminated train rows.
+
+    Not fully lazy: the count-gated broadcast of the dirty-train list
+    runs an eager count job at call time and pins a tracked persist —
+    batch callers release with ``operators.dedup.release_caches()``
+    after the returned plan materializes.
     """
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(sigs, id_col, bands)
@@ -171,7 +176,12 @@ def prepare_training_corpus(
     """The full curation plan over the driver tables: returns one row
     per surviving document with quality/token annotations and its
     L2-normalized embedding (docs without an embedding survive with
-    null — the multimodal left join)."""
+    null — the multimodal left join).
+
+    Not fully lazy: the count-gated broadcast of the near-dup drop
+    list runs eager jobs at call time and pins tracked persists —
+    batch callers release with ``operators.dedup.release_caches()``
+    after the returned plan materializes."""
     docs = load_table(spark, sf_dir, "documents")
     embs = load_table(spark, sf_dir, "embeddings")
 

@@ -136,18 +136,25 @@ def ingest_stream(
         # persist the parsed micro-batch: the upsert/delete split reads
         # it twice, and the emptiness probes must not re-run the source
         batch_df = batch_df.persist()
+        extra_cached = []
         try:
             ups = batch_df.filter(F.col("op") == "upsert")
             dels = batch_df.filter(F.col("op") == "delete")
             if object_type == "IMAGE":
                 if object_bytes is not None:
-                    ups = ups.join(object_bytes, "key", "left")
                     # left join ⇒ a key missing from the object store
                     # yields NULL content; embedding it would crash the
                     # micro-batch (Image.open on None), which then
                     # retries forever. Drop those rows with a logged
                     # count — the reference 404s the single request,
-                    # the stream must not wedge on it.
+                    # the stream must not wedge on it. The join is
+                    # PERSISTED before the null count so the guard
+                    # costs one join evaluation per batch (not two),
+                    # and the counted rows are exactly the rows the
+                    # downstream write drops even when the upstream is
+                    # non-deterministic.
+                    ups = ups.join(object_bytes, "key", "left").persist()
+                    extra_cached.append(ups)
                     n_missing = ups.filter(F.col("content").isNull()).count()
                     if n_missing:
                         _log.warning(
@@ -190,6 +197,8 @@ def ingest_stream(
             if compact_log_ratio is not None:
                 collection.maybe_compact(max_log_ratio=compact_log_ratio)
         finally:
+            for cached in extra_cached:
+                cached.unpersist()
             batch_df.unpersist()
 
     writer = events.writeStream.foreachBatch(do_batch).trigger(availableNow=True)

@@ -31,11 +31,22 @@ def _load(path: str) -> dict:
             line = line.strip()
             if not line:
                 continue
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue  # sheared/partial line — salvage the rest
             if "queries" in rec or d is None:
                 d = rec
+        if d is None:
+            raise ValueError(f"{path}: no JSON records found")
         if "queries" in d:
             d["queries_cold"] = True  # two-record format is warm-protocol
+        elif isinstance(d.get("queries_cold"), dict):
+            # warm line missing/sheared — fall back to the cold
+            # diagnostics dict (single-run protocol, so no warm flag)
+            print(f"# NOTE: {path} warm line missing — using its "
+                  "cold-run dict")
+            d = {"queries": d["queries_cold"]}
     if "queries" not in d and "tail" in d:
         d = _from_tail(d["tail"], path)
     return d
