@@ -129,6 +129,26 @@ HEADLINE = [
     "q_effective_sample_size",  # Kish ESS of DSIR weights (r8)
     "q_corpus_checksum",   # layout-invariant content stamp (r8)
     "q_lorenz_deciles",    # two-phase-ntile concentration curve (r8)
+    # r11 (verdict ask #5): the ~16 most expensive non-headline
+    # registry queries (ranked by the r10 full-sweep walls) join the
+    # warm artifact so the 200+ sweep-only queries' heaviest members
+    # have perf HISTORY, not just correctness sweeps
+    "q_dedup_near_mllib",  # MinHashLSH near-dup via MLlib (r5)
+    "q_bpe_train",         # iterative BPE merge training (r7)
+    "q_srp_near_dup",      # signed-random-projection near-dup (r9)
+    "q_pagerank",          # iterative PageRank on events graph (r7)
+    "q_kcore",             # iterative k-core peel (r8)
+    "q_abtest",            # Welch t-test + exact-ppm CIs (r6)
+    "q_incremental_view",  # incremental MV maintain + merge (r7)
+    "q_pca_project",       # Gram-matrix PCA + projection (r8)
+    "q_ivf_sq8_search",    # composed IVF+SQ8 two-tier probe (r9)
+    "q_cogroup_udf",       # cogrouped applyInPandas join (r6)
+    "q_ivf_add",           # incremental IVF add + search (r9)
+    "q_event_source",      # full Records-array event parse (r5)
+    "q_lsh_precision",     # LSH candidate precision audit (r7)
+    "q_merge_time_travel", # manifest time-travel reads (r8)
+    "q_ivf_batch_search",  # batched IVF probe, pruned scan (r10)
+    "q_vector_sink_roundtrip",  # collection sink write+read (r9)
 ]
 
 

@@ -213,7 +213,12 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     ).orderBy("version")
 
 
-def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 1,
+    stage_grace_ms: int = 0,
+) -> int:
     """Delete every `gen=*/_kb=*` directory that none of the newest
     ``keep_versions`` manifests references (crashed stages, superseded
     generations whose lazy cleanup was interrupted, compacted-away
@@ -227,7 +232,20 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
     while everything older is reclaimed — space reclamation and
     snapshot reads coexist, each caller choosing its own horizon (the
     usual lakehouse retention contract). Returns the number of data
-    dirs removed. Safe for readers pinned to any retained manifest."""
+    dirs removed. Safe for readers pinned to any retained manifest.
+
+    ``stage_grace_ms`` is the IN-FLIGHT-STAGING grace window: a
+    generation directory that NO commit file has ever referenced and
+    whose modification time is younger than the grace is skipped — it
+    may be a writer's staged-but-not-yet-published generation rather
+    than crash debris (the two are indistinguishable on disk; deleting
+    the former is the silent-loss race the writer lease exists to
+    refuse). Generations any commit DID reference are committed
+    history and reclaim under the retention rule regardless of age, so
+    the metadata/storage bounds are unaffected by the grace. Default 0
+    preserves the historical reclaim-everything behavior for offline
+    cleanup; the streaming maintenance passes run with a 10-minute
+    grace (streaming/shard_ingest.py)."""
     fs, hpath = _fs(spark, path)
     root = hpath(path)
     if not fs.exists(root):
@@ -237,16 +255,36 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
     # exactly when it mattered — before retention had bounded V)
     versions = [v for v, _ in _list_commit_versions(spark, path)]
     kept_versions = versions[-max(1, int(keep_versions)):]
+    kept_set = set(kept_versions)
+    grace_cutoff_ms = None
+    if stage_grace_ms and int(stage_grace_ms) > 0:
+        import time as _time
+
+        grace_cutoff_ms = int(_time.time() * 1000) - int(stage_grace_ms)
     keep = set()
-    for v in kept_versions:
+    referenced_ever: set[str] = set()
+    # grace armed → walk ALL commit files (still O(V), and V is bounded
+    # by this very pass's retention); grace off keeps the historical
+    # kept-versions-only read cost
+    for v in versions if grace_cutoff_ms is not None else kept_versions:
         live = _read_manifest(spark, path, v)
-        keep |= {(g, b) for b, g in live.items()}
+        referenced_ever |= set(live.values())
+        if v in kept_set:
+            keep |= {(g, b) for b, g in live.items()}
     removed = 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not name.startswith("gen="):
             continue
         g = name.split("=", 1)[1]
+        if (
+            grace_cutoff_ms is not None
+            and g not in referenced_ever
+            and st.getModificationTime() > grace_cutoff_ms
+        ):
+            # never committed + younger than the grace: possibly a
+            # writer's in-flight staging — leave it for a later pass
+            continue
         kept_here = False
         for sub in fs.listStatus(st.getPath()):
             sname = sub.getPath().getName()

@@ -36,6 +36,8 @@ shard artifact with exactly-once visibility.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,6 +51,8 @@ from .merge import (
     read_buckets,
 )
 from .twophase import global_cumsum
+
+_log = logging.getLogger(__name__)
 
 SHARD_BUDGET_DEFAULT = 10_000
 _SALT = ":7"  # the deterministic-shuffle salt shared with q_token_shards
@@ -71,10 +75,20 @@ BLOOM_K = 7
 BLOOM_M = 1 << 17
 BLOOM_M_CAP = 1 << 23
 
-# (ledger path, gen token) -> that generation's sidecar m. Gen dirs
-# are write-once, so entries never invalidate; bounded by the live
-# generations ever seen by this driver process.
-_SIDECAR_M_CACHE: dict[tuple[str, str], int] = {}
+# dedup gate growth alarm: the per-probe broadcast is the union of all
+# live sidecars' bitsets; past this size the fix is arming compaction,
+# and the gate says so loudly instead of degrading silently
+SIDECAR_UNION_WARN_BYTES = 32 << 20
+
+# (ledger path, gen token) -> (m, kmin, kmax) of that generation's
+# sidecar: the bloom geometry plus the key-range ZONEMAP (r11 — lets a
+# probe whose key range is disjoint from a container skip its bloom
+# entirely; the steady-state refresh appends monotonically increasing
+# ids, so most committed containers are disjoint from most batches).
+# Gen dirs are write-once, so entries never invalidate; bounded by the
+# live generations ever seen by this driver process. Legacy sidecars
+# (no kmin/kmax columns) resolve to (m, None, None) = always probed.
+_SIDECAR_M_CACHE: dict[tuple[str, str], tuple[int, int | None, int | None]] = {}
 
 
 def _bloom_m(n_keys: int) -> int:
@@ -111,6 +125,30 @@ def _pack(docs: DataFrame, budget: int, offset) -> DataFrame:
     ).withColumn("shard_id", F.expr(f"(cum - n_tokens) div {int(budget)}"))
 
 
+def _write_sidecar(spark: SparkSession, path: str, gen: str) -> None:
+    """Stage the generation's bloom sidecar into its (still-invisible)
+    directory, built from the STAGED files (no pack recompute): m
+    sized to the key count, plus the key-range zonemap (kmin, kmax) —
+    count/min/max in ONE small agg over the staged key column. The
+    sidecar publishes (and vacuums) atomically with its segment via
+    the manifest rename."""
+    staged = spark.read.parquet(f"{path}/gen={gen}")
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("kmin"),
+        F.max("doc_id").alias("kmax"),
+    ).collect()[0]
+    m = _bloom_m(stats.n)
+    (
+        bloom_build_packed(staged.select("doc_id"), "doc_id", BLOOM_K, m)
+        .withColumn("m", F.lit(m))
+        .withColumn("kmin", F.lit(stats.kmin).cast("long"))
+        .withColumn("kmax", F.lit(stats.kmax).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/gen={gen}/_bloom")
+    )
+
+
 def dedup_against_ledger(
     spark: SparkSession, path: str, docs: DataFrame
 ) -> DataFrame:
@@ -122,17 +160,28 @@ def dedup_against_ledger(
          rows each, written atomically with every segment since this
          feature) — kilobytes per segment however large the segments
          are;
-      2. bloom-probe the incoming keys: definite-absent keys (the
-         overwhelming majority of a refresh) pass WITHOUT touching the
-         ledger data — no false negatives, so nothing committed can
-         slip through;
-      3. exactly verify only the maybe-present candidates with an
-         anti-join against the ledger's key column (column-pruned
-         scan; the candidate side is broadcast-small by construction).
+      2. ZONEMAP-prune the containers: each sidecar records its key
+         range (kmin, kmax); containers disjoint from the batch's own
+         key range are skipped before any bloom work — the
+         steady-state refresh appends monotonically increasing ids, so
+         most batches are disjoint from most committed history and the
+         whole gate costs one min/max scan of the batch (r11, the
+         drift-ceiling fix: the residual per-batch growth in the r10
+         soak was redelivery-verify cost that range-disjoint batches
+         never owed);
+      3. bloom-probe the incoming keys against the SURVIVING
+         containers: definite-absent keys (the overwhelming majority
+         of a refresh) pass WITHOUT touching the ledger data — no
+         false negatives, so nothing committed can slip through;
+      4. exactly verify only the maybe-present candidates with an
+         anti-join against the flagged containers' key column
+         (column-pruned scan; the candidate side is broadcast-small by
+         construction).
 
     Segments committed before the sidecar existed have no bloom; the
     gate then falls back to the plain exact anti-join against the full
-    key column. Returns ``docs`` filtered, schema unchanged."""
+    key column (pre-zonemap sidecars probe with their range unknown =
+    never pruned). Returns ``docs`` filtered, schema unchanged."""
     version, live = current_manifest(spark, path)
     if version is None or not live:
         return docs
@@ -154,32 +203,73 @@ def dedup_against_ledger(
         # per micro-batch even when the bloom had pruned everything
         # (measured: the dedup-only sfx10 soak's batch wall grew 1.7×
         # over 52 batches; flat after this change).
-        keys = docs.select("doc_id").distinct()
-        sides = {b: spark.read.parquet(p) for b, p in sidecars.items()}
-        # each sidecar's m is constant within it and IMMUTABLE for its
-        # generation (write-once dirs), so resolve unknown ones in one
-        # union job and cache by (path, gen): a long-running stream
-        # pays the lookup only for the ≤2 generations each batch mints
+        # each sidecar's (m, kmin, kmax) is constant within it and
+        # IMMUTABLE for its generation (write-once dirs), so resolve
+        # unknown ones in one union job and cache by (path, gen): a
+        # long-running stream pays the lookup only for the ≤2
+        # generations each batch mints
         unknown = [
             b for b, g in live.items()
             if (path, g) not in _SIDECAR_M_CACHE
         ]
         if unknown:
+            u_sides = {b: spark.read.parquet(sidecars[b]) for b in unknown}
             m_parts = [
-                sides[b].select(
+                u_sides[b].select(
                     F.lit(b).alias("b"),
-                    (F.col("m") if "m" in sides[b].columns
+                    (F.col("m") if "m" in u_sides[b].columns
                      else F.lit(BLOOM_M)).alias("m"),
+                    (F.col("kmin") if "kmin" in u_sides[b].columns
+                     else F.lit(None).cast("long")).alias("kmin"),
+                    (F.col("kmax") if "kmax" in u_sides[b].columns
+                     else F.lit(None).cast("long")).alias("kmax"),
                 ).limit(1)
                 for b in sorted(unknown)
             ]
             m_union = m_parts[0]
             for p in m_parts[1:]:
                 m_union = m_union.unionByName(p)
-            resolved = {r.b: int(r.m or BLOOM_M) for r in m_union.collect()}
-            for b, m_val in resolved.items():
-                _SIDECAR_M_CACHE[(path, live[b])] = m_val
-        m_by_b = {b: _SIDECAR_M_CACHE[(path, g)] for b, g in live.items()}
+            for r in m_union.collect():
+                _SIDECAR_M_CACHE[(path, live[r.b])] = (
+                    int(r.m or BLOOM_M), r.kmin, r.kmax
+                )
+        meta_by_b = {b: _SIDECAR_M_CACHE[(path, g)] for b, g in live.items()}
+        # ZONEMAP prune: one min/max scan of the batch's key column,
+        # then a driver-side range-overlap check per container — any
+        # container whose committed key range is disjoint from the
+        # batch cannot hold a redelivery, so its bloom never loads and
+        # its keys are never verified. Unknown ranges (legacy
+        # sidecars) are conservatively probed.
+        rng = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if rng.lo is None:
+            return docs  # empty batch
+        probe_bs = [
+            b for b in sorted(live)
+            if meta_by_b[b][1] is None or meta_by_b[b][2] is None
+            or (meta_by_b[b][1] <= rng.hi and rng.lo <= meta_by_b[b][2])
+        ]
+        if not probe_bs:
+            return docs  # whole history is range-disjoint: no dups possible
+        keys = docs.select("doc_id").distinct()
+        sides = {b: spark.read.parquet(sidecars[b]) for b in probe_bs}
+        m_by_b = {b: meta_by_b[b][0] for b in probe_bs}
+        # the probe broadcasts the union of the SURVIVING sidecars'
+        # bitsets (≤ m/8 bytes each) — bounded by max_segments when
+        # in-line compaction is armed, UNBOUNDED when it isn't (and
+        # the zonemap can't prune overlapping history). Warn loudly at
+        # 32 MB so an unarmed long-running stream hears about the
+        # growth before the broadcast becomes the batch bottleneck.
+        union_bytes = sum(m_by_b.values()) // 8
+        if union_bytes > SIDECAR_UNION_WARN_BYTES:
+            _log.warning(
+                "dedup_against_ledger: %d of %d live containers' bloom "
+                "sidecars union to ~%d MB of broadcast for this probe — "
+                "arm compaction (stream_append max_segments / shards."
+                "compact) to bound the live container count",
+                len(probe_bs), len(live), union_bytes >> 20,
+            )
         cand = tracked_persist(
             bloom_contains_many(
                 [(b, sides[b], m_by_b[b])
@@ -263,20 +353,19 @@ def append_segment(
         # the batch packed to zero rows (e.g. dedup dropped an already-
         # committed redelivery): publishing would map `seg` to a
         # generation with no _kb directory and every later read would
-        # raise PATH_NOT_FOUND. Skip the commit; the empty staged dir
-        # is an unreferenced orphan vacuum() reclaims.
+        # raise PATH_NOT_FOUND. Skip the commit and delete our own
+        # dead staging eagerly — this writer KNOWS it's garbage, and
+        # vacuum's stage-grace window (which protects OTHER writers'
+        # possibly-in-flight staging) would otherwise keep it around
+        # for the grace duration (r11: the soak's full-redelivery
+        # batches each minted one).
+        fs, hpath = _fs(spark, path)
+        fs.delete(hpath(f"{path}/gen={gen}"), True)
         return -1
-    # key bloom into the SAME staged (still-invisible) generation dir:
-    # published by the rename below or orphaned with it on a crash.
-    # Built from the STAGED files (no pack recompute) with m sized to
-    # the key count (parquet-metadata count-star, no data scan)
-    staged = spark.read.parquet(f"{path}/gen={gen}")
-    m = _bloom_m(staged.count())
-    bloom_build_packed(
-        staged.select("doc_id"), "doc_id", BLOOM_K, m
-    ).withColumn("m", F.lit(m)).write.mode("overwrite").parquet(
-        f"{path}/gen={gen}/_bloom"
-    )
+    # key bloom + zonemap into the SAME staged (still-invisible)
+    # generation dir: published by the rename below or orphaned with
+    # it on a crash
+    _write_sidecar(spark, path, gen)
     new_map = dict(live)
     new_map[seg] = gen
     _publish(spark, path, v, new_map)
@@ -400,14 +489,9 @@ def compact(
     _staged_write(spark, path, merged, gen, 1, files_per_segment)
     # the merged bloom is REBUILT with m resized to the merged key
     # count — reusing the per-segment m here is exactly how a fixed-m
-    # design saturates as containers grow
-    staged = spark.read.parquet(f"{path}/gen={gen}")
-    m_side = _bloom_m(staged.count())
-    bloom_build_packed(
-        staged.select("doc_id"), "doc_id", BLOOM_K, m_side
-    ).withColumn("m", F.lit(m_side)).write.mode("overwrite").parquet(
-        f"{path}/gen={gen}/_bloom"
-    )
+    # design saturates as containers grow — and the merged zonemap is
+    # the merged keys' true range
+    _write_sidecar(spark, path, gen)
     new_map = {b: g for b, g in live.items() if b not in set(merged_ids)}
     new_map[target] = gen
     # the atomic visibility point; a racing commit at version+1 makes

@@ -26,12 +26,32 @@ polls `shard_manifest` for fresh shard ids.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..cache import release_caches
+from ..operators.lease import LEASE_TTL_MS, acquire_writer_lease
 from ..operators.merge import vacuum
 from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment, compact
+
+# stream_append's default compaction bound: 64 live containers keeps
+# every per-container cost a stream pays each batch — the sidecar-m
+# probe, the bloom-union broadcast, the compaction size summaries, the
+# manifest dict itself — metadata-sized at ANY stream lifetime, while
+# staying far above the handful of containers a steady-state LSM
+# tiering actually holds. Unbounded (None) is an explicit opt-out, not
+# the default a year-long stream discovers the hard way (r10 verdict:
+# the probe broadcast at bloom.py grows with container count).
+MAX_SEGMENTS_DEFAULT = 64
+
+# grace for vacuum while streaming: staged generations younger than
+# this that NO commit has ever referenced are left alone — they may be
+# another writer's in-flight staging (a misuse the lease already
+# rejects, but reclamation must not be the failure mode) or this
+# stream's own crash debris, reclaimed on any pass after the window.
+STAGE_GRACE_MS_DEFAULT = 10 * 60 * 1000
 
 
 def stream_append(
@@ -40,9 +60,13 @@ def stream_append(
     checkpoint_dir: str,
     budget: int = SHARD_BUDGET_DEFAULT,
     available_now: bool = True,
-    max_segments: int | None = None,
+    max_segments: int | None = MAX_SEGMENTS_DEFAULT,
     vacuum_keep: int | None = None,
     dedup: bool = False,
+    lease_ttl_ms: int = LEASE_TTL_MS,
+    lease_timeout_ms: int | None = None,
+    steal_lease: bool = False,
+    stage_grace_ms: int = STAGE_GRACE_MS_DEFAULT,
 ) -> StreamingQuery:
     """Pack a streaming (doc_id, n_tokens) frame into the ledger at
     ``path``, one committed segment per non-empty micro-batch.
@@ -50,12 +74,16 @@ def stream_append(
     nightly-batch mode; False runs continuously.
 
     ``max_segments`` arms in-line compaction: after each committed
-    batch, once the live container count exceeds the bound, the oldest
-    containers are rewritten into one (operators.shards.compact) — the
-    small-files defense a long-running stream needs, without a side
-    maintenance job. Each compaction is its own manifest commit, so a
-    crash between the append and the compaction loses nothing: the
-    next batch's compaction pass picks up where it left off.
+    batch, once the live container count exceeds the bound, the
+    smallest containers are rewritten into one
+    (operators.shards.compact) — the small-files defense a
+    long-running stream needs, without a side maintenance job. Each
+    compaction is its own manifest commit, so a crash between the
+    append and the compaction loses nothing: the next batch's
+    compaction pass picks up where it left off. DEFAULT-ON at
+    ``MAX_SEGMENTS_DEFAULT`` (64): an unbounded stream grows the live
+    container count — and with it the dedup gate's bloom-union
+    broadcast — without limit; pass ``None`` to opt out explicitly.
 
     ``vacuum_keep`` adds the retention pass (operators.merge.vacuum):
     after each batch the newest N manifests stay time-travelable and
@@ -64,7 +92,11 @@ def stream_append(
     stream that runs for a year holds ≤ max_segments live containers
     and ≤ vacuum_keep manifests of history, independent of how many
     micro-batches ever committed: storage AND metadata are bounded by
-    policy, not by stream lifetime.
+    policy, not by stream lifetime. The pass runs with
+    ``stage_grace_ms`` (default 10 min): never-referenced staged
+    generations younger than the grace survive, so even a rogue
+    concurrent writer's in-flight staging is not silently reclaimed —
+    it is refused up front by the lease below.
 
     ``dedup=True`` routes every batch through the ledger's bloom-gated
     key dedup (operators.shards.dedup_against_ledger) — the streaming
@@ -75,15 +107,35 @@ def stream_append(
     commits nothing (append_segment's empty guard), so re-delivery
     never mints empty segments.
 
-    SINGLE WRITER REQUIRED once ``max_segments``/``vacuum_keep`` are
-    set: vacuum deletes any staged generation no retained manifest
-    references, so a concurrent writer's not-yet-committed staging can
-    be reclaimed out from under it. One stream per ledger path is the
-    contract (Structured Streaming's checkpoint lock enforces it for
-    the stream itself; don't run side batch merges against the same
-    path while the knobs are armed)."""
+    SINGLE WRITER — ENFORCED: the stream acquires the ledger's writer
+    lease (``_commits/_writer.lease``, operators/lease.py) before it
+    starts, re-asserts it at every micro-batch, and releases it when
+    the query terminates (any exit path; a hard-killed process leaves
+    a lease that expires after ``lease_ttl_ms``). A second
+    ``stream_append`` against the same ledger path raises
+    :class:`~..operators.lease.LedgerLockedError` at start instead of
+    racing the armed compaction/vacuum passes — the failure mode the
+    lease exists to prevent is writer A's vacuum reclaiming writer B's
+    staged-but-unpublished generation. ``steal_lease=True`` breaks a
+    live lease — only for restarting a hard-killed stream before its
+    lease expired (the checkpoint lock guarantees it's the same query).
+    Side BATCH merges against the path remain the caller's
+    responsibility: take ``acquire_writer_lease`` around them or run
+    them while no stream holds the lease."""
+    spark = stream.sparkSession
+    lease_kwargs = {} if lease_timeout_ms is None else {
+        "timeout_ms": lease_timeout_ms
+    }
+    lease = acquire_writer_lease(
+        spark, path, ttl_ms=lease_ttl_ms, steal=steal_lease, **lease_kwargs
+    )
 
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
+        # re-assert ownership BEFORE mutating: if the lease was stolen
+        # (expired under a stalled batch, or an operator forced a
+        # takeover) this batch must fail, not publish into a ledger
+        # whose new owner may be compacting/vacuuming concurrently
+        lease.heartbeat()
         if batch.isEmpty():
             return
         try:
@@ -93,7 +145,10 @@ def stream_append(
             if max_segments is not None:
                 compact(batch.sparkSession, path, max_segments)
             if vacuum_keep is not None:
-                vacuum(batch.sparkSession, path, keep_versions=vacuum_keep)
+                vacuum(
+                    batch.sparkSession, path, keep_versions=vacuum_keep,
+                    stage_grace_ms=stage_grace_ms,
+                )
         finally:
             # the dedup gate persists its candidate set for the
             # flagged-container collect + verify join; release per
@@ -107,4 +162,27 @@ def stream_append(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    try:
+        query = writer.start()
+    except Exception:
+        lease.release()
+        raise
+
+    # release the lease the moment the query terminates (normal drain,
+    # failure, or stop()) — a daemon so it never outlives the driver.
+    # Only a hard process kill skips this, and then the TTL bounds how
+    # long the restart waits (or it passes steal_lease=True).
+    def _release_on_done() -> None:
+        try:
+            query.awaitTermination()
+        except Exception:
+            pass
+        finally:
+            lease.release()
+
+    threading.Thread(
+        target=_release_on_done,
+        name=f"ledger-lease-release-{lease.owner[:8]}",
+        daemon=True,
+    ).start()
+    return query

@@ -1,10 +1,12 @@
-"""Ledger soak at sfx10 volume (r9 verdict ask #3's evidence row):
-stream the sfx10 documents table (~600k docs) through stream_append in
-~50 micro-batches with dedup / in-line compaction / retention vacuum
-all live, then print one JSON line with the wall, the per-batch trend
-(first-10 vs last-10 median), and the final on-disk counts.
+"""Ledger soak at sfx10 volume (r9 verdict ask #3's evidence row; r11
+extends it to 150 batches per the r10 verdict): stream the sfx10
+documents table (~600k docs) through stream_append in N micro-batches
+with dedup / in-line compaction / retention vacuum all live, then
+print one JSON line with the wall, the per-batch trend (first-10 vs
+last-10 median and their DRIFT RATIO — the r11 pinned ceiling), and
+the final on-disk counts.
 
-Usage: python tools/soak_sfx10.py [sf_dir] [out_dir]
+Usage: python tools/soak_sfx10.py [sf_dir] [out_dir] [n_files]
 """
 
 from __future__ import annotations
@@ -26,19 +28,26 @@ from python_vectordbapp_ceph_spark.streaming.shard_ingest import (  # noqa: E402
     stream_append,
 )
 
-N_FILES = 52
+N_FILES = 150
 BUDGET = 100_000
 
 
 def main() -> None:
+    global N_FILES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_sfx10"
+    if len(sys.argv) > 3:
+        N_FILES = int(sys.argv[3])
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     src, led, ckpt = f"{out}/src", f"{out}/led", f"{out}/ckpt"
 
     spark = get_spark(app_name="soak_sfx10")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress keeps only the last 100 batches by default — at
+    # 150 batches the first-10 walls would silently become batches
+    # ~50-60 and the drift ratio would compare mid-run to end-run
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -92,14 +101,16 @@ def main() -> None:
         if "_commits" not in root
     )
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    head, tail = med(walls[:10]), med(walls[-10:])
     print(json.dumps({
         "drained": ok,
         "wall_sec": wall,
         "n_batches": len(walls),
         "docs_in": n,
         "docs_ledger": n_ledger,
-        "first10_median_ms": med(walls[:10]),
-        "last10_median_ms": med(walls[-10:]),
+        "first10_median_ms": head,
+        "last10_median_ms": tail,
+        "drift_ratio": round(tail / max(head, 1), 3),
         "n_commits": n_commits,
         "n_gens": n_gens,
         "n_parquet_files": n_parquet,
