@@ -132,8 +132,13 @@ HEADLINE = [
     # r11 (verdict ask #5): the ~16 most expensive non-headline
     # registry queries (ranked by the r10 full-sweep walls) join the
     # warm artifact so the 200+ sweep-only queries' heaviest members
-    # have perf HISTORY, not just correctness sweeps
-    "q_dedup_near_mllib",  # MinHashLSH near-dup via MLlib (r5)
+    # have perf HISTORY, not just correctness sweeps. One exclusion:
+    # q_dedup_near_mllib, the deliberate stock-MLlib comparison row,
+    # exceeds 10 MINUTES at sf0.1 (its candidate explode-join is the
+    # documented MLlib bottleneck — tools/plans_appendix.md "MLlib-
+    # comparison twin"); a per-round bench must stay bounded, and its
+    # native twin q_dedup_near is already headline-tracked.
+    "q_lsh_recall",        # LSH recall audit vs sampled truth (r7)
     "q_bpe_train",         # iterative BPE merge training (r7)
     "q_srp_near_dup",      # signed-random-projection near-dup (r9)
     "q_pagerank",          # iterative PageRank on events graph (r7)

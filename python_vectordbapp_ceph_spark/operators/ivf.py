@@ -266,6 +266,19 @@ def ivf_add(index: IVFIndex, new_df: DataFrame) -> IVFIndex:
     )
 
 
+def ivf_lease_path(path: str) -> str:
+    """The single-writer lease file guarding the inverted-file layout
+    at ``path`` — a SIBLING (``<path>._lease``), because the rebuild's
+    two-rename swap replaces the directory itself: a lease stored
+    inside would swap out with the data it guards. Shared by the
+    maintenance writers: ``stream_into_ivf`` holds it for the stream's
+    lifetime; ``rebuild_ivf``/``rebuild_saved_ivf`` hold it across the
+    refit+swap. Without it, an append racing the swap either vanishes
+    with the ``._old`` directory (silently lost rows) or recreates the
+    live path between the two renames and wedges the rollback."""
+    return path.rstrip("/") + "._lease"
+
+
 def rebuild_ivf(
     spark,
     path: str,
@@ -274,6 +287,7 @@ def rebuild_ivf(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 20,
+    lease_timeout_ms: int | None = None,
 ) -> IVFIndex:
     """Periodic offline index rebuild: refit the coarse quantizer on
     the CURRENT on-disk vectors (incremental adds drift away from the
@@ -290,17 +304,32 @@ def rebuild_ivf(
     drops any cached file listings.
 
     Returns the fresh IVFIndex whose ``assigned`` reads from ``path``.
+
+    SINGLE WRITER — ENFORCED: holds the layout's writer lease
+    (:func:`ivf_lease_path`) from before the source read to after the
+    swap; raises LedgerLockedError if a maintenance stream (or another
+    rebuild) holds it. An append racing the swap would otherwise be
+    silently deleted with the old directory.
     """
-    current = spark.read.parquet(path).drop("cluster_id")
-    index = build_ivf(
-        current, nlist=nlist, vec_col=vec_col, id_col=id_col,
-        seed=seed, max_iter=max_iter,
+    from .lease import acquire_writer_lease
+
+    _kw = {} if lease_timeout_ms is None else {"timeout_ms": lease_timeout_ms}
+    lease = acquire_writer_lease(
+        spark, path, lease_path=ivf_lease_path(path), **_kw
     )
-    tmp = path + "._rebuild"
-    _canonical_f32(index.assigned, vec_col).write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(tmp)
-    _swap_dirs(spark, tmp, path, op="rebuild_ivf")
+    try:
+        current = spark.read.parquet(path).drop("cluster_id")
+        index = build_ivf(
+            current, nlist=nlist, vec_col=vec_col, id_col=id_col,
+            seed=seed, max_iter=max_iter,
+        )
+        tmp = path + "._rebuild"
+        _canonical_f32(index.assigned, vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(tmp)
+        _swap_dirs(spark, tmp, path, op="rebuild_ivf")
+    finally:
+        lease.release()
     return IVFIndex(
         assigned=spark.read.parquet(path),
         centroids=index.centroids,
@@ -336,7 +365,7 @@ def _swap_dirs(spark, tmp: str, path: str, op: str) -> None:
 
 def rebuild_saved_ivf(
     spark, root: str, nlist: int | None = None, seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 20, lease_timeout_ms: int | None = None,
 ) -> IVFIndex:
     """Rebuild a SAVED index in place (the save_ivf layout:
     ``root/assigned`` with the ``_meta`` sidecar inside), refreshing
@@ -352,30 +381,45 @@ def rebuild_saved_ivf(
 
     ``nlist`` defaults to the SAVED index's geometry (the sidecar row
     count) — a default-arg rebuild refreshes centroids without
-    silently changing how many inverted lists exist."""
+    silently changing how many inverted lists exist.
+
+    SINGLE WRITER — ENFORCED: holds ``root/assigned``'s writer lease
+    (the SAME lease ``stream_into_ivf`` holds when pointed at the
+    saved layout) across the refit+swap — a racing maintenance stream
+    fails fast instead of having its appended batch deleted with the
+    old directory."""
+    from .lease import acquire_writer_lease
+
     meta = _read_meta(spark, root)
     vec_col, id_col = meta[0].vec_col, meta[0].id_col
     if nlist is None:
         nlist = len(meta)
     assigned_path = f"{root}/assigned"
-    current = spark.read.parquet(assigned_path).drop("cluster_id")
-    index = build_ivf(
-        current, nlist=nlist, vec_col=vec_col, id_col=id_col,
-        seed=seed, max_iter=max_iter,
+    _kw = {} if lease_timeout_ms is None else {"timeout_ms": lease_timeout_ms}
+    lease = acquire_writer_lease(
+        spark, assigned_path, lease_path=ivf_lease_path(assigned_path), **_kw
     )
-    tmp = assigned_path + "._rebuild"
-    _canonical_f32(index.assigned, vec_col).write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(tmp)
-    _write_meta(spark, index, f"{tmp}/_meta")  # staged WITH the data
-    _swap_dirs(spark, tmp, assigned_path, op="rebuild_saved_ivf")
-    # a legacy sibling sidecar (pre-r10 layout) is now stale — remove
-    # it so nothing can ever read old centroids again; safe after the
-    # swap because the canonical sidecar is already live
-    from .merge import _fs
+    try:
+        current = spark.read.parquet(assigned_path).drop("cluster_id")
+        index = build_ivf(
+            current, nlist=nlist, vec_col=vec_col, id_col=id_col,
+            seed=seed, max_iter=max_iter,
+        )
+        tmp = assigned_path + "._rebuild"
+        _canonical_f32(index.assigned, vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(tmp)
+        _write_meta(spark, index, f"{tmp}/_meta")  # staged WITH the data
+        _swap_dirs(spark, tmp, assigned_path, op="rebuild_saved_ivf")
+        # a legacy sibling sidecar (pre-r10 layout) is now stale —
+        # remove it so nothing can ever read old centroids again; safe
+        # after the swap because the canonical sidecar is already live
+        from .merge import _fs
 
-    fs, hpath = _fs(spark, root)
-    fs.delete(hpath(f"{root}/_meta"), True)
+        fs, hpath = _fs(spark, root)
+        fs.delete(hpath(f"{root}/_meta"), True)
+    finally:
+        lease.release()
     return IVFIndex(
         assigned=spark.read.parquet(assigned_path),
         centroids=index.centroids,

@@ -78,17 +78,28 @@ def _now_ms() -> int:
 class WriterLease:
     """A held lease. Use :func:`acquire_writer_lease` to obtain one."""
 
-    def __init__(self, spark: SparkSession, path: str, ttl_ms: int):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ttl_ms: int,
+        lease_path: str | None = None,
+    ):
         self._spark = spark
         self.path = path
         self.ttl_ms = int(ttl_ms)
         self.owner = uuid.uuid4().hex
         self.acquired_ms: int | None = None
+        # default location: inside the ledger's _commits dir. Layouts
+        # whose root gets atomically SWAPPED (the IVF rebuild's
+        # two-rename) pass a SIBLING lease_path instead — a lease
+        # inside the directory would swap/vanish with it.
+        self._lease_path = lease_path or f"{path}/{_COMMITS}/{LEASE_FILE}"
 
     # -- file plumbing ----------------------------------------------------
     @property
     def lease_path(self) -> str:
-        return f"{self.path}/{_COMMITS}/{LEASE_FILE}"
+        return self._lease_path
 
     def _read(self) -> dict | None:
         """The current lease record, or None if absent/unreadable (a
@@ -114,7 +125,7 @@ class WriterLease:
     def _try_publish(self) -> bool:
         """Stage + rename-without-overwrite. True = we own the file."""
         fs, hpath = _fs(self._spark, self.path)
-        cdir = f"{self.path}/{_COMMITS}"
+        cdir = self._lease_path.rsplit("/", 1)[0]
         fs.mkdirs(hpath(cdir))
         tmp = hpath(f"{cdir}/.tmp-lease-{uuid.uuid4().hex}.json")
         out = fs.create(tmp, True)
@@ -173,16 +184,20 @@ def acquire_writer_lease(
     ttl_ms: int = LEASE_TTL_MS,
     timeout_ms: int = ACQUIRE_TIMEOUT_MS,
     steal: bool = False,
+    lease_path: str | None = None,
 ) -> WriterLease:
-    """Acquire the single-writer lease for the ledger at ``path``.
+    """Acquire the single-writer lease for the layout at ``path``.
 
     Polls up to ``timeout_ms`` (a just-finished writer's async release
     lands within milliseconds; a live writer keeps its heartbeat fresh
     for the whole window), then raises :class:`LedgerLockedError`.
     ``steal=True`` breaks a live lease unconditionally — only for an
     operator who KNOWS the holder is dead (e.g. restarting the one
-    stream that owns this checkpoint after a hard kill)."""
-    lease = WriterLease(spark, path, ttl_ms)
+    stream that owns this checkpoint after a hard kill).
+    ``lease_path`` overrides the lease file location (default
+    ``<path>/_commits/_writer.lease``) — swapped layouts keep it as a
+    SIBLING of the directory they guard."""
+    lease = WriterLease(spark, path, ttl_ms, lease_path=lease_path)
     deadline = _now_ms() + max(0, int(timeout_ms))
     while True:
         cur = lease._read()

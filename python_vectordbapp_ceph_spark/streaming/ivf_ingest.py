@@ -38,10 +38,13 @@ segments.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.ivf import IVFIndex, assign_new, append_partitioned
+from ..operators.ivf import IVFIndex, assign_new, append_partitioned, ivf_lease_path
+from ..operators.lease import LEASE_TTL_MS, acquire_writer_lease
 
 
 def stream_into_ivf(
@@ -50,15 +53,37 @@ def stream_into_ivf(
     path: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    lease_ttl_ms: int = LEASE_TTL_MS,
+    lease_timeout_ms: int | None = None,
+    steal_lease: bool = False,
 ) -> StreamingQuery:
     """Attach a streaming vector source to the on-disk IVF layout.
 
     ``stream`` carries (id, embedding [, payload...]) rows — e.g. the
     output of ingest.py's parse+embed stages. Each micro-batch is
     assigned to the EXISTING centroids and appended to ``path``'s
-    cluster-partitioned parquet."""
+    cluster-partitioned parquet.
+
+    SINGLE WRITER — ENFORCED: the stream holds the layout's writer
+    lease (``<path>._lease``, the SAME lease the rebuild jobs take)
+    from start to termination, re-asserting it per micro-batch — so a
+    periodic ``rebuild_ivf``/``rebuild_saved_ivf`` racing the stream
+    fails fast instead of deleting an in-flight batch's append with
+    the swapped-out directory (and vice versa: a stream started during
+    a rebuild raises instead of appending into a doomed layout).
+    ``steal_lease=True`` reclaims a hard-killed holder's lease before
+    its TTL; otherwise restarts wait out ``lease_ttl_ms``."""
+    spark = stream.sparkSession
+    lease_kwargs = {} if lease_timeout_ms is None else {
+        "timeout_ms": lease_timeout_ms
+    }
+    lease = acquire_writer_lease(
+        spark, path, ttl_ms=lease_ttl_ms, steal=steal_lease,
+        lease_path=ivf_lease_path(path), **lease_kwargs,
+    )
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lease.heartbeat()
         if not batch_df.isEmpty():
             append_partitioned(
                 assign_new(index, batch_df), path, vec_col=index.vec_col
@@ -71,4 +96,23 @@ def stream_into_ivf(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    try:
+        query = writer.start()
+    except Exception:
+        lease.release()
+        raise
+
+    def _release_on_done() -> None:
+        try:
+            query.awaitTermination()
+        except Exception:
+            pass
+        finally:
+            lease.release()
+
+    threading.Thread(
+        target=_release_on_done,
+        name=f"ivf-lease-release-{lease.owner[:8]}",
+        daemon=True,
+    ).start()
+    return query

@@ -215,6 +215,71 @@ def test_vacuum_stage_grace_protects_young_uncommitted_staging(
     assert read_ledger(spark, led).count() == 100
 
 
+def _vecs(spark, lo, n, dim=8):
+    return spark.createDataFrame(
+        [(i, [float((i * 7 + j * 13) % 31) for j in range(dim)])
+         for i in range(lo, lo + n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_ivf_rebuild_and_stream_share_one_lease(spark, tmp_path):
+    """The IVF maintenance surface has the ledger's hazard in reverse:
+    an append racing rebuild's two-rename swap vanishes with the
+    ``._old`` directory. Rebuild and the maintenance stream take the
+    SAME sibling lease, so the race fails fast on either side."""
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        ivf_lease_path,
+        load_ivf,
+        rebuild_saved_ivf,
+        save_ivf,
+    )
+    from python_vectordbapp_ceph_spark.streaming.ivf_ingest import (
+        stream_into_ivf,
+    )
+
+    root = str(tmp_path / "ivf")
+    save_ivf(build_ivf(_vecs(spark, 0, 120), nlist=4), root)
+    assigned = f"{root}/assigned"
+
+    # a held lease (stand-in for a live maintenance stream) blocks the
+    # rebuild fail-fast, layout untouched
+    holder = acquire_writer_lease(
+        spark, assigned, lease_path=ivf_lease_path(assigned)
+    )
+    with pytest.raises(LedgerLockedError):
+        rebuild_saved_ivf(spark, root, lease_timeout_ms=0)
+    assert load_ivf(spark, root).assigned.count() == 120
+    holder.release()
+
+    # a REAL maintenance stream holds it; rebuild fails while draining,
+    # succeeds after termination, and sees the streamed adds
+    src = str(tmp_path / "src")
+    _vecs(spark, 1000, 60).coalesce(2).write.parquet(src)
+    q = stream_into_ivf(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        load_ivf(spark, root),
+        assigned,
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(LedgerLockedError):
+        rebuild_saved_ivf(spark, root, lease_timeout_ms=0)
+    assert q.awaitTermination(120)
+    deadline = time.time() + 15
+    while os.path.exists(ivf_lease_path(assigned)):
+        assert time.time() < deadline, "IVF lease not released"
+        time.sleep(0.1)
+    spark.catalog.refreshByPath(assigned)
+    rebuilt = rebuild_saved_ivf(spark, root)
+    assert rebuilt.assigned.count() == 180
+    # and the lease is free again after the rebuild's finally-release
+    acquire_writer_lease(
+        spark, assigned, lease_path=ivf_lease_path(assigned), timeout_ms=0
+    ).release()
+
+
 def test_sidecar_union_warning_fires_when_unbounded(
     spark, tmp_path, monkeypatch, caplog
 ):

@@ -102,6 +102,14 @@ def main() -> None:
     )
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     head, tail = med(walls[:10]), med(walls[-10:])
+    # attribute the drift: batch i is a FULL REDELIVERY iff i % 7 == 3
+    # (file order == batch order under maxFilesPerTrigger=1). Fresh
+    # batches' key ranges are disjoint from all committed history, so
+    # the r11 zonemap skips their bloom probe entirely — their trend
+    # isolates the append+compact cost; redelivery batches owe the
+    # verify against ever-larger compacted containers.
+    fresh = [w for i, w in enumerate(walls) if i % 7 != 3]
+    redel = [w for i, w in enumerate(walls) if i % 7 == 3]
     print(json.dumps({
         "drained": ok,
         "wall_sec": wall,
@@ -111,6 +119,12 @@ def main() -> None:
         "first10_median_ms": head,
         "last10_median_ms": tail,
         "drift_ratio": round(tail / max(head, 1), 3),
+        "fresh_first10_ms": med(fresh[:10]),
+        "fresh_last10_ms": med(fresh[-10:]),
+        "fresh_drift_ratio": round(
+            med(fresh[-10:]) / max(med(fresh[:10]), 1), 3
+        ),
+        "redelivery_median_ms": med(redel) if redel else None,
         "n_commits": n_commits,
         "n_gens": n_gens,
         "n_parquet_files": n_parquet,
