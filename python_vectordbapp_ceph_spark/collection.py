@@ -78,6 +78,8 @@ class VectorCollection:
     # (log_rows, live_rows) at the last maybe_compact check — lets the
     # policy skip the expensive snapshot resolve on unchanged logs
     _compact_stats: tuple = field(default=(None, None), repr=False)
+    # writer-lease acquire timeout override (tests set 0 for fail-fast)
+    lease_timeout_ms: int | None = field(default=None, repr=False)
 
     # --- DDL -------------------------------------------------------
     def ensure_exists(self) -> "VectorCollection":
@@ -104,8 +106,34 @@ class VectorCollection:
     def _log(self) -> DataFrame:
         return self.spark.read.schema(collection_schema(self.dim)).parquet(self.path)
 
+    def _writer_lease(self):
+        """Acquire the collection's writer lease — a SIBLING file
+        (``<path>._lease``: compact()'s two-rename swap replaces the
+        log directory itself, so a lease inside would swap out with
+        it). Mutations hold it briefly; compact holds it across the
+        swap — so an append can never land between compact's snapshot
+        and its rename, where it would vanish with the ``._old``
+        directory. The reference delegates this to its backend (Milvus
+        upserts are backend-atomic); the parquet-log rebuild owns it.
+        Concurrent mutators from OTHER sessions serialize on it or
+        fail fast after the acquire timeout; a process killed
+        mid-mutation leaves a lease that expires after its TTL."""
+        from .operators.lease import acquire_writer_lease
+
+        kw = {} if self.lease_timeout_ms is None else {
+            "timeout_ms": self.lease_timeout_ms
+        }
+        return acquire_writer_lease(
+            self.spark, self.path,
+            lease_path=self.path.rstrip("/") + "._lease", **kw,
+        )
+
     def _append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path)
+        lease = self._writer_lease()
+        try:
+            df.write.mode("append").parquet(self.path)
+        finally:
+            lease.release()
         self._ivf = None  # any mutation invalidates the ANN index
 
     def _next_seq(self) -> int:
@@ -378,7 +406,19 @@ class VectorCollection:
         to a fresh base). Reads amortize: the last-writer-wins window
         afterwards runs over live rows only, not full history. At scale
         this is the periodic maintenance job, optionally bucketed by
-        key so subsequent merges are co-located."""
+        key so subsequent merges are co-located.
+
+        Holds the writer lease from BEFORE the snapshot read to after
+        the swap: an append landing in that window would otherwise be
+        renamed into ``._old`` and deleted with it (or recreate the
+        live path mid-swap and wedge the rollback)."""
+        lease = self._writer_lease()
+        try:
+            self._compact_locked()
+        finally:
+            lease.release()
+
+    def _compact_locked(self) -> None:
         snap = self.snapshot().withColumn("op", F.lit("upsert")).withColumn(
             "seq", F.lit(0).cast("long")
         ).select(*[f.name for f in collection_schema(self.dim).fields])

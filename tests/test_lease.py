@@ -280,6 +280,44 @@ def test_ivf_rebuild_and_stream_share_one_lease(spark, tmp_path):
     ).release()
 
 
+def test_collection_mutations_respect_writer_lease(spark, tmp_path):
+    """The collection's change log is the third swap-guarded surface:
+    compact()'s two-rename replaces the log directory, so appends hold
+    the sibling lease briefly and compact holds it across the swap —
+    a foreign holder makes both fail fast, and everything works again
+    once released."""
+    from python_vectordbapp_ceph_spark.collection import VectorCollection
+
+    c = VectorCollection(
+        spark=spark, path=str(tmp_path / "col"), dim=4, name="t"
+    ).ensure_exists()
+    c.lease_timeout_ms = 0
+
+    def rows(*keys):
+        return spark.createDataFrame(
+            [(k, [1.0, 0.0, 0.0, 0.0], {"x": "1"}) for k in keys],
+            "key string, embedding array<float>, tags map<string,string>",
+        )
+
+    c.upsert(rows("k1", "k2"))
+    assert not os.path.exists(c.path + "._lease"), "append must release"
+
+    holder = acquire_writer_lease(
+        spark, c.path, lease_path=c.path + "._lease"
+    )
+    with pytest.raises(LedgerLockedError):
+        c.upsert(rows("k3"))
+    with pytest.raises(LedgerLockedError):
+        c.compact()
+    holder.release()
+
+    c.upsert(rows("k3"))
+    c.delete_keys(["k1"])
+    c.compact()
+    assert {r.key for r in c.snapshot().collect()} == {"k2", "k3"}
+    assert not os.path.exists(c.path + "._lease")
+
+
 def test_sidecar_union_warning_fires_when_unbounded(
     spark, tmp_path, monkeypatch, caplog
 ):
