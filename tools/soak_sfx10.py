@@ -6,7 +6,13 @@ print one JSON line with the wall, the per-batch trend (first-10 vs
 last-10 median and their DRIFT RATIO — the r11 pinned ceiling), and
 the final on-disk counts.
 
-Usage: python tools/soak_sfx10.py [sf_dir] [out_dir] [n_files]
+Usage: python tools/soak_sfx10.py [sf_dir] [out_dir] [n_files] [--defaults]
+
+``--defaults`` runs stream_append with DEFAULTS-ONLY knobs (plus
+dedup=True, the scenario under test): max_segments stays at its r11
+default of 64 and no retention vacuum — the r10 verdict ask #2's
+evidence that an operator who tunes NOTHING still gets a bounded live
+container count and bounded probe cost from the default compaction.
 """
 
 from __future__ import annotations
@@ -36,8 +42,9 @@ def main() -> None:
     global N_FILES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_sfx10"
-    if len(sys.argv) > 3:
+    if len(sys.argv) > 3 and sys.argv[3] != "--defaults":
         N_FILES = int(sys.argv[3])
+    defaults_only = "--defaults" in sys.argv
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     src, led, ckpt = f"{out}/src", f"{out}/led", f"{out}/ckpt"
@@ -72,6 +79,11 @@ def main() -> None:
             "append"
         ).parquet(src)
 
+    knobs = (
+        {"dedup": True}  # defaults-only: max_segments=64 (default), no vacuum
+        if defaults_only
+        else {"max_segments": 8, "vacuum_keep": 2, "dedup": True}
+    )
     t0 = time.time()
     q = stream_append(
         spark.readStream.schema("doc_id long, n_tokens long")
@@ -80,9 +92,7 @@ def main() -> None:
         led,
         ckpt,
         BUDGET,
-        max_segments=8,
-        vacuum_keep=2,
-        dedup=True,
+        **knobs,
     )
     ok = q.awaitTermination(3600)
     wall = round(time.time() - t0, 1)
@@ -92,8 +102,11 @@ def main() -> None:
     spark.catalog.refreshByPath(led)
     rows = read_ledger(spark, led)
     n_ledger = rows.count()
-    n_commits = len([x for x in os.listdir(f"{led}/_commits")
-                     if x.endswith(".json")])
+    commit_names = sorted(x for x in os.listdir(f"{led}/_commits")
+                          if x.endswith(".json"))
+    n_commits = len(commit_names)
+    with open(f"{led}/_commits/{commit_names[-1]}") as f:
+        n_live = len(json.load(f)["buckets"])
     n_gens = len([x for x in os.listdir(led) if x.startswith("gen=")])
     n_parquet = sum(
         len([f for f in files if f.endswith(".parquet")])
@@ -126,8 +139,10 @@ def main() -> None:
         ),
         "redelivery_median_ms": med(redel) if redel else None,
         "n_commits": n_commits,
+        "n_live_containers": n_live,
         "n_gens": n_gens,
         "n_parquet_files": n_parquet,
+        "defaults_only": defaults_only,
     }))
     spark.stop()
 
