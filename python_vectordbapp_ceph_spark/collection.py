@@ -128,36 +128,49 @@ class VectorCollection:
             lease_path=self.path.rstrip("/") + "._lease", **kw,
         )
 
-    def _append(self, df: DataFrame) -> None:
+    def _append(self, df: DataFrame, stamp_seq: bool = False) -> None:
         lease = self._writer_lease()
         try:
+            if stamp_seq:
+                # seq is assigned INSIDE the leased section, re-synced
+                # from the log: two sessions mutating the same
+                # collection serialize on the lease, and each re-read
+                # orders the new write ABOVE everything the other
+                # committed — assigning seq from a per-process cached
+                # counter outside the lease made last-writer-wins
+                # resolve by stale local ordering (a later delete could
+                # silently lose to an earlier session's upsert).
+                df = df.withColumn(
+                    "seq", F.lit(self._next_seq()).cast("long")
+                ).select(*[f.name for f in collection_schema(self.dim).fields])
             df.write.mode("append").parquet(self.path)
         finally:
             lease.release()
         self._ivf = None  # any mutation invalidates the ANN index
 
     def _next_seq(self) -> int:
-        """Monotone writer sequence, persistent across process restarts:
-        initialized from max(seq) in the log the first time a writer in
-        this process needs it (a reopened collection must order its
-        writes ABOVE the existing log, or deletes/upserts silently lose
-        to history)."""
-        if self._seq == 0:
-            from pyspark.errors import AnalysisException
+        """Monotone writer sequence, persistent across process restarts
+        AND across concurrent sessions: every call re-reads max(seq)
+        from the log (one column-pruned agg — the log is compaction-
+        bounded) and floors it with the local counter, so a reopened
+        or concurrent collection always orders its writes ABOVE the
+        existing log — or deletes/upserts would silently lose to
+        history. Callers must hold the writer lease (see _append)."""
+        from pyspark.errors import AnalysisException
 
-            try:
-                row = self._log().agg(F.max("seq").alias("m")).collect()[0]
-                self._seq = int(row.m or 0)
-            except AnalysisException as e:
-                # ONLY the not-yet-existing-path case may fall back to 0
-                # (the append itself creates the log — the old
-                # contract). Any other failure must propagate: silently
-                # restarting at seq=0 on a transient read error would
-                # order new writes BELOW history and no-op deletes.
-                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                    raise
-                self._seq = 0
-        self._seq += 1
+        try:
+            row = self._log().agg(F.max("seq").alias("m")).collect()[0]
+            log_max = int(row.m or 0)
+        except AnalysisException as e:
+            # ONLY the not-yet-existing-path case may fall back to 0
+            # (the append itself creates the log — the old
+            # contract). Any other failure must propagate: silently
+            # restarting at seq=0 on a transient read error would
+            # order new writes BELOW history and no-op deletes.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            log_max = 0
+        self._seq = max(self._seq, log_max) + 1
         return self._seq
 
     def _validated(self, df: DataFrame) -> DataFrame:
@@ -181,7 +194,6 @@ class VectorCollection:
     def upsert(self, rows: DataFrame) -> None:
         """Replace-by-key semantics via append + last-writer-wins read.
         Idempotent under at-least-once redelivery (same key+seq)."""
-        seq = self._next_seq()
         prepared = (
             rows.withColumn("op", F.lit("upsert"))
             .withColumn("ingest_ts", F.coalesce(F.col("ingest_ts"), F.current_timestamp()))
@@ -190,7 +202,6 @@ class VectorCollection:
                 "ingest_ts", F.current_timestamp()
             )
         )
-        prepared = prepared.withColumn("seq", F.lit(seq).cast("long"))
         for c in ("url", "tags", "props"):
             if c not in prepared.columns:
                 prepared = prepared.withColumn(c, F.lit(None))
@@ -201,17 +212,15 @@ class VectorCollection:
             F.col("tags").cast("map<string,string>"),
             F.col("props").cast("map<string,string>"),
             F.col("ingest_ts").cast("timestamp"),
-            F.col("seq"),
             F.col("op"),
         )
-        self._append(self._validated(out))
+        self._append(self._validated(out), stamp_seq=True)
 
     def _append_tombstones(self, key_rows: DataFrame) -> None:
         """Append delete markers for a DataFrame of keys — fully
         distributed; the matching key set never visits the driver."""
         if key_rows.isEmpty():
             return  # no empty files / wasted seq for 0-match deletes
-        seq = self._next_seq()
         tomb = (
             key_rows.select(F.col("key").cast("string"))
             .withColumn("url", F.lit(None).cast("string"))
@@ -219,10 +228,9 @@ class VectorCollection:
             .withColumn("tags", F.lit(None).cast("map<string,string>"))
             .withColumn("props", F.lit(None).cast("map<string,string>"))
             .withColumn("ingest_ts", F.current_timestamp())
-            .withColumn("seq", F.lit(seq).cast("long"))
             .withColumn("op", F.lit("delete"))
         )
-        self._append(tomb)
+        self._append(tomb, stamp_seq=True)
 
     def delete_keys(self, keys: list[str]) -> None:
         """delete_vectors(keys=[...]) analog (pythonvectordbceph.py:143-147)."""

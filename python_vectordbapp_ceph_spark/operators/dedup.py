@@ -81,10 +81,14 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     core. When the scan already has enough partitions (the 100 TB
     case) this is a no-op, so the extra shuffle is never paid at scale.
 
-    The probe reads the FILE INDEX only (``inputFiles`` + sizes for
-    the few-file case) — no ``df.rdd`` conversion, which planned the
-    whole query to RDD form just to read a partition count and sat as
-    an analysis barrier AQE could not see through.
+    For FILE sources the probe reads the FILE INDEX only
+    (``inputFiles`` + sizes for the few-file case) — no ``df.rdd``
+    conversion, which planned the whole query to RDD form just to read
+    a partition count and sat as an analysis barrier AQE could not see
+    through. ONLY the non-file branch (createDataFrame/JDBC/micro-
+    batch inputs, where no file index exists and the plan is already
+    materialized rather than an AQE-resplittable scan) falls back to
+    the RDD partition count.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism

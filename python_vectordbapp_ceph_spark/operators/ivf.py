@@ -276,7 +276,9 @@ def ivf_lease_path(path: str) -> str:
     refit+swap. Without it, an append racing the swap either vanishes
     with the ``._old`` directory (silently lost rows) or recreates the
     live path between the two renames and wedges the rollback."""
-    return path.rstrip("/") + "._lease"
+    from .lease import sibling_lease_path
+
+    return sibling_lease_path(path)
 
 
 def rebuild_ivf(
@@ -317,6 +319,9 @@ def rebuild_ivf(
     lease = acquire_writer_lease(
         spark, path, lease_path=ivf_lease_path(path), **_kw
     )
+    # a 100 TB refit can outlive the TTL — keep the lease fresh so a
+    # maintenance stream can't legitimately break it mid-rebuild
+    lease.start_auto_heartbeat()
     try:
         current = spark.read.parquet(path).drop("cluster_id")
         index = build_ivf(
@@ -399,6 +404,7 @@ def rebuild_saved_ivf(
     lease = acquire_writer_lease(
         spark, assigned_path, lease_path=ivf_lease_path(assigned_path), **_kw
     )
+    lease.start_auto_heartbeat()  # refit can outlive the TTL
     try:
         current = spark.read.parquet(assigned_path).drop("cluster_id")
         index = build_ivf(

@@ -1,66 +1,85 @@
-"""Single-writer lease for the manifest-committed ledgers.
+"""Single-writer lease for the manifest-committed ledgers and the
+swap-replaced layouts (IVF inverted files, the collection change log).
 
 Every race inside the commit protocol itself is already safe by
 construction: writers stage into uniquely-named generation directories
 and publish with one rename-without-overwrite, so a publish loser can
-never have touched the winner's files (operators/merge.py). The ONE
-unsafe composition is a second writer racing an ARMED maintenance pass:
-``vacuum()`` reclaims any staged generation no retained manifest
-references, and writer B's not-yet-published staging is
-indistinguishable from a crashed orphan — writer A's vacuum can delete
-it mid-flight, and B's publish then commits a manifest pointing at a
-missing directory (silent data loss; the r10 verdict's one documented-
-but-unenforced constraint). This module turns that misuse into a
-fail-fast error: at most one live writer per ledger path.
+never have touched the winner's files (operators/merge.py). The unsafe
+COMPOSITIONS are a second writer racing a maintenance pass:
 
-Mechanics — built from the SAME primitive the commit protocol trusts
-(rename-without-overwrite, atomic on HDFS/POSIX; conditional-put on
-object stores):
+  - ``vacuum()`` reclaims any staged generation no retained manifest
+    references, and writer B's not-yet-published staging is
+    indistinguishable from a crashed orphan — writer A's vacuum can
+    delete it mid-flight (the r10 verdict's one documented-but-
+    unenforced constraint);
+  - a two-rename directory swap (IVF rebuild, collection compact)
+    silently deletes an append that landed between the snapshot read
+    and the rename — or the append recreates the live path mid-swap
+    and wedges the rollback.
 
-  - ``acquire_writer_lease`` stages ``_commits/.tmp-*`` and renames it
-    onto ``_commits/_writer.lease``; rename success IS acquisition.
-    A fresh existing lease (heartbeat younger than its TTL) makes the
-    acquire poll briefly, then raise :class:`LedgerLockedError` naming
-    the holder. A stale lease (holder died without release) is broken
-    and re-raced.
-  - ``heartbeat()`` (called once per micro-batch by the streaming
-    sinks) re-verifies ownership and republishes the lease with a
-    fresh timestamp. If the file was stolen/broken in the meantime the
-    heartbeat raises — the displaced writer FAILS its batch instead of
-    publishing into a ledger someone else now maintains.
-  - ``release()`` deletes the lease iff still owned. A hard-killed
-    writer leaves its lease behind; the TTL bounds how long that
-    blocks a restart (and the restart may pass ``steal=True`` when the
-    operator knows the holder is dead — e.g. the checkpoint lock
-    already guarantees it was the same query).
+This module turns both misuses into fail-fast errors: at most one
+live writer per guarded path.
 
-The heartbeat republish is delete+rename (two steps, not atomic). The
-window is safe: a racer that acquires inside it wins the rename, the
-heartbeater's rename then fails and it raises — one writer wins, the
-other raises, nobody's staging is reclaimed while its lease is live.
+Mechanics — built from the SAME primitive the commit protocol trusts:
+rename-without-overwrite. The Hadoop FileSystem contract fails a
+rename whose destination FILE exists (HDFS does; LocalFileSystem's
+checksum layer does too — probed empirically on this stack: rename
+onto an existing file returns False and leaves both files intact; on
+object stores without atomic rename, point this at a conditional-put
+like the manifest commit). Destinations here are always files, never
+directories (renaming onto an existing DIRECTORY moves the source
+into it).
+
+  - ``acquire_writer_lease`` stages ``.tmp-*`` and renames it onto the
+    lease file; rename success IS acquisition. A fresh existing lease
+    (heartbeat younger than its TTL) makes the acquire poll briefly,
+    then raise :class:`LedgerLockedError` naming the holder.
+  - An EXPIRED lease (holder died without release) is broken by
+    renaming it to a breaker-unique tombstone — atomic, so exactly ONE
+    of several racing breakers wins; the winner re-verifies the
+    tombstoned record really is expired (renames it back if a
+    heartbeat slipped in) before re-racing the acquire. A bare delete
+    here would let breaker B delete the FRESH lease breaker A just
+    published — the dual-writer state this module exists to prevent.
+  - ``heartbeat()`` re-verifies ownership and republishes with a fresh
+    timestamp (serialized by an in-process lock — the per-batch
+    heartbeat and the auto-heartbeat thread must not interleave their
+    delete+publish). If the file was stolen/broken in the meantime the
+    heartbeat raises and the lease is marked lost — the displaced
+    writer FAILS its batch instead of publishing into a layout someone
+    else now maintains.
+  - ``start_auto_heartbeat()`` keeps the lease fresh from a daemon
+    thread — for long-running holders whose work doesn't tick (a
+    continuous stream with an idle source, a 100 TB KMeans refit):
+    without it, an idle gap longer than the TTL presents as "expired"
+    and routine maintenance displaces a healthy writer.
+  - ``release()`` uses the same tombstone pattern: atomically rename
+    the lease aside, verify it is ours, delete; restore it if not (a
+    read-check-then-delete would delete a thief's fresh lease).
 
 Reference anchor: the reference delegates concurrent-writer safety to
 its backends (milvus upsert is backend-atomic,
 milvus-app/pythonvectordbceph_milvus.py:154; RGW serializes object
-puts) — the Spark rebuild owns the ledger layout, so it owns the lock.
+puts) — the Spark rebuild owns its layouts, so it owns the lock.
 """
 
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
 
 from pyspark.sql import SparkSession
 
-from .merge import _COMMITS, _fs
+from .merge import _COMMITS, _fs, _read_json, _stage_rename_json
 
 LEASE_FILE = "_writer.lease"
-# Generous enough that no single micro-batch outlives it (heartbeats
-# are per batch), small enough that a hard-killed writer doesn't block
-# the restart for long. Streaming callers override per deployment.
+# Generous enough that no single micro-batch outlives it (and the
+# auto-heartbeat covers idle/long holders), small enough that a
+# hard-killed writer doesn't block the restart for long.
 LEASE_TTL_MS = 10 * 60 * 1000
-# acquire() polls this long before declaring the ledger locked — masks
+# acquire() polls this long before declaring the path locked — masks
 # the instant between a finished writer's termination and its async
 # release without weakening fail-fast for genuinely live holders.
 ACQUIRE_TIMEOUT_MS = 10_000
@@ -68,11 +87,19 @@ _POLL_MS = 200
 
 
 class LedgerLockedError(RuntimeError):
-    """Another live writer holds (or took) the ledger's writer lease."""
+    """Another live writer holds (or took) the path's writer lease."""
 
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+def sibling_lease_path(path: str) -> str:
+    """Lease file for a layout whose directory itself gets atomically
+    SWAPPED (IVF rebuild, collection compact): a lease stored inside
+    the directory would swap out with the data it guards, so it lives
+    as a sibling ``<path>._lease``."""
+    return path.rstrip("/") + "._lease"
 
 
 class WriterLease:
@@ -90,10 +117,11 @@ class WriterLease:
         self.ttl_ms = int(ttl_ms)
         self.owner = uuid.uuid4().hex
         self.acquired_ms: int | None = None
-        # default location: inside the ledger's _commits dir. Layouts
-        # whose root gets atomically SWAPPED (the IVF rebuild's
-        # two-rename) pass a SIBLING lease_path instead — a lease
-        # inside the directory would swap/vanish with it.
+        self.lost = False
+        self._hb_lock = threading.Lock()
+        self._stop = threading.Event()
+        # default location: inside the ledger's _commits dir; swapped
+        # layouts pass sibling_lease_path(path) instead.
         self._lease_path = lease_path or f"{path}/{_COMMITS}/{LEASE_FILE}"
 
     # -- file plumbing ----------------------------------------------------
@@ -103,79 +131,156 @@ class WriterLease:
 
     def _read(self) -> dict | None:
         """The current lease record, or None if absent/unreadable (a
-        torn read can only happen inside a heartbeat's delete+rename
+        torn read can only happen inside a heartbeat's republish
         window — treated as absent, the acquire race decides)."""
-        fs, hpath = _fs(self._spark, self.path)
-        p = hpath(self.lease_path)
         try:
-            if not fs.exists(p):
-                return None
-            stream = fs.open(p)
-            try:
-                jvm = self._spark._jvm  # noqa: SLF001
-                data = bytes(
-                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                ).decode("utf-8")
-            finally:
-                stream.close()
-            return json.loads(data)
+            return _read_json(self._spark, self._lease_path)
         except Exception:
             return None
 
     def _try_publish(self) -> bool:
         """Stage + rename-without-overwrite. True = we own the file."""
-        fs, hpath = _fs(self._spark, self.path)
-        cdir = self._lease_path.rsplit("/", 1)[0]
-        fs.mkdirs(hpath(cdir))
-        tmp = hpath(f"{cdir}/.tmp-lease-{uuid.uuid4().hex}.json")
-        out = fs.create(tmp, True)
-        try:
-            payload = {
+        return _stage_rename_json(
+            self._spark,
+            self._lease_path,
+            {
                 "owner": self.owner,
                 "acquired_ms": self.acquired_ms or _now_ms(),
                 "heartbeat_ms": _now_ms(),
                 "ttl_ms": self.ttl_ms,
-            }
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        finally:
-            out.close()
-        if fs.rename(tmp, hpath(self.lease_path)):
-            return True
-        fs.delete(tmp, False)
-        return False
+            },
+        )
+
+    def _take_aside(self) -> tuple[str, dict | None] | None:
+        """Atomically rename the lease file to a caller-unique
+        tombstone and read it. Returns (tombstone_path, record) — the
+        caller now exclusively holds whatever was there — or None if
+        there was nothing to take (no lease file, or another taker won
+        the rename)."""
+        fs, hpath = _fs(self._spark, self.path)
+        tomb = f"{self._lease_path}.taken-{uuid.uuid4().hex[:8]}"
+        try:
+            if not fs.rename(hpath(self._lease_path), hpath(tomb)):
+                return None
+        except Exception:
+            return None
+        try:
+            rec = _read_json(self._spark, tomb)
+        except Exception:
+            rec = None
+        return tomb, rec
+
+    def _restore_or_drop(self, tomb: str) -> None:
+        """Put a taken-aside lease back. If a NEW lease appeared in the
+        meantime (an acquirer saw the empty slot — legitimate), the
+        restore rename fails and the tombstone is dropped: the record
+        it held was superseded either way, and its owner's next
+        heartbeat raises (fail-fast, never dual-write)."""
+        fs, hpath = _fs(self._spark, self.path)
+        if not fs.rename(hpath(tomb), hpath(self._lease_path)):
+            fs.delete(hpath(tomb), False)
 
     # -- lifecycle ---------------------------------------------------------
     def heartbeat(self) -> None:
         """Refresh the lease timestamp; raises LedgerLockedError if the
         lease was stolen or broken since (the caller must abort its
-        write — someone else's maintenance may now reclaim its staging).
-        """
-        cur = self._read()
-        if cur is None or cur.get("owner") != self.owner:
-            raise LedgerLockedError(
-                f"writer lease for {self.path} lost (now held by "
-                f"{cur.get('owner', '<none>') if cur else '<none>'}) — "
-                "aborting: continuing could publish into a ledger another "
-                "writer is compacting/vacuuming"
-            )
-        fs, hpath = _fs(self._spark, self.path)
-        fs.delete(hpath(self.lease_path), False)
-        if not self._try_publish():
-            raise LedgerLockedError(
-                f"writer lease for {self.path} lost during heartbeat "
-                "(another writer acquired in the republish window)"
-            )
+        write — someone else's maintenance may now reclaim its
+        staging). Thread-safe: the per-batch call and the
+        auto-heartbeat thread serialize on an in-process lock, so two
+        of OUR OWN heartbeats can't race each other's republish."""
+        with self._hb_lock:
+            if self.lost:
+                raise LedgerLockedError(
+                    f"writer lease for {self.path} already lost"
+                )
+            cur = self._read()
+            if cur is None or cur.get("owner") != self.owner:
+                self.lost = True
+                raise LedgerLockedError(
+                    f"writer lease for {self.path} lost (now held by "
+                    f"{cur.get('owner', '<none>') if cur else '<none>'}) — "
+                    "aborting: continuing could publish into a layout "
+                    "another writer is compacting/vacuuming/swapping"
+                )
+            fs, hpath = _fs(self._spark, self.path)
+            fs.delete(hpath(self._lease_path), False)
+            if not self._try_publish():
+                self.lost = True
+                raise LedgerLockedError(
+                    f"writer lease for {self.path} lost during heartbeat "
+                    "(another writer acquired in the republish window)"
+                )
+
+    def start_auto_heartbeat(self, interval_s: float | None = None) -> None:
+        """Keep the lease fresh from a daemon thread (every ttl/3 by
+        default) — for holders whose work doesn't tick: a continuous
+        stream whose source goes idle past the TTL would otherwise
+        present an expired lease and be displaced by routine
+        maintenance, then fail its next real batch. Transient FS
+        errors are retried next tick; a genuine loss sets ``lost``
+        and stops the thread (the holder's next explicit heartbeat
+        raises)."""
+        interval = interval_s if interval_s is not None else max(
+            1.0, self.ttl_ms / 3000.0
+        )
+
+        def _loop() -> None:
+            while not self._stop.wait(interval):
+                try:
+                    self.heartbeat()
+                except LedgerLockedError:
+                    return
+                except Exception:
+                    continue
+
+        threading.Thread(
+            target=_loop,
+            name=f"lease-heartbeat-{self.owner[:8]}",
+            daemon=True,
+        ).start()
 
     def release(self) -> None:
         """Delete the lease iff still ours (idempotent, never raises —
-        called from finally paths)."""
+        called from finally paths). Tombstone-based: rename the file
+        aside atomically, verify ownership, delete — never a
+        read-check-then-delete, which could delete the fresh lease of
+        a writer who took over in between."""
+        self._stop.set()
         try:
-            cur = self._read()
-            if cur is not None and cur.get("owner") == self.owner:
+            with self._hb_lock:
+                taken = self._take_aside()
+                if taken is None:
+                    return
+                tomb, rec = taken
                 fs, hpath = _fs(self._spark, self.path)
-                fs.delete(hpath(self.lease_path), False)
+                if rec is not None and rec.get("owner") == self.owner:
+                    fs.delete(hpath(tomb), False)
+                else:
+                    self._restore_or_drop(tomb)
         except Exception:
             pass
+
+
+def release_on_termination(query, lease: WriterLease) -> None:
+    """Release ``lease`` the moment the StreamingQuery terminates
+    (normal drain, failure, or stop()) — from a daemon thread so it
+    never outlives the driver. Only a hard process kill skips this,
+    and then the TTL bounds how long a restart waits (or it passes
+    steal=True)."""
+
+    def _wait() -> None:
+        try:
+            query.awaitTermination()
+        except Exception:
+            pass
+        finally:
+            lease.release()
+
+    threading.Thread(
+        target=_wait,
+        name=f"lease-release-{lease.owner[:8]}",
+        daemon=True,
+    ).start()
 
 
 def acquire_writer_lease(
@@ -195,8 +300,8 @@ def acquire_writer_lease(
     operator who KNOWS the holder is dead (e.g. restarting the one
     stream that owns this checkpoint after a hard kill).
     ``lease_path`` overrides the lease file location (default
-    ``<path>/_commits/_writer.lease``) — swapped layouts keep it as a
-    SIBLING of the directory they guard."""
+    ``<path>/_commits/_writer.lease``); swapped layouts use
+    :func:`sibling_lease_path`."""
     lease = WriterLease(spark, path, ttl_ms, lease_path=lease_path)
     deadline = _now_ms() + max(0, int(timeout_ms))
     while True:
@@ -210,10 +315,23 @@ def acquire_writer_lease(
         elif steal or now > int(cur.get("heartbeat_ms", 0)) + int(
             cur.get("ttl_ms", ttl_ms)
         ):
-            # expired (holder died without release) or explicit steal:
-            # break it, then re-race the acquire rename
-            fs, hpath = _fs(spark, path)
-            fs.delete(hpath(lease.lease_path), False)
+            # expired (or explicit steal): break it ATOMICALLY — rename
+            # to a breaker-unique tombstone so exactly one of several
+            # racing breakers wins; a bare delete here could destroy
+            # the FRESH lease another breaker already re-published.
+            taken = lease._take_aside()
+            if taken is not None:
+                tomb, rec = taken
+                fs, hpath = _fs(spark, path)
+                stale = rec is None or _now_ms() > int(
+                    rec.get("heartbeat_ms", 0)
+                ) + int(rec.get("ttl_ms", ttl_ms))
+                if steal or stale:
+                    fs.delete(hpath(tomb), False)
+                else:
+                    # a heartbeat slipped in between our read and the
+                    # take: the holder is alive — put it back
+                    lease._restore_or_drop(tomb)
             continue
         if _now_ms() > deadline:
             holder = cur.get("owner", "<unknown>") if cur else "<racer>"
@@ -221,7 +339,7 @@ def acquire_writer_lease(
                 f"ledger at {path} already has a live writer (lease owner "
                 f"{holder}, heartbeat "
                 f"{now - int(cur.get('heartbeat_ms', now)) if cur else 0} ms "
-                "ago). One writer per ledger path: stop the other stream, "
-                "or pass steal=True if you KNOW it is dead."
+                "ago). One writer per path: stop the other writer, or pass "
+                "steal=True if you KNOW it is dead."
             )
         time.sleep(_POLL_MS / 1000.0)

@@ -122,10 +122,12 @@ def _list_commit_versions(spark: SparkSession, path: str) -> list[tuple[int, obj
     return out
 
 
-def _read_manifest(spark: SparkSession, path: str, version: int) -> dict[int, str]:
-    """{bucket_id -> gen token} of ONE commit file, no listing."""
+def _read_json(spark: SparkSession, path: str) -> dict:
+    """One small JSON file off the path-resolved Hadoop FS (raises on
+    missing/torn files — callers decide what absence means). THE
+    shared read half of the commit/lease plumbing."""
     fs, hpath = _fs(spark, path)
-    stream = fs.open(hpath(f"{path}/{_COMMITS}/{_commit_file(version)}"))
+    stream = fs.open(hpath(path))
     try:
         jvm = spark._jvm  # noqa: SLF001
         data = bytes(
@@ -133,7 +135,36 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict[int, st
         ).decode("utf-8")
     finally:
         stream.close()
-    m = json.loads(data)
+    return json.loads(data)
+
+
+def _stage_rename_json(spark: SparkSession, target: str, payload: dict) -> bool:
+    """Atomically publish ``payload`` as the JSON file at ``target``:
+    stage to a dot-tmp sibling, then ONE rename-without-overwrite —
+    True iff the rename won (False = the target already exists; the
+    staged tmp is cleaned up). Rename onto an existing FILE fails
+    without clobbering on HDFS and on LocalFileSystem's checksum layer
+    (probed empirically); on object stores without atomic rename,
+    point THIS helper at a conditional-put and every caller — manifest
+    commit and writer lease alike — inherits it."""
+    fs, hpath = _fs(spark, target)
+    parent, name = target.rsplit("/", 1)
+    fs.mkdirs(hpath(parent))
+    tmp = hpath(f"{parent}/.tmp-{name}-{uuid.uuid4().hex}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.rename(tmp, hpath(target)):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict[int, str]:
+    """{bucket_id -> gen token} of ONE commit file, no listing."""
+    m = _read_json(spark, f"{path}/{_COMMITS}/{_commit_file(version)}")
     # generation ids are opaque directory tokens (historically bare
     # ints; now "<version>-<uuid8>") — always strings in memory
     return {int(k): str(g) for k, g in m["buckets"].items()}
@@ -161,26 +192,18 @@ def current_manifest(spark: SparkSession, path: str, version: int | None = None)
 
 def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> None:
     """THE commit: stage the manifest JSON to a temp name, then one
-    rename onto its final versioned name. Rename-without-overwrite is
-    atomic on HDFS/POSIX; on object stores without atomic rename,
-    point this at a conditional-put (the file is immutable and
-    versioned, so the swap is still a single all-or-nothing op)."""
-    fs, hpath = _fs(spark, path)
-    cdir = f"{path}/{_COMMITS}"
-    fs.mkdirs(hpath(cdir))
-    tmp = hpath(f"{cdir}/.tmp-{uuid.uuid4().hex}.json")
-    out = fs.create(tmp, True)
-    try:
-        payload = {
+    rename onto its final versioned name (_stage_rename_json — the
+    shared atomic-publish primitive; the file is immutable and
+    versioned, so the swap is a single all-or-nothing op)."""
+    ok = _stage_rename_json(
+        spark,
+        f"{path}/{_COMMITS}/{_commit_file(version)}",
+        {
             "version": version,
             "buckets": {str(b): g for b, g in sorted(buckets.items())},
-        }
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
-    final = hpath(f"{cdir}/{_commit_file(version)}")
-    if not fs.rename(tmp, final):
-        fs.delete(tmp, False)
+        },
+    )
+    if not ok:
         raise RuntimeError(
             f"merge commit v{version} lost the publish race for {path} "
             "(another writer committed this version); retry the merge"

@@ -38,13 +38,15 @@ segments.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.ivf import IVFIndex, assign_new, append_partitioned, ivf_lease_path
-from ..operators.lease import LEASE_TTL_MS, acquire_writer_lease
+from ..operators.lease import (
+    LEASE_TTL_MS,
+    acquire_writer_lease,
+    release_on_termination,
+)
 
 
 def stream_into_ivf(
@@ -81,6 +83,8 @@ def stream_into_ivf(
         spark, path, ttl_ms=lease_ttl_ms, steal=steal_lease,
         lease_path=ivf_lease_path(path), **lease_kwargs,
     )
+    # survive idle source gaps longer than the TTL (see shard_ingest)
+    lease.start_auto_heartbeat()
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         lease.heartbeat()
@@ -101,18 +105,5 @@ def stream_into_ivf(
     except Exception:
         lease.release()
         raise
-
-    def _release_on_done() -> None:
-        try:
-            query.awaitTermination()
-        except Exception:
-            pass
-        finally:
-            lease.release()
-
-    threading.Thread(
-        target=_release_on_done,
-        name=f"ivf-lease-release-{lease.owner[:8]}",
-        daemon=True,
-    ).start()
+    release_on_termination(query, lease)
     return query

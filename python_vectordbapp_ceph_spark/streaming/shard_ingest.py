@@ -26,13 +26,15 @@ polls `shard_manifest` for fresh shard ids.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..cache import release_caches
-from ..operators.lease import LEASE_TTL_MS, acquire_writer_lease
+from ..operators.lease import (
+    LEASE_TTL_MS,
+    acquire_writer_lease,
+    release_on_termination,
+)
 from ..operators.merge import vacuum
 from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment, compact
 
@@ -129,6 +131,12 @@ def stream_append(
     lease = acquire_writer_lease(
         spark, path, ttl_ms=lease_ttl_ms, steal=steal_lease, **lease_kwargs
     )
+    # keep the lease fresh even when the SOURCE goes idle past the TTL
+    # (a continuous stream with no arriving batches heartbeats nothing
+    # in foreachBatch — without this, routine maintenance would break
+    # the "expired" lease and the healthy stream dies on its next
+    # real batch)
+    lease.start_auto_heartbeat()
 
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         # re-assert ownership BEFORE mutating: if the lease was stolen
@@ -167,22 +175,5 @@ def stream_append(
     except Exception:
         lease.release()
         raise
-
-    # release the lease the moment the query terminates (normal drain,
-    # failure, or stop()) — a daemon so it never outlives the driver.
-    # Only a hard process kill skips this, and then the TTL bounds how
-    # long the restart waits (or it passes steal_lease=True).
-    def _release_on_done() -> None:
-        try:
-            query.awaitTermination()
-        except Exception:
-            pass
-        finally:
-            lease.release()
-
-    threading.Thread(
-        target=_release_on_done,
-        name=f"ledger-lease-release-{lease.owner[:8]}",
-        daemon=True,
-    ).start()
+    release_on_termination(query, lease)
     return query

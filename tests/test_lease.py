@@ -280,6 +280,25 @@ def test_ivf_rebuild_and_stream_share_one_lease(spark, tmp_path):
     ).release()
 
 
+def test_auto_heartbeat_keeps_idle_lease_fresh(spark, tmp_path):
+    """A holder whose work doesn't tick (continuous stream with an
+    idle source, a long refit) must not present as 'expired': the
+    auto-heartbeat thread keeps the lease fresh past several TTLs, a
+    would-be taker still fails fast, and release() stops the thread
+    and frees the slot."""
+    led = str(tmp_path / "led")
+    holder = acquire_writer_lease(spark, led, ttl_ms=1500)
+    holder.start_auto_heartbeat(interval_s=0.4)
+    time.sleep(3.5)  # > 2 TTLs of idleness
+    with pytest.raises(LedgerLockedError, match="live writer"):
+        acquire_writer_lease(spark, led, timeout_ms=0)
+    assert not holder.lost
+    holder.release()
+    time.sleep(0.6)  # a straggling heartbeat tick must not resurrect it
+    assert not os.path.exists(_lease_file(led))
+    acquire_writer_lease(spark, led, timeout_ms=0).release()
+
+
 def test_collection_mutations_respect_writer_lease(spark, tmp_path):
     """The collection's change log is the third swap-guarded surface:
     compact()'s two-rename replaces the log directory, so appends hold
