@@ -299,6 +299,53 @@ def test_auto_heartbeat_keeps_idle_lease_fresh(spark, tmp_path):
     acquire_writer_lease(spark, led, timeout_ms=0).release()
 
 
+def test_continuous_stream_survives_idle_gap(spark, tmp_path):
+    """available_now=False (the 24/7 mode — previously untested): the
+    source goes idle LONGER than the lease TTL, the auto-heartbeat
+    keeps the lease fresh (a taker still fails fast), late-arriving
+    data still packs without a spurious LedgerLockedError, and stop()
+    releases the lease."""
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    _docs(spark, 0, 40).coalesce(1).write.parquet(src)
+    q = stream_append(
+        _stream(spark, src), led, str(tmp_path / "ckpt"), BUDGET,
+        available_now=False, lease_ttl_ms=2000,
+    )
+    try:
+        deadline = time.time() + 60
+        while True:
+            try:
+                spark.catalog.refreshByPath(led)
+                if read_ledger(spark, led).count() == 40:
+                    break
+            except Exception:
+                pass
+            assert time.time() < deadline, "first batch never committed"
+            time.sleep(0.5)
+
+        time.sleep(3.0)  # idle gap > TTL: only the auto-heartbeat ticks
+        with pytest.raises(LedgerLockedError, match="live writer"):
+            acquire_writer_lease(spark, led, timeout_ms=0)
+
+        _docs(spark, 1000, 25).coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 60
+        while True:
+            spark.catalog.refreshByPath(led)
+            if read_ledger(spark, led).count() == 65:
+                break
+            assert time.time() < deadline, (
+                "post-idle batch never committed — heartbeat must not "
+                "have spuriously failed the stream"
+            )
+            time.sleep(0.5)
+        assert q.isActive and q.exception() is None
+    finally:
+        q.stop()
+    _wait_released(led)
+    acquire_writer_lease(spark, led, timeout_ms=0).release()
+
+
 def test_collection_mutations_respect_writer_lease(spark, tmp_path):
     """The collection's change log is the third swap-guarded surface:
     compact()'s two-rename replaces the log directory, so appends hold
