@@ -146,6 +146,11 @@ def stream_append(
         lease.heartbeat()
         if batch.isEmpty():
             return
+        # persist the micro-batch: the dedup gate alone reads it three
+        # times (key min/max for the zonemap, the distinct probe keys,
+        # the final anti-join) before the pack + staged write — a
+        # re-fetching source (Kafka) would otherwise pay each pass
+        batch = batch.persist()
         try:
             append_segment(
                 batch.sparkSession, path, batch, budget, dedup=dedup
@@ -158,6 +163,7 @@ def stream_append(
                     stage_grace_ms=stage_grace_ms,
                 )
         finally:
+            batch.unpersist()
             # the dedup gate persists its candidate set for the
             # flagged-container collect + verify join; release per
             # batch — a long stream must not accumulate pinned blocks
