@@ -80,6 +80,14 @@ class VectorCollection:
     _compact_stats: tuple = field(default=(None, None), repr=False)
     # writer-lease acquire timeout override (tests set 0 for fail-fast)
     lease_timeout_ms: int | None = field(default=None, repr=False)
+    # lease held by an enclosing leased() section, reused by _append
+    _held_lease: object = field(default=None, repr=False)
+    # True once max(seq) was re-read under the CURRENT lease — it
+    # cannot change while the lease is held, so later mutations in the
+    # same leased section reuse the cached floor instead of re-running
+    # the log aggregation (an ingest micro-batch doing upsert +
+    # tombstones was paying the max(seq) driver job twice)
+    _seq_synced: bool = field(default=False, repr=False)
 
     # --- DDL -------------------------------------------------------
     def ensure_exists(self) -> "VectorCollection":
@@ -128,8 +136,35 @@ class VectorCollection:
             lease_path=self.path.rstrip("/") + "._lease", **kw,
         )
 
+    def leased(self):
+        """Hold ONE writer lease across several mutations — the ingest
+        micro-batch shape (upsert + tombstones in one batch). Each
+        mutation inside the section skips its own acquire/release AND
+        the per-mutation max(seq) re-read: seq cannot advance while the
+        lease is held, so the first mutation's re-read floors the whole
+        section. compact() inside the section reuses the held lease
+        (it would otherwise deadlock against it)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _section():
+            lease = self._writer_lease()
+            self._held_lease = lease
+            self._seq_synced = False
+            try:
+                yield lease
+            finally:
+                self._held_lease = None
+                self._seq_synced = False
+                lease.release()
+
+        return _section()
+
     def _append(self, df: DataFrame, stamp_seq: bool = False) -> None:
-        lease = self._writer_lease()
+        held = self._held_lease
+        lease = held if held is not None else self._writer_lease()
+        if held is None:
+            self._seq_synced = False  # fresh acquisition, fresh floor
         try:
             if stamp_seq:
                 # seq is assigned INSIDE the leased section, re-synced
@@ -145,7 +180,8 @@ class VectorCollection:
                 ).select(*[f.name for f in collection_schema(self.dim).fields])
             df.write.mode("append").parquet(self.path)
         finally:
-            lease.release()
+            if held is None:
+                lease.release()
         self._ivf = None  # any mutation invalidates the ANN index
 
     def _next_seq(self) -> int:
@@ -155,9 +191,17 @@ class VectorCollection:
         bounded) and floors it with the local counter, so a reopened
         or concurrent collection always orders its writes ABOVE the
         existing log — or deletes/upserts would silently lose to
-        history. Callers must hold the writer lease (see _append)."""
+        history. Callers must hold the writer lease (see _append).
+
+        The re-read runs ONCE per lease acquisition: max(seq) cannot
+        change while the lease is held, so later calls in the same
+        leased section (an ingest batch's upsert + tombstones) reuse
+        the cached floor instead of re-running the log aggregation."""
         from pyspark.errors import AnalysisException
 
+        if self._seq_synced:
+            self._seq += 1
+            return self._seq
         try:
             row = self._log().agg(F.max("seq").alias("m")).collect()[0]
             log_max = int(row.m or 0)
@@ -171,6 +215,7 @@ class VectorCollection:
                 raise
             log_max = 0
         self._seq = max(self._seq, log_max) + 1
+        self._seq_synced = True
         return self._seq
 
     def _validated(self, df: DataFrame) -> DataFrame:
@@ -419,12 +464,20 @@ class VectorCollection:
         Holds the writer lease from BEFORE the snapshot read to after
         the swap: an append landing in that window would otherwise be
         renamed into ``._old`` and deleted with it (or recreate the
-        live path mid-swap and wedge the rollback)."""
-        lease = self._writer_lease()
+        live path mid-swap and wedge the rollback). Auto-heartbeated:
+        a compaction longer than the lease TTL (plausible on the large
+        logs this targets) would otherwise present an EXPIRED lease,
+        letting a concurrent session legitimately break it mid-swap and
+        delete the racing append with ``._old`` — the same reason
+        rebuild_ivf heartbeats across its refit."""
+        held = self._held_lease
+        lease = held if held is not None else self._writer_lease()
         try:
+            lease.start_auto_heartbeat()
             self._compact_locked()
         finally:
-            lease.release()
+            if held is None:
+                lease.release()
 
     def _compact_locked(self) -> None:
         snap = self.snapshot().withColumn("op", F.lit("upsert")).withColumn(
@@ -438,6 +491,7 @@ class VectorCollection:
         # intact at path+'._old' (recoverable), never a missing path.
         snap.write.mode("overwrite").parquet(tmp)
         self._seq = 0  # re-derive from the rewritten log on next write
+        self._seq_synced = False  # the cached floor references old seqs
         self._ivf = None  # index plans reference the replaced files
         hpath = self.spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
         # path-resolved FS, not the cluster default (they can differ)

@@ -21,14 +21,23 @@ This module turns both misuses into fail-fast errors: at most one
 live writer per guarded path.
 
 Mechanics — built from the SAME primitive the commit protocol trusts:
-rename-without-overwrite. The Hadoop FileSystem contract fails a
-rename whose destination FILE exists (HDFS does; LocalFileSystem's
-checksum layer does too — probed empirically on this stack: rename
-onto an existing file returns False and leaves both files intact; on
-object stores without atomic rename, point this at a conditional-put
-like the manifest commit). Destinations here are always files, never
+the pluggable atomic JSON publish (operators/publish.py, selected by
+a per-store capability probe): stage+rename-without-overwrite where
+rename is exclusive (HDFS/local — probed empirically on this stack:
+rename onto an existing file returns False and leaves both files
+intact), conditional create (If-None-Match) on S3-like stores whose
+rename is copy+delete. Destinations here are always files, never
 directories (renaming onto an existing DIRECTORY moves the source
 into it).
+
+Portability residual, stated plainly: lease PUBLISH (acquire into an
+empty slot, heartbeat republish, release) inherits whichever backend
+the probe selected — portable. The expired-lease BREAK and the
+tombstone take-aside still use rename, which on a conditional-put
+store is copy+delete (not atomic): there, a dead writer's lease is
+cleared by the operator restarting with ``steal=True`` rather than by
+racing automatic breakers. The commit protocol itself has no such
+path (every manifest publish is a fresh versioned filename).
 
   - ``acquire_writer_lease`` stages ``.tmp-*`` and renames it onto the
     lease file; rename success IS acquisition. A fresh existing lease
@@ -120,6 +129,7 @@ class WriterLease:
         self.lost = False
         self._hb_lock = threading.Lock()
         self._stop = threading.Event()
+        self._auto_hb = False
         # default location: inside the ledger's _commits dir; swapped
         # layouts pass sibling_lease_path(path) instead.
         self._lease_path = lease_path or f"{path}/{_COMMITS}/{LEASE_FILE}"
@@ -187,23 +197,47 @@ class WriterLease:
         write — someone else's maintenance may now reclaim its
         staging). Thread-safe: the per-batch call and the
         auto-heartbeat thread serialize on an in-process lock, so two
-        of OUR OWN heartbeats can't race each other's republish."""
+        of OUR OWN heartbeats can't race each other's republish.
+
+        Tombstone-based like release(): the lease file is atomically
+        renamed aside BEFORE ownership is verified. A read-check-then-
+        delete would open a window where an expired-lease breaker plus
+        a new acquirer publish a fresh lease between our read and our
+        delete — which the delete then destroys, yielding two live
+        writers. With the take-aside, whatever we verify is exclusively
+        ours to delete; anyone else's fresh lease makes the take return
+        their record, which we restore untouched and fail fast."""
         with self._hb_lock:
             if self.lost:
                 raise LedgerLockedError(
                     f"writer lease for {self.path} already lost"
                 )
-            cur = self._read()
-            if cur is None or cur.get("owner") != self.owner:
+            taken = self._take_aside()
+            if taken is None:
+                # no lease file (broken and not yet re-published) or a
+                # concurrent taker won the rename — either way the
+                # lease is no longer ours to refresh.
+                self.lost = True
+                raise LedgerLockedError(
+                    f"writer lease for {self.path} lost (lease file "
+                    "absent or taken by a breaker) — aborting: continuing "
+                    "could publish into a layout another writer is "
+                    "compacting/vacuuming/swapping"
+                )
+            tomb, rec = taken
+            fs, hpath = _fs(self._spark, self.path)
+            if rec is None or rec.get("owner") != self.owner:
+                # someone else's lease — put it back exactly as found
+                self._restore_or_drop(tomb)
                 self.lost = True
                 raise LedgerLockedError(
                     f"writer lease for {self.path} lost (now held by "
-                    f"{cur.get('owner', '<none>') if cur else '<none>'}) — "
+                    f"{rec.get('owner', '<none>') if rec else '<none>'}) — "
                     "aborting: continuing could publish into a layout "
                     "another writer is compacting/vacuuming/swapping"
                 )
-            fs, hpath = _fs(self._spark, self.path)
-            fs.delete(hpath(self._lease_path), False)
+            # exclusively ours: drop the tombstone, republish fresh
+            fs.delete(hpath(tomb), False)
             if not self._try_publish():
                 self.lost = True
                 raise LedgerLockedError(
@@ -219,7 +253,12 @@ class WriterLease:
         maintenance, then fail its next real batch. Transient FS
         errors are retried next tick; a genuine loss sets ``lost``
         and stops the thread (the holder's next explicit heartbeat
-        raises)."""
+        raises). Idempotent: a second call on the same lease is a
+        no-op, so a leased section whose body also heartbeats (compact
+        inside leased()) can't stack threads."""
+        if self._auto_hb:
+            return
+        self._auto_hb = True
         interval = interval_s if interval_s is not None else max(
             1.0, self.ttl_ms / 3000.0
         )

@@ -78,6 +78,24 @@ from .mutation import upsert_last_writer
 
 N_BUCKETS_DEFAULT = 64
 _COMMITS = "_commits"
+# monotonic current-version HINT at `_commits/_latest`, refreshed on
+# every publish: appends/reads resolve the current version in O(1)
+# instead of listing `_commits/` — which is O(#commits-ever) per
+# append on a defaults-only stream (the r11 soak measured 194
+# listings' fresh drift at 1.48× vs 1.04× with retention armed). The
+# hint is NEVER trusted blindly: resolution forward-probes past it
+# (concurrent publishes may have landed after the hint write) and
+# falls back to the full listing whenever the hint is missing, torn,
+# or points at a reclaimed commit — so a crash between publish and
+# hint refresh costs one fallback, never a wrong version.
+_LATEST = "_latest"
+# stamped inside every staged generation dir BEFORE its data files:
+# vacuum's stage-grace check reads this instead of the directory
+# mtime, which is synthetic (often 0) on object stores and reflects
+# staging START on HDFS — either way losing the in-flight protection
+# exactly when a staged write runs long. Underscore-prefixed, so
+# Spark's file index treats it as hidden and readers never see it.
+_STAGED_MARKER = "_staged_at"
 
 
 # --- manifest protocol ------------------------------------------------------
@@ -139,27 +157,61 @@ def _read_json(spark: SparkSession, path: str) -> dict:
 
 
 def _stage_rename_json(spark: SparkSession, target: str, payload: dict) -> bool:
-    """Atomically publish ``payload`` as the JSON file at ``target``:
-    stage to a dot-tmp sibling, then ONE rename-without-overwrite —
-    True iff the rename won (False = the target already exists; the
-    staged tmp is cleaned up). Rename onto an existing FILE fails
-    without clobbering on HDFS and on LocalFileSystem's checksum layer
-    (probed empirically); on object stores without atomic rename,
-    point THIS helper at a conditional-put and every caller — manifest
-    commit and writer lease alike — inherits it."""
-    fs, hpath = _fs(spark, target)
-    parent, name = target.rsplit("/", 1)
-    fs.mkdirs(hpath(parent))
-    tmp = hpath(f"{parent}/.tmp-{name}-{uuid.uuid4().hex}.json")
-    out = fs.create(tmp, True)
+    """Atomically publish ``payload`` as the JSON file at ``target`` —
+    True iff this caller owns the file (False = it already exists).
+    THE shared publish half of the commit/lease plumbing; every
+    manifest commit and writer lease goes through here.
+
+    Pluggable (operators/publish.py): the first publish against each
+    store probes its actual semantics and selects the backend —
+    stage+rename-without-overwrite where rename is exclusive
+    (HDFS/local), conditional create (the If-None-Match shape) where
+    it is not (S3-like copy+delete rename — Ceph RGW, the reference's
+    own backend), and a fail-fast error where neither holds: a publish
+    race that loses commits silently must never run."""
+    from .publish import HadoopFsOps, backend_for
+
+    ops = HadoopFsOps(spark, target)
+    parent = target.rsplit("/", 1)[0]
+    backend = backend_for(ops, parent, ops.scheme_authority(target))
+    return backend.publish_json(target, payload)
+
+
+def _write_latest_hint(spark: SparkSession, path: str, version: int) -> None:
+    """Best-effort refresh of the `_commits/_latest` pointer after a
+    publish. Plain overwrite (NOT the exclusive publish — the hint is
+    mutable by design); any failure or torn write is absorbed by
+    resolution's fallback-to-listing, so this never raises."""
     try:
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
-    if fs.rename(tmp, hpath(target)):
-        return True
-    fs.delete(tmp, False)
-    return False
+        from .publish import HadoopFsOps
+
+        HadoopFsOps(spark, path).create_bytes(
+            f"{path}/{_COMMITS}/{_LATEST}",
+            json.dumps({"version": int(version)}).encode("utf-8"),
+            overwrite=True,
+        )
+    except Exception:
+        pass
+
+
+def _current_version(spark: SparkSession, path: str) -> int | None:
+    """The highest committed version, O(1) in commit history: read the
+    `_latest` hint, then FORWARD-PROBE (commits are consecutive
+    integers, so any publish that landed after the hint write is found
+    by existence checks — normally zero or one). The full `_commits/`
+    listing runs only when the hint is absent/torn/reclaimed — the
+    cold path a crash between publish and hint refresh costs once."""
+    fs, hpath = _fs(spark, path)
+    try:
+        v = int(_read_json(spark, f"{path}/{_COMMITS}/{_LATEST}")["version"])
+    except Exception:
+        v = None
+    if v is not None and fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}")):
+        while fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(v + 1)}")):
+            v += 1
+        return v
+    listed = _list_commit_versions(spark, path)
+    return listed[-1][0] if listed else None
 
 
 def _read_manifest(spark: SparkSession, path: str, version: int) -> dict[int, str]:
@@ -174,19 +226,22 @@ def current_manifest(spark: SparkSession, path: str, version: int | None = None)
     """(version, {bucket_id(int) -> gen(int)}) of the highest commit —
     or of the requested ``version`` (time travel; raises if that
     commit doesn't exist). (None, {}) if the base has never been
-    committed. Listing `_commits/` is O(#merges) tiny JSON names; no
-    data dirs are touched."""
-    listed = _list_commit_versions(spark, path)
+    committed. O(1) in commit-history size: the current version comes
+    from the `_latest` hint (+ forward probe), an explicit ``version``
+    from one existence check — the `_commits/` listing runs only as
+    the hint's fallback, so a defaults-only append stream no longer
+    pays an O(#commits-ever) listing per batch."""
     if version is not None:
-        if not any(v == version for v, _ in listed):
+        fs, hpath = _fs(spark, path)
+        if not fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(version)}")):
             raise FileNotFoundError(
                 f"commit v{version} not found under {path}"
             )
         best = version
-    elif listed:
-        best = listed[-1][0]
     else:
-        return None, {}
+        best = _current_version(spark, path)
+        if best is None:
+            return None, {}
     return best, _read_manifest(spark, path, best)
 
 
@@ -208,6 +263,9 @@ def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> Non
             f"merge commit v{version} lost the publish race for {path} "
             "(another writer committed this version); retry the merge"
         )
+    # refresh the O(1)-resolution pointer (best effort — resolution
+    # forward-probes past a stale hint and falls back to listing)
+    _write_latest_hint(spark, path, version)
 
 
 def describe_history(spark: SparkSession, path: str) -> DataFrame:
@@ -300,14 +358,25 @@ def vacuum(
         if not name.startswith("gen="):
             continue
         g = name.split("=", 1)[1]
-        if (
-            grace_cutoff_ms is not None
-            and g not in referenced_ever
-            and st.getModificationTime() > grace_cutoff_ms
-        ):
-            # never committed + younger than the grace: possibly a
-            # writer's in-flight staging — leave it for a later pass
-            continue
+        if grace_cutoff_ms is not None and g not in referenced_ever:
+            # staging age comes from the _staged_at marker's embedded
+            # timestamp (stamped before the data files) — dir mtimes
+            # are synthetic on object stores and staging-start on
+            # HDFS, so a long staged write would lose the protection
+            # exactly when it needs it. Markerless dirs (pre-marker
+            # stages) fall back to the mtime, best effort.
+            try:
+                staged_ms = int(
+                    _read_json(
+                        spark, f"{path}/{name}/{_STAGED_MARKER}"
+                    )["staged_at_ms"]
+                )
+            except Exception:
+                staged_ms = st.getModificationTime()
+            if staged_ms > grace_cutoff_ms:
+                # never committed + younger than the grace: possibly a
+                # writer's in-flight staging — leave it for a later pass
+                continue
         kept_here = False
         for sub in fs.listStatus(st.getPath()):
             sname = sub.getPath().getName()
@@ -411,14 +480,31 @@ def _staged_write(
     concurrent merge stages elsewhere and a crashed attempt's partial
     files become unreferenced orphans that vacuum() reclaims. Returns
     the surviving bucket ids (ids only reach the driver)."""
+    # stamp the staging-start marker FIRST: vacuum's stage-grace reads
+    # its embedded timestamp (explicit writer-clock epoch ms) rather
+    # than the gen dir's mtime, which object stores synthesize and
+    # HDFS pins to staging start — so an in-flight staged write longer
+    # than the grace stays protected for the grace measured from THIS
+    # stamp. Clock skew between writer and vacuumer bounds the
+    # guarantee, as with any lease/grace protocol here.
+    import time as _time
+
+    _stage_rename_json(
+        spark,
+        f"{path}/gen={gen}/{_STAGED_MARKER}",
+        {"staged_at_ms": int(_time.time() * 1000), "gen": gen},
+    )
     # repartition on the partition column first: without it every
     # shuffle partition writes a sliver into every bucket dir
     # (buckets × partitions small files — measured 512 files for a
     # 16-bucket base on local[32]); with it, the write tasks stay
     # bucket-aligned at any cluster size (see _bucket_aligned for
-    # the giant-bucket multiplier)
+    # the giant-bucket multiplier). mode('append'), NOT 'overwrite':
+    # the gen dir is per-attempt unique (write-once), and a static
+    # overwrite would delete the marker just stamped; append into the
+    # fresh dir writes the identical data.
     _bucket_aligned(result, n_buckets, files_per_bucket).write.mode(
-        "overwrite"
+        "append"
     ).partitionBy("_kb").parquet(f"{path}/gen={gen}")
     return [r._kb for r in result.select("_kb").distinct().collect()]
 

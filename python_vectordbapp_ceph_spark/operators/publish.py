@@ -1,0 +1,323 @@
+"""Pluggable ATOMIC-PUBLISH backends for the commit/lease protocol.
+
+Every durability guarantee in this engine funnels through ONE
+primitive: "make this small JSON file exist at this path iff nothing
+exists there yet, all-or-nothing" (operators/merge.py publishes
+manifest commits through it; operators/lease.py publishes writer
+leases through it). The r11 implementation realized that primitive as
+stage-to-tmp + rename-without-overwrite — correct on HDFS and on
+LocalFileSystem's checksum layer (both fail a rename whose destination
+file exists, probed empirically), but SILENTLY WRONG on the store the
+reference actually targets: Ceph RGW S3 (s3vectors-app/
+rook-resources.yaml, pythonvectordbceph.py:93-119). There `s3a://`
+rename is client-side copy+delete — it is neither atomic nor
+failing-on-existing, so two racing committers both "win" and the
+last copy silently replaces the first: lost commits, dual writers.
+
+This module makes the publish primitive pluggable and SELF-CHECKING:
+
+  - :class:`RenamePublish` — the r11 behavior. Content-atomic (the
+    tmp file is complete before the rename) and exclusive wherever
+    rename-onto-existing-file fails (HDFS, local). The right default
+    for real filesystems.
+  - :class:`ConditionalPutPublish` — create-if-absent, the
+    ``If-None-Match: *`` shape. One exclusive create straight onto the
+    target: on object stores a PUT is all-or-nothing (an object is
+    never visible half-written) and the conditional header makes it
+    first-writer-wins — S3 has supported `If-None-Match: *` on PUT
+    since 2024-08 and Hadoop ≥3.4.1 exposes it as
+    ``fs.s3a.create.conditional.enabled``, surfacing through the very
+    FileSystem.create(path, overwrite=false) call this backend makes.
+    On plain HDFS, create-exclusive is atomic for EXCLUSIVITY but not
+    for content (a reader can see a partially-written file), which is
+    why rename stays the filesystem default.
+  - :func:`probe_publish_capability` — writes two throwaway files in
+    the guarded directory and OBSERVES the store's actual semantics:
+    does rename-onto-existing fail cleanly, does create-exclusive
+    reject an existing target? Run once per (scheme, authority) and
+    cached for the process.
+  - :func:`backend_for` — the selection policy, called lazily at the
+    first publish against each store ("ledger open"): rename where
+    the probe proves it exclusive; otherwise conditional-put where
+    the probe proves create-exclusive rejects; otherwise FAIL FAST
+    with the probe's evidence — never fall through to a publish whose
+    loss mode is silent.
+
+Everything is written against the five-method :class:`FsOps`
+interface, so the contract tests drive the two backends and the probe
+against a pure-Python fake whose rename mimics S3 (copy+delete,
+overwrites an existing destination, "succeeds" for both racers) — the
+proof that the probe catches exactly the store the rename backend
+would corrupt.
+
+Known residual (documented, not hidden): the LEASE-BREAK path
+(operators/lease.py _take_aside) still requires atomic rename — a
+conditional-put store gets portable lease PUBLISH (acquire/heartbeat/
+release of one's own lease) but breaking an expired lease left by a
+dead writer is not atomic there; operators restart with steal=True
+instead, which take-aside degrades to. The commit protocol itself has
+no such path: every manifest publish is a fresh versioned filename.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import uuid
+
+_log = logging.getLogger(__name__)
+
+
+class FsOps:
+    """The five filesystem operations the publish protocol needs.
+
+    Implementations: :class:`HadoopFsOps` (production — wraps the
+    path-resolved Hadoop FileSystem) and the contract tests' fake
+    object store. Paths are plain strings; directories are implicit
+    (mkdirs before create where the store needs it).
+    """
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def create_bytes(self, path: str, data: bytes, overwrite: bool) -> None:
+        """Write ``data`` as the complete content of ``path``.
+        ``overwrite=False`` is the CONDITIONAL create: must raise
+        FileExistsError if the path already exists (the If-None-Match
+        contract; atomic first-writer-wins on stores that support
+        conditional writes)."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Move src to dst, returning False on failure. The publish
+        protocol only trusts this where the capability probe has shown
+        a rename onto an EXISTING dst fails without clobbering it."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class HadoopFsOps(FsOps):
+    """FsOps over the Hadoop FileSystem resolved FROM the path (s3a://,
+    hdfs://, file:// — not the cluster default FS; they routinely
+    differ)."""
+
+    def __init__(self, spark, path: str):
+        jvm = spark._jvm  # noqa: SLF001
+        self._hpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._hpath(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        self._jvm = jvm
+
+    def scheme_authority(self, path: str) -> tuple[str, str]:
+        uri = self._hpath(path).toUri()
+        return (uri.getScheme() or "file", uri.getAuthority() or "")
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._hpath(path)))
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._hpath(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def create_bytes(self, path: str, data: bytes, overwrite: bool) -> None:
+        p = self._hpath(path)
+        parent = p.getParent()
+        if parent is not None:
+            self._fs.mkdirs(parent)
+        try:
+            out = self._fs.create(p, bool(overwrite))
+        except Exception as e:  # Py4J wraps FileAlreadyExistsException
+            if not overwrite and "xists" in str(e):
+                raise FileExistsError(path) from e
+            raise
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def rename(self, src: str, dst: str) -> bool:
+        try:
+            return bool(self._fs.rename(self._hpath(src), self._hpath(dst)))
+        except Exception:
+            return False
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._hpath(path), False)
+
+
+# --- backends ----------------------------------------------------------------
+
+
+class RenamePublish:
+    """Stage-to-tmp + rename-without-overwrite (the r11 protocol).
+    Content-atomic everywhere (the tmp is complete before the rename);
+    EXCLUSIVE only where rename-onto-existing fails — which is what
+    the capability probe verifies before this backend is selected."""
+
+    name = "rename"
+
+    def __init__(self, ops: FsOps):
+        self._ops = ops
+
+    def publish_json(self, target: str, payload: dict) -> bool:
+        parent, fname = target.rsplit("/", 1)
+        tmp = f"{parent}/.tmp-{fname}-{uuid.uuid4().hex}.json"
+        self._ops.create_bytes(
+            tmp, json.dumps(payload).encode("utf-8"), overwrite=True
+        )
+        if self._ops.rename(tmp, target):
+            return True
+        self._ops.delete(tmp)
+        return False
+
+
+class ConditionalPutPublish:
+    """Create-if-absent straight onto the target — the
+    ``If-None-Match: *`` shape. First-writer-wins exclusivity comes
+    from the store's conditional-write support (S3 conditional PUT /
+    Hadoop ≥3.4.1 ``fs.s3a.create.conditional.enabled``); content
+    atomicity from the object-store PUT contract (an object is never
+    visible partially written). The backend for stores whose rename is
+    copy+delete."""
+
+    name = "conditional-put"
+
+    def __init__(self, ops: FsOps):
+        self._ops = ops
+
+    def publish_json(self, target: str, payload: dict) -> bool:
+        try:
+            self._ops.create_bytes(
+                target, json.dumps(payload).encode("utf-8"), overwrite=False
+            )
+            return True
+        except FileExistsError:
+            return False
+
+
+# --- capability probe ---------------------------------------------------------
+
+
+def probe_publish_capability(ops: FsOps, probe_dir: str) -> dict:
+    """OBSERVE the store's publish-relevant semantics with two
+    throwaway dot-files under ``probe_dir`` (hidden from Spark's file
+    index and from the commit listing's ``v*.json`` filter):
+
+      - ``rename_exclusive``: a rename onto an existing file FAILS and
+        leaves the existing content intact (the property the rename
+        backend's whole safety rests on — false on S3-like stores
+        where rename is copy+delete);
+      - ``conditional_create``: create(overwrite=False) onto an
+        existing file raises instead of replacing it (the property the
+        conditional-put backend rests on).
+
+    Returns ``{"rename_exclusive": bool, "conditional_create": bool}``.
+    Cost: two tiny writes + one rename + cleanup — run once per
+    (scheme, authority) per process by :func:`backend_for`."""
+    token = uuid.uuid4().hex[:8]
+    a = f"{probe_dir}/.probe-{token}-a"
+    b = f"{probe_dir}/.probe-{token}-b"
+    caps = {"rename_exclusive": False, "conditional_create": False}
+    try:
+        ops.create_bytes(a, b"A", overwrite=True)
+        ops.create_bytes(b, b"B", overwrite=True)
+        renamed = ops.rename(b, a)
+        survived = False
+        try:
+            survived = ops.read_bytes(a) == b"A"
+        except Exception:
+            survived = False
+        caps["rename_exclusive"] = (not renamed) and survived
+        # re-arm the target for the conditional probe (the rename may
+        # have consumed/overwritten it on a non-exclusive store)
+        ops.create_bytes(a, b"A", overwrite=True)
+        try:
+            ops.create_bytes(a, b"C", overwrite=False)
+            caps["conditional_create"] = False  # replaced silently
+        except FileExistsError:
+            caps["conditional_create"] = ops.read_bytes(a) == b"A"
+    finally:
+        for p in (a, b):
+            try:
+                ops.delete(p)
+            except Exception:
+                pass
+    return caps
+
+
+class UnsafePublishStoreError(RuntimeError):
+    """The store supports NEITHER exclusive rename nor conditional
+    create: no available backend can make a commit/lease publish
+    first-writer-wins, so the protocol refuses to run rather than
+    losing commits silently."""
+
+
+# (scheme, authority) -> selected backend name; probes run once per
+# store per process — the "ledger open" gate
+_BACKEND_CACHE: dict[tuple[str, str], str] = {}
+# test/ops override: force a backend name for every store ("rename" /
+# "conditional-put"), or None for probe-selected
+_FORCED_BACKEND: str | None = None
+
+
+def force_publish_backend(name: str | None) -> None:
+    """Override backend selection process-wide (ops escape hatch and
+    the contract tests' lever). ``None`` restores probe-based
+    selection; forcing also clears the probe cache so the next publish
+    re-selects."""
+    global _FORCED_BACKEND
+    if name not in (None, "rename", "conditional-put"):
+        raise ValueError(f"unknown publish backend {name!r}")
+    _FORCED_BACKEND = name
+    _BACKEND_CACHE.clear()
+
+
+def backend_for(ops: FsOps, probe_dir: str, store_key: tuple[str, str]):
+    """The publish backend for the store identified by ``store_key``
+    ((scheme, authority)), probing its capabilities on first use:
+
+      1. rename-exclusive stores → :class:`RenamePublish` (content-
+         atomic AND exclusive — strictly strongest);
+      2. else conditional-create stores → :class:`ConditionalPutPublish`
+         (logged once: the operator should know the store's rename is
+         unsafe and which backend replaced it);
+      3. else → :class:`UnsafePublishStoreError`, immediately — a
+         publish that can silently lose a commit must never run.
+    """
+    chosen = _FORCED_BACKEND or _BACKEND_CACHE.get(store_key)
+    if chosen is None:
+        caps = probe_publish_capability(ops, probe_dir)
+        if caps["rename_exclusive"]:
+            chosen = "rename"
+        elif caps["conditional_create"]:
+            chosen = "conditional-put"
+            _log.warning(
+                "publish: store %s://%s renames onto existing files "
+                "(S3-like copy+delete) — selected the conditional-put "
+                "backend instead of the rename protocol",
+                store_key[0], store_key[1],
+            )
+        else:
+            raise UnsafePublishStoreError(
+                f"store {store_key[0]}://{store_key[1]} supports neither "
+                "exclusive rename nor conditional create "
+                f"(probe: {caps}); refusing to publish commits/leases "
+                "whose races would be silently lost. Use a store with "
+                "conditional writes (e.g. S3 conditional PUT via "
+                "fs.s3a.create.conditional.enabled) or HDFS/local."
+            )
+        _BACKEND_CACHE[store_key] = chosen
+    return (
+        RenamePublish(ops) if chosen == "rename" else ConditionalPutPublish(ops)
+    )

@@ -91,6 +91,13 @@ SIDECAR_UNION_WARN_BYTES = 32 << 20
 _SIDECAR_M_CACHE: dict[tuple[str, str], tuple[int, int | None, int | None]] = {}
 
 
+def _is_integral(dtype: str) -> bool:
+    """True for Spark integral dtypes — the only key types the
+    kmin/kmax zonemap is sound for (string min/max is lexicographic;
+    long-cast string ranges can invert and mis-prune)."""
+    return dtype in ("tinyint", "smallint", "int", "bigint")
+
+
 def _bloom_m(n_keys: int) -> int:
     m = BLOOM_M
     target = 16 * max(1, int(n_keys))
@@ -139,11 +146,20 @@ def _write_sidecar(spark: SparkSession, path: str, gen: str) -> None:
         F.max("doc_id").alias("kmax"),
     ).collect()[0]
     m = _bloom_m(stats.n)
+    # The zonemap is only meaningful for INTEGRAL doc_ids: on a
+    # string-keyed ledger min/max is LEXICOGRAPHIC ("10" < "9"), so
+    # casting it to long can produce an inverted range that wrongly
+    # prunes a container holding a real redelivery — a dedup false
+    # negative. Non-integral ledgers write null kmin/kmax = this
+    # container is always probed (bloom still prunes the work).
+    integral = _is_integral(dict(staged.dtypes).get("doc_id", ""))
+    kmin = stats.kmin if integral else None
+    kmax = stats.kmax if integral else None
     (
         bloom_build_packed(staged.select("doc_id"), "doc_id", BLOOM_K, m)
         .withColumn("m", F.lit(m))
-        .withColumn("kmin", F.lit(stats.kmin).cast("long"))
-        .withColumn("kmax", F.lit(stats.kmax).cast("long"))
+        .withColumn("kmin", F.lit(kmin).cast("long"))
+        .withColumn("kmax", F.lit(kmax).cast("long"))
         .write.mode("overwrite")
         .parquet(f"{path}/gen={gen}/_bloom")
     )
@@ -239,17 +255,26 @@ def dedup_against_ledger(
         # container whose committed key range is disjoint from the
         # batch cannot hold a redelivery, so its bloom never loads and
         # its keys are never verified. Unknown ranges (legacy
-        # sidecars) are conservatively probed.
-        rng = docs.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).collect()[0]
-        if rng.lo is None:
-            return docs  # empty batch
-        probe_bs = [
-            b for b in sorted(live)
-            if meta_by_b[b][1] is None or meta_by_b[b][2] is None
-            or (meta_by_b[b][1] <= rng.hi and rng.lo <= meta_by_b[b][2])
-        ]
+        # sidecars) are conservatively probed. Only sound for INTEGRAL
+        # doc_ids (matching _write_sidecar's gate): a string-keyed
+        # batch would compare str min/max against the sidecars' long
+        # kmin/kmax — TypeError on numeric strings, and lexicographic
+        # ranges mis-prune anyway — so non-integral keys skip the
+        # prune and probe every container (bloom still bounds the
+        # work; no correctness loss, only the range fast-path).
+        if _is_integral(dict(docs.dtypes).get("doc_id", "")):
+            rng = docs.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).collect()[0]
+            if rng.lo is None:
+                return docs  # empty batch
+            probe_bs = [
+                b for b in sorted(live)
+                if meta_by_b[b][1] is None or meta_by_b[b][2] is None
+                or (meta_by_b[b][1] <= rng.hi and rng.lo <= meta_by_b[b][2])
+            ]
+        else:
+            probe_bs = sorted(live)
         if not probe_bs:
             return docs  # whole history is range-disjoint: no dups possible
         keys = docs.select("doc_id").distinct()

@@ -1451,36 +1451,101 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cogroup_udf",
     oracle="""
-    WITH c AS (SELECT c_custkey AS custkey, COUNT(*) AS n_cust
-               FROM customer GROUP BY 1),
-         o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders
-               FROM orders GROUP BY 1)
-    SELECT COALESCE(c.custkey, o.custkey) AS custkey,
-           COALESCE(c.n_cust, 0) AS n_cust,
-           COALESCE(o.n_orders, 0) AS n_orders
-    FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+    SELECT c.c_custkey AS custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(SUM(CAST(o.o_totalprice * 100 AS BIGINT)), 0)
+               AS spend_cents,
+           strftime(MAX(o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order,
+           CASE WHEN COUNT(o.o_orderkey) > 0 THEN 'active' ELSE 'dormant' END
+               AS standing
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
     """,
 )
 def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas (SURVEY C32's fourth Python surface
     beside scalar/grouped-agg/UDTF): both sides arrive grouped on the
-    key in one Arrow batch each — the custom-merge shape (as-of
-    resolution, conflict merge) that a join + UDF can't express as
-    directly. Integer counts only, so the Python path stays exact."""
+    key in one Arrow batch each — the custom-merge shape (per-customer
+    order-vs-profile reconciliation emitting one resolved row). The
+    per-key work here (decimal-exact spend in cents, last order stamp,
+    standing flag) is vectorized pandas inside the batch; this demo's
+    particular merge is SQL-expressible on purpose — that is what the
+    oracle checks.
+
+    THE PER-GROUP-OVERHEAD REGIME (r11 verdict's one perf-weak): a
+    cogrouped UDF pays ~1-2 ms of fixed Arrow/pandas invocation cost
+    PER GROUP, independent of group size. Cogrouping on the raw
+    custkey made 15k single-row groups whose 25 s warm wall was pure
+    overhead (a groupBy().count() computes that shape in 0.3 s).
+    The key choice must amortize the fixed cost: we cogroup on a HASH
+    BUCKET of the customer key (64 buckets → thousands of rows per
+    Arrow batch, per-group overhead amortized to noise) and run the
+    per-customer reconciliation vectorized WITHIN the batch — the
+    same composite-key trick any pandas-cogroup pipeline should use.
+    Buckets are a pure function of the key, so no customer straddles
+    batches. At larger scale, grow the bucket count with data volume:
+    enough groups to parallelize and fit executor memory (~10⁴-10⁶
+    rows each), never so many that overhead dominates."""
     import pandas as pd
 
-    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-
-    def merge(key, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {"custkey": [key[0]], "n_cust": [len(left)], "n_orders": [len(right)]}
+    N_BUCKETS = 64
+    c = (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("custkey"))
+        .withColumn("_b", F.pmod(F.xxhash64("custkey"), F.lit(N_BUCKETS)))
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey", "o_totalprice", "o_orderdate",
         )
+        .withColumn("_b", F.pmod(F.xxhash64("custkey"), F.lit(N_BUCKETS)))
+    )
+
+    def reconcile(key, profiles: "pd.DataFrame", orders: "pd.DataFrame") -> "pd.DataFrame":
+        # the price column is a 2-decimal-valued double: ×100 lands
+        # within float ulps of an integer, so round-to-nearest is the
+        # exact cents value (matching the oracle's CAST(x*100 AS
+        # BIGINT), which DuckDB rounds) — integers from here on
+        if len(orders):
+            agg = (
+                orders.assign(
+                    cents=(orders["o_totalprice"] * 100).round().astype("int64")
+                )
+                .groupby("custkey")
+                .agg(
+                    n_orders=("o_orderkey", "size"),
+                    spend_cents=("cents", "sum"),
+                    last=("o_orderdate", "max"),
+                )
+                .reset_index()
+            )
+        else:
+            agg = pd.DataFrame(
+                {"custkey": [], "n_orders": [], "spend_cents": [], "last": []}
+            )
+        out = profiles[["custkey"]].merge(agg, on="custkey", how="left")
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["spend_cents"] = out["spend_cents"].fillna(0).astype("int64")
+        out["last_order"] = out["last"].map(
+            lambda t: t.strftime("%Y-%m-%d %H:%M:%S") if pd.notna(t) else None
+        )
+        out["standing"] = (out["n_orders"] > 0).map(
+            {True: "active", False: "dormant"}
+        )
+        return out[
+            ["custkey", "n_orders", "spend_cents", "last_order", "standing"]
+        ]
 
     return (
-        c.groupBy("custkey")
-        .cogroup(o.groupBy("custkey"))
-        .applyInPandas(merge, schema="custkey long, n_cust long, n_orders long")
+        c.groupBy("_b")
+        .cogroup(o.groupBy("_b"))
+        .applyInPandas(
+            reconcile,
+            schema="custkey long, n_orders long, spend_cents long, "
+                   "last_order string, standing string",
+        )
     )
 
 

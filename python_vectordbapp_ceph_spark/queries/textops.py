@@ -341,12 +341,18 @@ def q_dedup_near_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     CountVectorizer token sets — kept alongside the explicit banding
     implementation for parity with standard pipelines.
 
-    SCALE GATE (documented exclusion, like the closure-oracle family —
-    tools/plans_appendix.md "MLlib-comparison twin"): verified at
-    sf0.1; at sf1 MLlib's approxSimilarityJoin exceeds the 600 s sweep
-    watchdog while the native banding tier (q_dedup_near) runs the
-    same corpus in ~3.9 s. This row exists ONLY as the stock-Spark
-    comparison point; q_dedup_near is the production path at scale."""
+    ############################  SCALE GATE  ############################
+    COMPARISON-TIER ONLY — DO NOT BENCH OR RUN ABOVE sf0.01. Measured
+    walls: >10 MINUTES at sf0.1 and >600 s (sweep watchdog) at sf1,
+    while the native banding tier `q_dedup_near` runs the same corpus
+    in ~1.0 s (sf0.1) / ~3.9 s (sf1). The cost is structural, not
+    tunable: approxSimilarityJoin explodes each document into one row
+    PER HASH TABLE and join-verifies every bucket collision pair —
+    the candidate blowup the banded implementation exists to avoid.
+    This row is correctness-swept at sf0.01 only and excluded from
+    bench.py by measured necessity (tools/plans_appendix.md
+    "MLlib-comparison twin"); `q_dedup_near` is the production path.
+    #######################################################################"""
     from ..operators.dedup import minhash_lsh_mllib
 
     d = T(spark, sf_dir, "documents")

@@ -178,22 +178,26 @@ def ingest_stream(
             # plan, so the model runs exactly once per row — in the
             # write job itself (the reference re-ran it per request,
             # pythonvectordbceph.py:162; round-2 code ran it 3×/batch)
-            if not ups.isEmpty():
-                rows = ups.select(
-                    F.col("key"),
-                    object_url_col(
-                        endpoint, F.col("bucket"), F.col("key")
-                    ).alias("url"),
-                    embed_col.alias("embedding"),
-                    F.col("tags"),
-                    F.lit(None).cast("map<string,string>").alias("props"),
-                    F.col("ingest_ts"),
-                )
-                collection.upsert(rows)
-            if not dels.isEmpty():
-                # tombstones appended straight from the DataFrame — the
-                # delete key set never visits the driver
-                collection.delete_keys_df(dels.select("key").distinct())
+            # ONE leased section for the whole micro-batch: upsert and
+            # tombstones share a single lease acquire/release and a
+            # single max(seq) re-read (seq can't advance while held)
+            with collection.leased():
+                if not ups.isEmpty():
+                    rows = ups.select(
+                        F.col("key"),
+                        object_url_col(
+                            endpoint, F.col("bucket"), F.col("key")
+                        ).alias("url"),
+                        embed_col.alias("embedding"),
+                        F.col("tags"),
+                        F.lit(None).cast("map<string,string>").alias("props"),
+                        F.col("ingest_ts"),
+                    )
+                    collection.upsert(rows)
+                if not dels.isEmpty():
+                    # tombstones appended straight from the DataFrame —
+                    # the delete key set never visits the driver
+                    collection.delete_keys_df(dels.select("key").distinct())
             if compact_log_ratio is not None:
                 collection.maybe_compact(max_log_ratio=compact_log_ratio)
         finally:
