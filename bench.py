@@ -1,8 +1,9 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines — the LAST is the authoritative record:
+Prints THREE JSON lines — the LAST is the authoritative record:
   {"metric": "headline_queries_cold_diagnostics", "queries_cold": ...}
+  {"metric": "rotation_slice", "round": N, "queries_rotation": ...}
   {"metric": "headline_queries_total", "value": <warm total sec>,
    "unit": "sec", "queries": {"q1": sec, ...}, "sf": ...}
 The driver archives a bounded TAIL of stdout, so the warm record
@@ -156,6 +157,41 @@ HEADLINE = [
     "q_vector_sink_roundtrip",  # collection sink write+read (r9)
 ]
 
+# Rotation slice (r11 verdict ask #4): the ~196 registry queries outside
+# the headline set have correctness sweeps but no wall HISTORY. A full-
+# registry bench every round is too slow, so each round additionally
+# times one deterministic slice of them — registry order, chunks of
+# ROTATION_SIZE, slice index = (round - 1) % n_chunks — so every
+# registry query gets a recorded sf0.1 wall once every ~4 rounds. The
+# round is derived from the driver's own BENCH_r{N}.json artifacts at
+# the repo root (round = count + 1), overridable via
+# SPARK_GRAFT_BENCH_ROUND. One permanent exclusion: q_dedup_near_mllib,
+# the stock-MLlib comparison twin whose measured sf0.1 wall exceeds 10
+# minutes by design (see its docstring; native twin q_dedup_near is
+# headline-tracked).
+ROTATION_SIZE = 50
+ROTATION_EXCLUDE = {"q_dedup_near_mllib"}
+
+
+def _bench_round() -> int:
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env:
+        return int(env)
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
+
+
+def rotation_slice(round_no: int) -> tuple[list[str], int, int]:
+    rest = [
+        n for n in QUERIES
+        if n not in set(HEADLINE) and n not in ROTATION_EXCLUDE
+    ]
+    n_chunks = max(1, (len(rest) + ROTATION_SIZE - 1) // ROTATION_SIZE)
+    idx = (round_no - 1) % n_chunks
+    return rest[idx * ROTATION_SIZE:(idx + 1) * ROTATION_SIZE], idx, n_chunks
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,6 +221,18 @@ def main() -> None:
             release_caches()  # LSH/shingle intermediates don't accumulate
         cold[name], warm[name] = runs[0], runs[1]
 
+    # rotation slice: one timed run each (JVM is warm after the
+    # headline pass; these walls are history rows, not the headline
+    # round-over-round signal, so a second warm run isn't paid for)
+    round_no = _bench_round()
+    rot_names, rot_idx, rot_chunks = rotation_slice(round_no)
+    rotation: dict[str, float] = {}
+    for name in rot_names:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        rotation[name] = round(time.time() - t0, 3)
+        release_caches()
+
     total = round(sum(warm.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # TWO records, diagnostics first: the round driver archives only a
@@ -199,6 +247,16 @@ def main() -> None:
         "sf": sf_val,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
+    }))
+    print(json.dumps({
+        "metric": "rotation_slice",
+        "unit": "sec",
+        "sf": sf_val,
+        "round": round_no,
+        "slice_index": rot_idx,
+        "n_slices": rot_chunks,
+        "queries_rotation": rotation,
+        "rotation_total": round(sum(rotation.values()), 3),
     }))
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -30,14 +30,25 @@ rename is copy+delete. Destinations here are always files, never
 directories (renaming onto an existing DIRECTORY moves the source
 into it).
 
-Portability residual, stated plainly: lease PUBLISH (acquire into an
-empty slot, heartbeat republish, release) inherits whichever backend
-the probe selected — portable. The expired-lease BREAK and the
-tombstone take-aside still use rename, which on a conditional-put
-store is copy+delete (not atomic): there, a dead writer's lease is
-cleared by the operator restarting with ``steal=True`` rather than by
-racing automatic breakers. The commit protocol itself has no such
-path (every manifest publish is a fresh versioned filename).
+TWO protocols, selected by the same per-store capability probe that
+selects the publish backend (operators/publish.py):
+
+  - rename-exclusive stores (HDFS/local) → :class:`WriterLease`, the
+    tombstone protocol below: one lease FILE, atomically renamed
+    aside to break/verify/release.
+  - conditional-put stores (S3-like copy+delete rename) →
+    :class:`EpochWriterLease`, FENCING-TOKEN shaped: the lease is the
+    HIGHEST-numbered record in a dedicated ``*.epochs/`` directory and
+    every transition (acquire, heartbeat, break, release) is one
+    conditional create of the NEXT epoch — first-writer-wins without
+    any rename. A successful create is then re-verified against a
+    fresh listing (still the maximum?) so a fenced-out writer whose
+    old next-epoch slot was garbage-collected can never resurrect
+    below the live holder: the holder's current record always exists
+    and always outranks it. This closes the r11 residual where break/
+    take-aside still required atomic rename — on the reference's own
+    backend (Ceph RGW S3) every lease transition is now a conditional
+    PUT, the one primitive that store makes atomic.
 
   - ``acquire_writer_lease`` stages ``.tmp-*`` and renames it onto the
     lease file; rename success IS acquisition. A fresh existing lease
@@ -300,6 +311,201 @@ class WriterLease:
             pass
 
 
+class EpochWriterLease:
+    """Fencing-token writer lease for stores without atomic rename
+    (conditional-put stores: S3-like, probed — see module docstring).
+    Same duck-typed surface as :class:`WriterLease` (``heartbeat``,
+    ``start_auto_heartbeat``, ``release``, ``lost``, ``owner``,
+    ``lease_path``); obtain via :func:`acquire_writer_lease`, which
+    selects the protocol per store.
+
+    State = the highest-numbered record in ``<lease_path>.epochs/``
+    (its OWN directory so scans never pay the commit listing):
+
+      - acquire over an absent/released/expired/stolen max epoch e =
+        conditional create of ``e+1`` — exactly one of any number of
+        racing acquirers/breakers wins, no delete of the loser's file
+        is ever needed (the dead record is simply outranked);
+      - heartbeat = conditional create of ``self.epoch+1`` with a
+        fresh timestamp; a breaker who already took ``epoch+1`` makes
+        the create fail → the displaced writer marks itself lost and
+        raises, never publishing into a layout someone else maintains;
+      - every successful create re-verifies against a fresh listing
+        that it is still the MAXIMUM epoch: the one resurrection
+        hazard (our next-epoch slot was GC'd by a holder now two
+        epochs ahead, so our create "succeeds" below the true max) is
+        caught because the true holder's current record is created
+        BEFORE its predecessor is GC'd, so a listing always shows it;
+      - release = conditional create of ``epoch+1`` carrying
+        ``released: true`` — the next acquirer skips the TTL wait;
+      - GC: after each verified transition the writer deletes records
+        below its own epoch, so the directory holds O(1) files (the
+        current record, transiently its predecessor) instead of one
+        per heartbeat forever.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ttl_ms: int,
+        lease_path: str | None = None,
+        ops=None,
+    ):
+        self.path = path
+        self.ttl_ms = int(ttl_ms)
+        self.owner = uuid.uuid4().hex
+        self.acquired_ms: int | None = None
+        self.lost = False
+        self.epoch = 0
+        self._hb_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._auto_hb = False
+        self._lease_path = lease_path or f"{path}/{_COMMITS}/{LEASE_FILE}"
+        self._dir = f"{self._lease_path}.epochs"
+        if ops is None:
+            from .publish import HadoopFsOps
+
+            ops = HadoopFsOps(spark, self._dir)
+        self._ops = ops
+
+    @property
+    def lease_path(self) -> str:
+        return self._lease_path
+
+    # -- epoch plumbing -----------------------------------------------------
+    def _epoch_file(self, e: int) -> str:
+        return f"{self._dir}/e{e:012d}.json"
+
+    def _list_epochs(self) -> list[int]:
+        out = []
+        for name in self._ops.list_names(self._dir):
+            if name.startswith("e") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _scan(self) -> tuple[int, dict | None]:
+        """(max epoch, its record) — (0, None) when no epoch exists.
+        A record unreadable at the max (listing raced a GC below a
+        brand-new max we then also miss) falls back to the next lower
+        one; the callers' create-then-verify makes any staleness here
+        harmless (they just lose the create race and rescan)."""
+        for e in reversed(self._list_epochs()):
+            try:
+                rec = json.loads(bytes(self._ops.read_bytes(self._epoch_file(e))))
+                return e, rec
+            except Exception:
+                continue
+        return 0, None
+
+    def _advance(self, nxt: int, extra: dict | None = None) -> bool:
+        """One lease transition: conditional-create epoch ``nxt``,
+        then verify it is still the maximum. True = we own epoch
+        ``nxt``; False = fenced (create lost, or a higher epoch
+        appeared — our record is left as outranked garbage for the
+        winner's GC)."""
+        payload = {
+            "owner": self.owner,
+            "epoch": nxt,
+            "acquired_ms": self.acquired_ms or _now_ms(),
+            "heartbeat_ms": _now_ms(),
+            "ttl_ms": self.ttl_ms,
+        }
+        if extra:
+            payload.update(extra)
+        try:
+            self._ops.create_bytes(
+                self._epoch_file(nxt),
+                json.dumps(payload).encode("utf-8"),
+                overwrite=False,
+            )
+        except FileExistsError:
+            return False
+        except Exception:
+            return False
+        epochs = self._list_epochs()
+        return bool(epochs) and max(epochs) == nxt
+
+    def _gc(self, below: int) -> None:
+        for e in self._list_epochs():
+            if e < below:
+                try:
+                    self._ops.delete(self._epoch_file(e))
+                except Exception:
+                    pass
+
+    # -- lifecycle ----------------------------------------------------------
+    def heartbeat(self) -> None:
+        """Refresh by advancing one epoch; raises LedgerLockedError if
+        fenced out (a breaker/acquirer holds a higher epoch) — the
+        caller must abort its write, exactly like the rename twin."""
+        with self._hb_lock:
+            if self.lost:
+                raise LedgerLockedError(
+                    f"writer lease for {self.path} already lost"
+                )
+            nxt = self.epoch + 1
+            if self._advance(nxt):
+                self.epoch = nxt
+                self._gc(nxt)
+                return
+            self.lost = True
+            raise LedgerLockedError(
+                f"writer lease for {self.path} lost (epoch {nxt} taken or "
+                "outranked by another writer) — aborting: continuing could "
+                "publish into a layout another writer is "
+                "compacting/vacuuming/swapping"
+            )
+
+    def start_auto_heartbeat(self, interval_s: float | None = None) -> None:
+        """Daemon-thread heartbeat, same contract as the rename twin
+        (WriterLease.start_auto_heartbeat): idempotent, transient FS
+        errors retried next tick, a genuine fence-out stops the
+        thread and the next explicit heartbeat raises."""
+        if self._auto_hb:
+            return
+        self._auto_hb = True
+        interval = interval_s if interval_s is not None else max(
+            1.0, self.ttl_ms / 3000.0
+        )
+
+        def _loop() -> None:
+            while not self._stop.wait(interval):
+                try:
+                    self.heartbeat()
+                except LedgerLockedError:
+                    return
+                except Exception:
+                    continue
+
+        threading.Thread(
+            target=_loop,
+            name=f"lease-heartbeat-{self.owner[:8]}",
+            daemon=True,
+        ).start()
+
+    def release(self) -> None:
+        """Publish a ``released`` record one epoch up (idempotent,
+        never raises — called from finally paths). A successful
+        release lets the next acquirer skip the TTL wait; a failed one
+        (we were already fenced) changes nothing — the fence winner
+        owns the slot either way."""
+        self._stop.set()
+        try:
+            with self._hb_lock:
+                if self.lost:
+                    return
+                nxt = self.epoch + 1
+                if self._advance(nxt, {"released": True}):
+                    self._gc(nxt)
+                self.lost = True
+        except Exception:
+            pass
+
+
 def release_on_termination(query, lease: WriterLease) -> None:
     """Release ``lease`` the moment the StreamingQuery terminates
     (normal drain, failure, or stop()) — from a daemon thread so it
@@ -322,6 +528,61 @@ def release_on_termination(query, lease: WriterLease) -> None:
     ).start()
 
 
+def _protocol_for(spark: SparkSession, lease_path: str, ops=None) -> str:
+    """"rename" (tombstone WriterLease) or "conditional-put"
+    (EpochWriterLease) — whichever publish backend the per-store
+    capability probe selected for the lease file's store (same probe,
+    same cache, same forced-override lever as the commit publish)."""
+    from .publish import HadoopFsOps, backend_for
+
+    if ops is None:
+        ops = HadoopFsOps(spark, lease_path)
+    parent = lease_path.rsplit("/", 1)[0]
+    return backend_for(ops, parent, ops.scheme_authority(lease_path)).name
+
+
+def _acquire_epoch(
+    lease: EpochWriterLease,
+    timeout_ms: int,
+    steal: bool,
+    ttl_ms: int,
+) -> EpochWriterLease:
+    """Acquire loop for the fencing-token protocol: free slots (no
+    record / released / expired / steal) are taken by conditional-
+    creating the next epoch; a live holder makes the loop poll then
+    raise, exactly like the rename twin."""
+    deadline = _now_ms() + max(0, int(timeout_ms))
+    while True:
+        cur_epoch, rec = lease._scan()
+        now = _now_ms()
+        free = (
+            rec is None
+            or rec.get("released")
+            or steal
+            or now > int(rec.get("heartbeat_ms", 0)) + int(
+                rec.get("ttl_ms", ttl_ms)
+            )
+        )
+        if free:
+            lease.acquired_ms = now
+            nxt = cur_epoch + 1
+            if lease._advance(nxt):
+                lease.epoch = nxt
+                lease._gc(nxt)
+                return lease
+            # lost the epoch race — rescan (maybe the winner is live)
+            continue
+        if _now_ms() > deadline:
+            raise LedgerLockedError(
+                f"ledger at {lease.path} already has a live writer (lease "
+                f"owner {rec.get('owner', '<unknown>')}, heartbeat "
+                f"{now - int(rec.get('heartbeat_ms', now))} ms ago, epoch "
+                f"{cur_epoch}). One writer per path: stop the other writer, "
+                "or pass steal=True if you KNOW it is dead."
+            )
+        time.sleep(_POLL_MS / 1000.0)
+
+
 def acquire_writer_lease(
     spark: SparkSession,
     path: str,
@@ -329,6 +590,7 @@ def acquire_writer_lease(
     timeout_ms: int = ACQUIRE_TIMEOUT_MS,
     steal: bool = False,
     lease_path: str | None = None,
+    ops=None,
 ) -> WriterLease:
     """Acquire the single-writer lease for the layout at ``path``.
 
@@ -340,7 +602,19 @@ def acquire_writer_lease(
     stream that owns this checkpoint after a hard kill).
     ``lease_path`` overrides the lease file location (default
     ``<path>/_commits/_writer.lease``); swapped layouts use
-    :func:`sibling_lease_path`."""
+    :func:`sibling_lease_path`.
+
+    The lease PROTOCOL is store-dependent (module docstring): rename-
+    exclusive stores get the tombstone :class:`WriterLease`,
+    conditional-put stores the fencing-token :class:`EpochWriterLease`
+    — same surface, same fail-fast semantics. ``ops`` injects the
+    filesystem (contract tests drive the fake S3 store through it)."""
+    resolved = lease_path or f"{path}/{_COMMITS}/{LEASE_FILE}"
+    if _protocol_for(spark, resolved, ops=ops) == "conditional-put":
+        epoch_lease = EpochWriterLease(
+            spark, path, ttl_ms, lease_path=lease_path, ops=ops
+        )
+        return _acquire_epoch(epoch_lease, timeout_ms, steal, ttl_ms)
     lease = WriterLease(spark, path, ttl_ms, lease_path=lease_path)
     deadline = _now_ms() + max(0, int(timeout_ms))
     while True:

@@ -50,13 +50,14 @@ overwrites an existing destination, "succeeds" for both racers) — the
 proof that the probe catches exactly the store the rename backend
 would corrupt.
 
-Known residual (documented, not hidden): the LEASE-BREAK path
-(operators/lease.py _take_aside) still requires atomic rename — a
-conditional-put store gets portable lease PUBLISH (acquire/heartbeat/
-release of one's own lease) but breaking an expired lease left by a
-dead writer is not atomic there; operators restart with steal=True
-instead, which take-aside degrades to. The commit protocol itself has
-no such path: every manifest publish is a fresh versioned filename.
+The lease protocol is store-dependent too (operators/lease.py,
+selected by this same probe): rename-exclusive stores keep the
+tombstone WriterLease; conditional-put stores get the fencing-token
+EpochWriterLease, whose every transition — acquire, heartbeat,
+expired-lease break, release — is one conditional create of the
+next-numbered epoch record. This closed the r11 residual where the
+lease BREAK/take-aside still required atomic rename: on S3-like
+stores no rename remains anywhere in the commit/lease protocol.
 """
 
 from __future__ import annotations
@@ -99,6 +100,18 @@ class FsOps:
 
     def delete(self, path: str) -> None:
         raise NotImplementedError
+
+    def list_names(self, dir_path: str) -> list[str]:
+        """Basenames of the entries directly under ``dir_path`` ([]
+        if the directory does not exist). Used by the epoch-fenced
+        lease (operators/lease.py) whose state is the HIGHEST-numbered
+        record in a dedicated, GC-bounded directory."""
+        raise NotImplementedError
+
+    def scheme_authority(self, path: str) -> tuple[str, str]:
+        """(scheme, authority) identifying the store — the probe-cache
+        key. Fakes/tests may leave the default."""
+        return ("fake", "")
 
 
 class HadoopFsOps(FsOps):
@@ -154,6 +167,12 @@ class HadoopFsOps(FsOps):
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._hpath(path), False)
+
+    def list_names(self, dir_path: str) -> list[str]:
+        p = self._hpath(dir_path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
 
 
 # --- backends ----------------------------------------------------------------
