@@ -110,6 +110,50 @@ def _from_tail(tail: str, path: str) -> dict:
     raise ValueError(f"{path}: no bench JSON recoverable from tail")
 
 
+def _load_rotation(path: str) -> dict | None:
+    """The artifact's rotation_slice record (r12+ bench format), or
+    None. Rotation walls are single-run history rows for the ~200
+    non-headline registry queries; the same slice recurs every
+    n_slices rounds, so cross-round comparison is only meaningful
+    between artifacts carrying the SAME slice_index."""
+    text = open(path).read()
+    rec = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if d.get("metric") == "rotation_slice":
+            rec = d
+    return rec
+
+
+def _compare_rotation(a_path: str, b_path: str) -> None:
+    ra, rb = _load_rotation(a_path), _load_rotation(b_path)
+    if not ra or not rb:
+        return
+    if ra.get("slice_index") != rb.get("slice_index"):
+        print(f"# rotation slices differ ({ra.get('slice_index')} vs "
+              f"{rb.get('slice_index')}) — no rotation comparison")
+        return
+    qa, qb = ra["queries_rotation"], rb["queries_rotation"]
+    common = sorted(set(qa) & set(qb))
+    print(f"# rotation slice {rb.get('slice_index')}: {len(common)} common "
+          f"queries, totals {sum(qa[q] for q in common):.1f}s -> "
+          f"{sum(qb[q] for q in common):.1f}s")
+    flagged = [
+        q for q in common
+        if qb[q] > 2 * max(qa[q], 0.3)  # 0.3s floor: sub-second jitter
+    ]
+    for q in flagged:
+        print(f"# ROTATION >2x MOVER: {q} {qa[q]:.2f}s -> {qb[q]:.2f}s")
+    if not flagged:
+        print("# rotation: no >2x movers")
+
+
 def main() -> int:
     a_path, b_path = sys.argv[1], sys.argv[2]
     a = _load(a_path)
@@ -141,6 +185,7 @@ def main() -> int:
         if abs(d) < 0.15 and (qa[q] == 0 or abs(d) / max(qa[q], 1e-9) < 0.2):
             continue  # noise floor
         print(f"{q:28s} {qa[q]:7.2f} {qb[q]:7.2f} {d:+8.2f}")
+    _compare_rotation(a_path, b_path)
     return 0
 
 
