@@ -258,3 +258,76 @@ def test_shard_ledger_commits_and_epoch_lease_coexist(spark, tmp_path):
     ) == 1
     held2.release()
     assert read_ledger(spark, led).count() == 100
+
+
+# --- concurrency stress -----------------------------------------------------------
+
+
+class ThreadSafeFakeS3Fs(ListingFakeS3Fs):
+    """The S3-semantics fake with a real lock around the conditional
+    create's check-then-set — the atomicity a real conditional PUT
+    provides — so a multi-threaded stress run models the store
+    honestly instead of racing a plain dict."""
+
+    def __init__(self):
+        super().__init__()
+        import threading
+
+        self._lock = threading.Lock()
+
+    def create_bytes(self, path, data, overwrite):
+        with self._lock:
+            if not overwrite and path in self.files:
+                raise FileExistsError(path)
+            self.files[path] = data
+
+    def delete(self, path):
+        with self._lock:
+            self.files.pop(path, None)
+
+
+def test_epoch_lease_mutual_exclusion_under_contention():
+    """8 threads hammer acquire→(heartbeat, work)→release against one
+    store with a generous TTL (no expiry-based takeover in play): at
+    every instant at most ONE thread may sit between a successful
+    acquire and its release. A counter guarded by its own lock
+    observes the critical section; any overlap is a protocol hole."""
+    import threading
+
+    fs = ThreadSafeFakeS3Fs()
+    inside = 0
+    max_inside = 0
+    meter = threading.Lock()
+    acquired_total = 0
+    stop_at = 40  # total successful critical sections across all threads
+
+    def worker():
+        nonlocal inside, max_inside, acquired_total
+        while True:
+            with meter:
+                if acquired_total >= stop_at:
+                    return
+            try:
+                lease = _acquire(fs, ttl_ms=600_000, timeout_ms=0)
+            except L.LedgerLockedError:
+                continue
+            with meter:
+                inside += 1
+                max_inside = max(max_inside, inside)
+                acquired_total += 1
+            try:
+                lease.heartbeat()
+                lease.heartbeat()
+            finally:
+                with meter:
+                    inside -= 1
+                lease.release()
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(not t.is_alive() for t in threads), "stress run wedged"
+    assert acquired_total >= stop_at
+    assert max_inside == 1, f"dual writers observed: {max_inside}"
