@@ -506,7 +506,7 @@ class EpochWriterLease:
             pass
 
 
-def release_on_termination(query, lease: WriterLease) -> None:
+def release_on_termination(query, lease) -> None:
     """Release ``lease`` the moment the StreamingQuery terminates
     (normal drain, failure, or stop()) — from a daemon thread so it
     never outlives the driver. Only a hard process kill skips this,

@@ -113,6 +113,17 @@ class FsOps:
         key. Fakes/tests may leave the default."""
         return ("fake", "")
 
+    def conditional_create_atomicity(self, path: str) -> bool | None:
+        """Whether create(overwrite=False) is server-side atomic under
+        RACES, which the sequential capability probe cannot observe
+        (it only sees reject-on-existing SEMANTICS — a client-side
+        HEAD-then-PUT emulation shows the same behavior with a lost-
+        update window between the HEAD and the PUT). True = known
+        atomic, False = known emulated (reject the backend), None =
+        unknown (trust the probe, warn). Fakes default to True: their
+        create IS their atomicity model."""
+        return True
+
 
 class HadoopFsOps(FsOps):
     """FsOps over the Hadoop FileSystem resolved FROM the path (s3a://,
@@ -173,6 +184,27 @@ class HadoopFsOps(FsOps):
         if not self._fs.exists(p):
             return []
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def conditional_create_atomicity(self, path: str) -> bool | None:
+        """s3a's create(overwrite=false) is only server-side atomic
+        when Hadoop issues a conditional PUT (``If-None-Match: *`` —
+        ``fs.s3a.create.conditional.enabled``, Hadoop ≥ 3.4.1);
+        otherwise it is a client-side HEAD-then-PUT emulation whose
+        reject-on-existing the probe SEES but whose race window it
+        cannot: two racers can both pass the HEAD and the later PUT
+        silently replaces the earlier — exactly the lost-commit mode
+        the backend exists to prevent. Explicitly disabled → False
+        (selection refuses); enabled → True; any other scheme → None
+        (single-node FS semantics are already atomic for the probe's
+        purposes: HDFS/local create-exclusive is namespace-atomic)."""
+        scheme = (self._hpath(path).toUri().getScheme() or "").lower()
+        if scheme not in ("s3a", "s3n", "s3"):
+            return None
+        conf = self._fs.getConf()
+        val = conf.get("fs.s3a.create.conditional.enabled")
+        if val is None:
+            return None
+        return str(val).lower() == "true"
 
 
 # --- backends ----------------------------------------------------------------
@@ -317,15 +349,40 @@ def backend_for(ops: FsOps, probe_dir: str, store_key: tuple[str, str]):
     chosen = _FORCED_BACKEND or _BACKEND_CACHE.get(store_key)
     if chosen is None:
         caps = probe_publish_capability(ops, probe_dir)
+        atomic = ops.conditional_create_atomicity(probe_dir)
         if caps["rename_exclusive"]:
             chosen = "rename"
-        elif caps["conditional_create"]:
+        elif caps["conditional_create"] and atomic is not False:
             chosen = "conditional-put"
             _log.warning(
                 "publish: store %s://%s renames onto existing files "
                 "(S3-like copy+delete) — selected the conditional-put "
                 "backend instead of the rename protocol",
                 store_key[0], store_key[1],
+            )
+            if atomic is None:
+                # the sequential probe sees reject-on-existing SEMANTICS
+                # but cannot observe race atomicity: a client-side
+                # HEAD-then-PUT emulation looks identical. Say so once.
+                _log.warning(
+                    "publish: conditional-create atomicity on %s://%s "
+                    "is TRUSTED, not probed — ensure the store issues a "
+                    "server-side conditional PUT (on s3a: "
+                    "fs.s3a.create.conditional.enabled=true, Hadoop "
+                    ">= 3.4.1); a HEAD-then-PUT emulation has a "
+                    "lost-commit race window",
+                    store_key[0], store_key[1],
+                )
+        elif caps["conditional_create"]:
+            raise UnsafePublishStoreError(
+                f"store {store_key[0]}://{store_key[1]} rejects "
+                "create-onto-existing only via a client-side "
+                "HEAD-then-PUT emulation (fs.s3a.create.conditional."
+                "enabled is explicitly false): racing committers can "
+                "both pass the existence check and the later PUT "
+                "silently replaces the earlier. Enable server-side "
+                "conditional writes (Hadoop >= 3.4.1) or use an "
+                "HDFS/local metadata path."
             )
         else:
             raise UnsafePublishStoreError(

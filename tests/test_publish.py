@@ -224,3 +224,62 @@ def test_commit_protocol_via_conditional_put_end_to_end(spark, tmp_path):
             M._publish(spark, base, v, live)
     finally:
         P.force_publish_backend(None)
+
+
+# --- conditional-create ATOMICITY (the property the probe can't see) ----------
+
+
+class FakeEmulatedCondS3Fs(FakeS3Fs):
+    """Reject-on-existing implemented as HEAD-then-PUT emulation: the
+    sequential probe sees identical semantics to a real conditional
+    PUT, but under a race two writers could both pass the check. The
+    store self-reports the emulation (on s3a this is
+    fs.s3a.create.conditional.enabled=false)."""
+
+    def conditional_create_atomicity(self, path):
+        return False
+
+
+class FakeUnknownAtomicityS3Fs(FakeS3Fs):
+    def conditional_create_atomicity(self, path):
+        return None
+
+
+def test_emulated_conditional_create_is_refused():
+    """Semantics alone must NOT select conditional-put: when the store
+    says its reject-on-existing is a client-side emulation, selection
+    fails fast instead of trusting a backend with a silent lost-commit
+    race window."""
+    with pytest.raises(P.UnsafePublishStoreError, match="HEAD-then-PUT"):
+        P.backend_for(FakeEmulatedCondS3Fs(), "/t/_commits", ("s3a", "emul"))
+
+
+def test_unknown_atomicity_selects_with_trust():
+    """Unknown atomicity (flag unset / non-s3 scheme) keeps the
+    conditional-put selection — refusing would block every legitimate
+    object store — but the trust is logged, not silent."""
+    b = P.backend_for(
+        FakeUnknownAtomicityS3Fs(), "/t/_commits", ("s3a", "unk")
+    )
+    assert isinstance(b, P.ConditionalPutPublish)
+
+
+def test_lease_acquire_fails_fast_on_unsafe_store():
+    """The lease path shares the selection policy: a store with
+    neither exclusive rename nor usable conditional create refuses at
+    acquire — no lease protocol can be first-writer-wins there."""
+    from python_vectordbapp_ceph_spark.operators.lease import (
+        acquire_writer_lease,
+    )
+
+    class ListingLegacy(FakeLegacyS3Fs):
+        def list_names(self, dir_path):
+            prefix = dir_path.rstrip("/") + "/"
+            return [
+                p[len(prefix):]
+                for p in self.files
+                if p.startswith(prefix) and "/" not in p[len(prefix):]
+            ]
+
+    with pytest.raises(P.UnsafePublishStoreError):
+        acquire_writer_lease(None, "/led", timeout_ms=0, ops=ListingLegacy())
