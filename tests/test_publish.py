@@ -283,3 +283,59 @@ def test_lease_acquire_fails_fast_on_unsafe_store():
 
     with pytest.raises(P.UnsafePublishStoreError):
         acquire_writer_lease(None, "/led", timeout_ms=0, ops=ListingLegacy())
+
+
+def test_merge_crash_and_retry_under_conditional_put(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-atomicity is backend-independent: the rename twin
+    (tests/test_merge.py test_merge_crash_before_publish_leaves_old_state)
+    re-run with the conditional-put backend forced — crash between
+    stage and publish leaves the old state exactly readable and the
+    staged generation invisible; the retry self-heals to exactly the
+    new contents through a conditional create."""
+    import os
+
+    import python_vectordbapp_ceph_spark.operators.merge as M
+    from python_vectordbapp_ceph_spark.operators.merge import (
+        merge_into,
+        read_base,
+        write_bucketed_base,
+    )
+
+    P.force_publish_backend("conditional-put")
+    try:
+        path = str(tmp_path / "base")
+        base = spark.createDataFrame(
+            [(f"k{i}", i * 10, 0) for i in range(40)],
+            "key string, val long, ts long",
+        )
+        write_bucketed_base(base, path, "key", n_buckets=4)
+        old = {(r.key, r.val) for r in read_base(spark, path).collect()}
+
+        changes = spark.createDataFrame(
+            [("k1", 111, 1, "upsert"), ("k2", 0, 1, "delete"),
+             ("new1", 999, 1, "upsert")],
+            "key string, val long, ts long, op string",
+        )
+        real_publish = M._publish
+        monkeypatch.setattr(M, "_publish", lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("injected crash between stage and publish")
+        ))
+        with pytest.raises(RuntimeError, match="injected crash"):
+            merge_into(spark, path, changes, key_col="key", ts_col="ts",
+                       n_buckets=4)
+        spark.catalog.refreshByPath(path)
+        assert {(r.key, r.val) for r in read_base(spark, path).collect()} == old
+
+        monkeypatch.setattr(M, "_publish", real_publish)
+        merge_into(spark, path, changes, key_col="key", ts_col="ts",
+                   n_buckets=4)
+        got = {(r.key, r.val) for r in read_base(spark, path).collect()}
+        want = {(f"k{i}", i * 10) for i in range(40) if i not in (1, 2)}
+        want |= {("k1", 111), ("new1", 999)}
+        assert got == want
+        # and the _latest hint tracked the conditional-put commit
+        assert os.path.exists(os.path.join(path, "_commits", "_latest"))
+    finally:
+        P.force_publish_backend(None)
