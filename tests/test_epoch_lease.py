@@ -331,3 +331,52 @@ def test_epoch_lease_mutual_exclusion_under_contention():
     assert all(not t.is_alive() for t in threads), "stress run wedged"
     assert acquired_total >= stop_at
     assert max_inside == 1, f"dual writers observed: {max_inside}"
+
+
+# --- the collection surface on the conditional-put protocol -----------------------
+
+
+def test_collection_mutations_under_conditional_put(spark, tmp_path):
+    """The third lease consumer (the lifecycle twin covers ledger +
+    IVF): VectorCollection's leased mutations — upsert, cross-handle
+    delete, compact with its auto-heartbeat, post-compact ordering —
+    run unchanged when every commit is a conditional create and every
+    lease the epoch protocol."""
+    from python_vectordbapp_ceph_spark.collection import VectorCollection
+
+    P.force_publish_backend("conditional-put")
+    try:
+        def rows(data):
+            return spark.createDataFrame(
+                data,
+                "key string, embedding array<float>, "
+                "tags map<string,string>",
+            )
+
+        coll = VectorCollection(
+            spark=spark, path=str(tmp_path / "c"), dim=4, name="t"
+        ).ensure_exists()
+        coll.upsert(rows([("k1", [1.0, 0.0, 0.0, 0.0], None),
+                          ("k2", [0.0, 1.0, 0.0, 0.0], None)]))
+        coll.upsert(rows([("k1", [2.0, 0.0, 0.0, 0.0], None)]))
+        reopened = VectorCollection(
+            spark=spark, path=coll.path, dim=4, name="t"
+        )
+        reopened.delete_keys(["k2"])
+        before = {(r.key, tuple(r.embedding))
+                  for r in reopened.snapshot().collect()}
+        assert before == {("k1", (2.0, 0.0, 0.0, 0.0))}
+        reopened.compact()
+        after = {(r.key, tuple(r.embedding))
+                 for r in reopened.snapshot().collect()}
+        assert after == before
+        reopened.delete_keys(["k1"])
+        assert reopened.snapshot().count() == 0
+        # no rename-protocol lease file anywhere under the path
+        import os
+
+        for root, _dirs, files in os.walk(coll.path):
+            assert "_writer.lease" not in files, root
+    finally:
+        P.force_publish_backend(None)
+        P._BACKEND_CACHE.clear()
