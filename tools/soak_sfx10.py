@@ -6,7 +6,12 @@ print one JSON line with the wall, the per-batch trend (first-10 vs
 last-10 median and their DRIFT RATIO — the r11 pinned ceiling), and
 the final on-disk counts.
 
-Usage: python tools/soak_sfx10.py [sf_dir] [out_dir] [n_files] [--defaults]
+Usage: python tools/soak_sfx10.py [sf_dir] [out_dir] [n_files]
+       [--defaults] [--condput]
+
+``--condput`` forces the conditional-put publish backend and the
+fencing-token epoch lease for the whole run — the S3-protocol soak
+twin.
 
 ``--defaults`` runs stream_append with DEFAULTS-ONLY knobs (plus
 dedup=True, the scenario under test): max_segments stays at its r11
@@ -42,9 +47,20 @@ def main() -> None:
     global N_FILES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_sfx10"
-    if len(sys.argv) > 3 and sys.argv[3] != "--defaults":
+    if len(sys.argv) > 3 and not sys.argv[3].startswith("--"):
         N_FILES = int(sys.argv[3])
     defaults_only = "--defaults" in sys.argv
+    condput = "--condput" in sys.argv
+    if condput:
+        # force the conditional-put publish backend + epoch lease for
+        # the whole run (the S3-protocol soak twin: every manifest
+        # commit is a conditional create, every lease transition an
+        # epoch create+verify+GC)
+        from python_vectordbapp_ceph_spark.operators.publish import (
+            force_publish_backend,
+        )
+
+        force_publish_backend("conditional-put")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     src, led, ckpt = f"{out}/src", f"{out}/led", f"{out}/ckpt"
@@ -143,6 +159,7 @@ def main() -> None:
         "n_gens": n_gens,
         "n_parquet_files": n_parquet,
         "defaults_only": defaults_only,
+        "condput": condput,
     }))
     spark.stop()
 
