@@ -122,7 +122,47 @@ def sibling_lease_path(path: str) -> str:
     return path.rstrip("/") + "._lease"
 
 
-class WriterLease:
+class _AutoHeartbeat:
+    """Shared auto-heartbeat lifecycle for both lease protocols
+    (tombstone :class:`WriterLease`, fencing-token
+    :class:`EpochWriterLease` — one copy so a contract change cannot
+    silently drift between them).
+
+    Keeps the lease fresh from a daemon thread (every ttl/3 by
+    default) — for holders whose work doesn't tick: a continuous
+    stream whose source goes idle past the TTL would otherwise present
+    an expired lease and be displaced by routine maintenance, then
+    fail its next real batch. Transient FS errors are retried next
+    tick; a genuine loss (LedgerLockedError) stops the thread and the
+    holder's next explicit heartbeat raises. Idempotent: a second call
+    on the same lease is a no-op, so a leased section whose body also
+    heartbeats (compact inside leased()) can't stack threads."""
+
+    def start_auto_heartbeat(self, interval_s: float | None = None) -> None:
+        if self._auto_hb:
+            return
+        self._auto_hb = True
+        interval = interval_s if interval_s is not None else max(
+            1.0, self.ttl_ms / 3000.0
+        )
+
+        def _loop() -> None:
+            while not self._stop.wait(interval):
+                try:
+                    self.heartbeat()
+                except LedgerLockedError:
+                    return
+                except Exception:
+                    continue
+
+        threading.Thread(
+            target=_loop,
+            name=f"lease-heartbeat-{self.owner[:8]}",
+            daemon=True,
+        ).start()
+
+
+class WriterLease(_AutoHeartbeat):
     """A held lease. Use :func:`acquire_writer_lease` to obtain one."""
 
     def __init__(
@@ -247,47 +287,24 @@ class WriterLease:
                     "aborting: continuing could publish into a layout "
                     "another writer is compacting/vacuuming/swapping"
                 )
-            # exclusively ours: drop the tombstone, republish fresh
+            # exclusively ours: republish FIRST, then drop the
+            # tombstone — the lease file is absent between the
+            # take-aside and the republish, and a polling acquirer
+            # landing in that window legitimately seizes the slot;
+            # republish-before-delete keeps the window one FS op
+            # (stage+rename) instead of two. The residual window is
+            # inherent to a one-file protocol with no atomic replace;
+            # acquirers poll at 200 ms so a healthy holder losing this
+            # race is rare, and it fails FAST, never dual-writes.
+            ok = self._try_publish()
             fs.delete(hpath(tomb), False)
-            if not self._try_publish():
+            if not ok:
                 self.lost = True
                 raise LedgerLockedError(
                     f"writer lease for {self.path} lost during heartbeat "
                     "(another writer acquired in the republish window)"
                 )
 
-    def start_auto_heartbeat(self, interval_s: float | None = None) -> None:
-        """Keep the lease fresh from a daemon thread (every ttl/3 by
-        default) — for holders whose work doesn't tick: a continuous
-        stream whose source goes idle past the TTL would otherwise
-        present an expired lease and be displaced by routine
-        maintenance, then fail its next real batch. Transient FS
-        errors are retried next tick; a genuine loss sets ``lost``
-        and stops the thread (the holder's next explicit heartbeat
-        raises). Idempotent: a second call on the same lease is a
-        no-op, so a leased section whose body also heartbeats (compact
-        inside leased()) can't stack threads."""
-        if self._auto_hb:
-            return
-        self._auto_hb = True
-        interval = interval_s if interval_s is not None else max(
-            1.0, self.ttl_ms / 3000.0
-        )
-
-        def _loop() -> None:
-            while not self._stop.wait(interval):
-                try:
-                    self.heartbeat()
-                except LedgerLockedError:
-                    return
-                except Exception:
-                    continue
-
-        threading.Thread(
-            target=_loop,
-            name=f"lease-heartbeat-{self.owner[:8]}",
-            daemon=True,
-        ).start()
 
     def release(self) -> None:
         """Delete the lease iff still ours (idempotent, never raises —
@@ -311,7 +328,7 @@ class WriterLease:
             pass
 
 
-class EpochWriterLease:
+class EpochWriterLease(_AutoHeartbeat):
     """Fencing-token writer lease for stores without atomic rename
     (conditional-put stores: S3-like, probed — see module docstring).
     Same duck-typed surface as :class:`WriterLease` (``heartbeat``,
@@ -404,9 +421,17 @@ class EpochWriterLease:
     def _advance(self, nxt: int, extra: dict | None = None) -> bool:
         """One lease transition: conditional-create epoch ``nxt``,
         then verify it is still the maximum. True = we own epoch
-        ``nxt``; False = fenced (create lost, or a higher epoch
-        appeared — our record is left as outranked garbage for the
-        winner's GC)."""
+        ``nxt``; False = fenced (create lost to another writer, or a
+        higher epoch appeared — our record is left as outranked
+        garbage for the winner's GC). Transient store errors PROPAGATE
+        — they are retryable, not a fence: treating a 503/timeout as
+        "lost" would permanently kill a healthy lease (and if the
+        create actually landed server-side with the response lost, the
+        orphan fresh record would block acquirers for a full TTL).
+        The FileExistsError path therefore RECONCILES first: if the
+        existing record at ``nxt`` is OURS — a previous attempt whose
+        acknowledgment was lost — the transition already happened and
+        is claimed, not failed."""
         payload = {
             "owner": self.owner,
             "epoch": nxt,
@@ -423,9 +448,15 @@ class EpochWriterLease:
                 overwrite=False,
             )
         except FileExistsError:
-            return False
-        except Exception:
-            return False
+            try:
+                rec = json.loads(
+                    bytes(self._ops.read_bytes(self._epoch_file(nxt)))
+                )
+            except Exception:
+                return False
+            if rec.get("owner") != self.owner:
+                return False
+            # ours from a lost acknowledgment — fall through to verify
         epochs = self._list_epochs()
         return bool(epochs) and max(epochs) == nxt
 
@@ -441,7 +472,11 @@ class EpochWriterLease:
     def heartbeat(self) -> None:
         """Refresh by advancing one epoch; raises LedgerLockedError if
         fenced out (a breaker/acquirer holds a higher epoch) — the
-        caller must abort its write, exactly like the rename twin."""
+        caller must abort its write, exactly like the rename twin.
+        Transient store errors propagate as-is WITHOUT marking the
+        lease lost: the auto-heartbeat thread retries them next tick
+        and an explicit caller may retry its batch — only a genuine
+        fence is terminal."""
         with self._hb_lock:
             if self.lost:
                 raise LedgerLockedError(
@@ -460,32 +495,6 @@ class EpochWriterLease:
                 "compacting/vacuuming/swapping"
             )
 
-    def start_auto_heartbeat(self, interval_s: float | None = None) -> None:
-        """Daemon-thread heartbeat, same contract as the rename twin
-        (WriterLease.start_auto_heartbeat): idempotent, transient FS
-        errors retried next tick, a genuine fence-out stops the
-        thread and the next explicit heartbeat raises."""
-        if self._auto_hb:
-            return
-        self._auto_hb = True
-        interval = interval_s if interval_s is not None else max(
-            1.0, self.ttl_ms / 3000.0
-        )
-
-        def _loop() -> None:
-            while not self._stop.wait(interval):
-                try:
-                    self.heartbeat()
-                except LedgerLockedError:
-                    return
-                except Exception:
-                    continue
-
-        threading.Thread(
-            target=_loop,
-            name=f"lease-heartbeat-{self.owner[:8]}",
-            daemon=True,
-        ).start()
 
     def release(self) -> None:
         """Publish a ``released`` record one epoch up (idempotent,
@@ -498,10 +507,14 @@ class EpochWriterLease:
             with self._hb_lock:
                 if self.lost:
                     return
+                # latch FIRST: even if the released-record publish
+                # fails transiently, this handle must never heartbeat
+                # again (the holder is terminating either way; the TTL
+                # then bounds the next acquirer's wait).
+                self.lost = True
                 nxt = self.epoch + 1
                 if self._advance(nxt, {"released": True}):
                     self._gc(nxt)
-                self.lost = True
         except Exception:
             pass
 
@@ -550,7 +563,10 @@ def _acquire_epoch(
     """Acquire loop for the fencing-token protocol: free slots (no
     record / released / expired / steal) are taken by conditional-
     creating the next epoch; a live holder makes the loop poll then
-    raise, exactly like the rename twin."""
+    raise, exactly like the rename twin. EVERY path falls through to
+    the deadline check and the poll sleep — a free slot whose create
+    keeps losing (or a store whose records list but won't read) must
+    exhaust timeout_ms and raise, never hot-spin LIST+PUT forever."""
     deadline = _now_ms() + max(0, int(timeout_ms))
     while True:
         cur_epoch, rec = lease._scan()
@@ -566,17 +582,21 @@ def _acquire_epoch(
         if free:
             lease.acquired_ms = now
             nxt = cur_epoch + 1
-            if lease._advance(nxt):
+            try:
+                won = lease._advance(nxt)
+            except Exception:
+                won = False  # transient store error — retry within budget
+            if won:
                 lease.epoch = nxt
                 lease._gc(nxt)
                 return lease
-            # lost the epoch race — rescan (maybe the winner is live)
-            continue
+            # lost the epoch race — fall through to deadline + poll
         if _now_ms() > deadline:
+            holder = rec.get("owner", "<unknown>") if rec else "<racer>"
+            age = now - int(rec.get("heartbeat_ms", now)) if rec else 0
             raise LedgerLockedError(
                 f"ledger at {lease.path} already has a live writer (lease "
-                f"owner {rec.get('owner', '<unknown>')}, heartbeat "
-                f"{now - int(rec.get('heartbeat_ms', now))} ms ago, epoch "
+                f"owner {holder}, heartbeat {age} ms ago, epoch "
                 f"{cur_epoch}). One writer per path: stop the other writer, "
                 "or pass steal=True if you KNOW it is dead."
             )
@@ -615,6 +635,17 @@ def acquire_writer_lease(
             spark, path, ttl_ms, lease_path=lease_path, ops=ops
         )
         return _acquire_epoch(epoch_lease, timeout_ms, steal, ttl_ms)
+    if ops is not None:
+        # the tombstone protocol runs through the Spark-resolved Hadoop
+        # FS (_stage_rename_json/_take_aside), NOT the injected ops —
+        # silently probing one store and operating on another would be
+        # exactly the divergence this module exists to prevent.
+        raise NotImplementedError(
+            "ops= injection is only supported for conditional-put "
+            "stores (the epoch protocol); this store probed "
+            "rename-exclusive and the tombstone protocol operates "
+            "through the Spark-resolved filesystem."
+        )
     lease = WriterLease(spark, path, ttl_ms, lease_path=lease_path)
     deadline = _now_ms() + max(0, int(timeout_ms))
     while True:

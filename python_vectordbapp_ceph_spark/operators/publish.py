@@ -110,8 +110,11 @@ class FsOps:
 
     def scheme_authority(self, path: str) -> tuple[str, str]:
         """(scheme, authority) identifying the store — the probe-cache
-        key. Fakes/tests may leave the default."""
-        return ("fake", "")
+        key. The default is unique PER INSTANCE so two injected fakes
+        with different semantics can never share a cached selection
+        (a posix-semantics fake probed first must not hand its rename
+        backend to an S3-semantics fake probed second)."""
+        return ("fake", f"{id(self):x}")
 
     def conditional_create_atomicity(self, path: str) -> bool | None:
         """Whether create(overwrite=False) is server-side atomic under
@@ -122,6 +125,19 @@ class FsOps:
         atomic, False = known emulated (reject the backend), None =
         unknown (trust the probe, warn). Fakes default to True: their
         create IS their atomicity model."""
+        return True
+
+    def rename_atomicity(self, path: str) -> bool | None:
+        """Whether rename is atomic under RACES — the second property
+        the sequential probe cannot see. On object stores rename is
+        check-then-copy+delete: renaming onto an EXISTING destination
+        can fail cleanly (which the probe observes as exclusive!)
+        while two racers renaming onto an ABSENT destination both pass
+        the check, both copy, and the later copy silently replaces the
+        earlier — the exact lost-commit mode this module exists to
+        prevent. False = known emulated (never select the rename
+        backend no matter what the probe saw), None = trust the probe
+        (real-filesystem namespace renames). Fakes default to True."""
         return True
 
 
@@ -154,6 +170,32 @@ class HadoopFsOps(FsOps):
         finally:
             stream.close()
 
+    @staticmethod
+    def _is_already_exists(e: Exception) -> bool:
+        """Precise FileAlreadyExists detection on a Py4J-wrapped Java
+        exception: match the Java CLASS NAME first (the stringified
+        form carries a full stack trace whose text can contain
+        'exists' for unrelated failures — e.g. parent-path or bucket
+        diagnostics — which must NOT be misread as lost-the-race);
+        fall back to the message HEAD only (class + message precede
+        the trace), plus the 412/PreconditionFailed shapes a
+        conditional PUT reports."""
+        je = getattr(e, "java_exception", None)
+        if je is not None:
+            try:
+                cls = je.getClass().getName()
+                if "AlreadyExists" in cls:
+                    return True
+            except Exception:
+                pass
+        head = str(e)[:300]
+        return (
+            "AlreadyExists" in head
+            or "reconditionFailed" in head
+            or "recondition failed" in head.lower()
+            or " 412" in head
+        )
+
     def create_bytes(self, path: str, data: bytes, overwrite: bool) -> None:
         p = self._hpath(path)
         parent = p.getParent()
@@ -162,13 +204,27 @@ class HadoopFsOps(FsOps):
         try:
             out = self._fs.create(p, bool(overwrite))
         except Exception as e:  # Py4J wraps FileAlreadyExistsException
-            if not overwrite and "xists" in str(e):
+            if not overwrite and self._is_already_exists(e):
                 raise FileExistsError(path) from e
             raise
         try:
             out.write(bytearray(data))
-        finally:
+        except Exception:
+            try:
+                out.close()
+            except Exception:
+                pass
+            raise
+        try:
+            # a server-side conditional PUT (s3a If-None-Match) reports
+            # the conflict HERE, at stream close, not at create(): the
+            # object is uploaded when the stream closes. Same
+            # translation as create-time.
             out.close()
+        except Exception as e:
+            if not overwrite and self._is_already_exists(e):
+                raise FileExistsError(path) from e
+            raise
 
     def rename(self, src: str, dst: str) -> bool:
         try:
@@ -184,6 +240,25 @@ class HadoopFsOps(FsOps):
         if not self._fs.exists(p):
             return []
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def rename_atomicity(self, path: str) -> bool | None:
+        """Object-store schemes emulate rename as check-then-
+        copy+delete: rename onto an EXISTING destination fails cleanly
+        (so the sequential probe reports rename_exclusive!) while two
+        racers renaming onto an ABSENT destination both pass the check
+        and the later copy silently replaces the earlier. The rename
+        backend must therefore never be selected on these schemes
+        regardless of what the probe observed. Real-filesystem
+        schemes → None (namespace rename; trust the probe)."""
+        scheme = (self._hpath(path).toUri().getScheme() or "").lower()
+        if scheme in ("s3a", "s3n", "s3", "gs", "oss", "cos", "wasb",
+                      "wasbs", "abfs", "abfss", "swift"):
+            # abfs/wasb renames are actually atomic on hierarchical
+            # namespaces, but a flat-namespace account is
+            # indistinguishable from here — distrust uniformly and let
+            # conditional create carry those stores too.
+            return False
+        return None
 
     def conditional_create_atomicity(self, path: str) -> bool | None:
         """s3a's create(overwrite=false) is only server-side atomic
@@ -297,7 +372,13 @@ def probe_publish_capability(ops: FsOps, probe_dir: str) -> dict:
             ops.create_bytes(a, b"C", overwrite=False)
             caps["conditional_create"] = False  # replaced silently
         except FileExistsError:
-            caps["conditional_create"] = ops.read_bytes(a) == b"A"
+            try:
+                caps["conditional_create"] = ops.read_bytes(a) == b"A"
+            except Exception:
+                # can't confirm the original survived — report the
+                # capability absent rather than raising out of the
+                # probe (selection then fails fast with the evidence)
+                caps["conditional_create"] = False
     finally:
         for p in (a, b):
             try:
@@ -338,8 +419,13 @@ def backend_for(ops: FsOps, probe_dir: str, store_key: tuple[str, str]):
     """The publish backend for the store identified by ``store_key``
     ((scheme, authority)), probing its capabilities on first use:
 
-      1. rename-exclusive stores → :class:`RenamePublish` (content-
-         atomic AND exclusive — strictly strongest);
+      1. rename-exclusive stores whose scheme actually renames in the
+         namespace (``rename_atomicity`` not False) →
+         :class:`RenamePublish` (content-atomic AND exclusive —
+         strictly strongest). Object-store schemes are distrusted by
+         policy even when the probe sees exclusive-onto-existing:
+         their rename-onto-ABSENT is check-then-copy and two racers
+         can both "win";
       2. else conditional-create stores → :class:`ConditionalPutPublish`
          (logged once: the operator should know the store's rename is
          unsafe and which backend replaced it);
@@ -350,16 +436,31 @@ def backend_for(ops: FsOps, probe_dir: str, store_key: tuple[str, str]):
     if chosen is None:
         caps = probe_publish_capability(ops, probe_dir)
         atomic = ops.conditional_create_atomicity(probe_dir)
-        if caps["rename_exclusive"]:
+        rename_atomic = ops.rename_atomicity(probe_dir)
+        if caps["rename_exclusive"] and rename_atomic is not False:
             chosen = "rename"
         elif caps["conditional_create"] and atomic is not False:
+            if caps["rename_exclusive"]:
+                # the probe SAW exclusive rename but the scheme is an
+                # object store whose rename is check-then-copy+delete:
+                # exclusive-onto-existing does not imply race-atomic-
+                # onto-absent, so rename is distrusted by policy.
+                _log.warning(
+                    "publish: store %s://%s probes rename-exclusive "
+                    "but its scheme emulates rename (check-then-copy) "
+                    "— racing renames onto an absent destination can "
+                    "both 'succeed'; selecting conditional-put",
+                    store_key[0], store_key[1],
+                )
+            else:
+                _log.warning(
+                    "publish: store %s://%s renames onto existing "
+                    "files (S3-like copy+delete) — selected the "
+                    "conditional-put backend instead of the rename "
+                    "protocol",
+                    store_key[0], store_key[1],
+                )
             chosen = "conditional-put"
-            _log.warning(
-                "publish: store %s://%s renames onto existing files "
-                "(S3-like copy+delete) — selected the conditional-put "
-                "backend instead of the rename protocol",
-                store_key[0], store_key[1],
-            )
             if atomic is None:
                 # the sequential probe sees reject-on-existing SEMANTICS
                 # but cannot observe race atomicity: a client-side

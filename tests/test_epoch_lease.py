@@ -380,3 +380,128 @@ def test_collection_mutations_under_conditional_put(spark, tmp_path):
     finally:
         P.force_publish_backend(None)
         P._BACKEND_CACHE.clear()
+
+
+# --- review-hardening pins (r12 self-review) ---------------------------------------
+
+
+class PosixRenameObjectStoreFs(ListingFakePosixFs):
+    """A store whose SEQUENTIAL rename semantics look exclusive (the
+    probe passes) but which self-reports emulated rename — the real
+    s3a shape: rename-onto-existing fails cleanly via a client-side
+    check while two renames onto an ABSENT destination would both
+    'succeed'. Selection must distrust rename here."""
+
+    def rename_atomicity(self, path):
+        return False
+
+
+def test_scheme_distrust_overrides_rename_probe():
+    fs = PosixRenameObjectStoreFs()
+    caps = P.probe_publish_capability(fs, "/t/_commits")
+    assert caps["rename_exclusive"] is True  # the probe IS fooled
+    b = P.backend_for(fs, "/t/_commits", ("s3a", "bkt"))
+    assert isinstance(b, P.ConditionalPutPublish)  # policy is not
+    lease = _acquire(fs)
+    assert isinstance(lease, L.EpochWriterLease)
+    lease.release()
+
+
+class FlakyCreateFs(ListingFakeS3Fs):
+    """Raises a transient error on demand; optionally LANDS the write
+    server-side while reporting failure (lost acknowledgment)."""
+
+    def __init__(self):
+        super().__init__()
+        self.fail_next = 0
+        self.land_despite_failure = False
+
+    def create_bytes(self, path, data, overwrite):
+        if self.fail_next > 0:
+            self.fail_next -= 1
+            if self.land_despite_failure:
+                super().create_bytes(path, data, overwrite)
+            raise RuntimeError("transient store error")
+        super().create_bytes(path, data, overwrite)
+
+
+def test_transient_heartbeat_error_does_not_fence():
+    """A 503/timeout during a heartbeat is retryable, NOT a fence: the
+    error propagates as-is (not LedgerLockedError), the lease is not
+    marked lost, and the next heartbeat succeeds."""
+    fs = FlakyCreateFs()
+    a = _acquire(fs)
+    fs.fail_next = 1
+    with pytest.raises(RuntimeError, match="transient store error"):
+        a.heartbeat()
+    assert not a.lost
+    a.heartbeat()  # retried tick succeeds
+    e, rec = a._scan()
+    assert rec["owner"] == a.owner
+    a.release()
+
+
+def test_lost_acknowledgment_is_reconciled_as_ours():
+    """The create lands server-side but the response is lost: the
+    retry's FileExistsError must reconcile (the existing record is
+    OURS) instead of treating our own epoch as a fence — otherwise the
+    orphan fresh record blocks every acquirer for a full TTL with no
+    writer running."""
+    fs = FlakyCreateFs()
+    a = _acquire(fs)
+    fs.fail_next = 1
+    fs.land_despite_failure = True
+    with pytest.raises(RuntimeError, match="transient store error"):
+        a.heartbeat()
+    assert not a.lost
+    a.heartbeat()  # FileExistsError -> reconcile -> ours -> advance
+    assert not a.lost
+    e, rec = a._scan()
+    assert rec["owner"] == a.owner
+    a.release()
+
+
+class UnreadableRecordsFs(ListingFakeS3Fs):
+    """Records list but never read (LIST allowed, GET denied): the
+    scan sees an empty protocol state while every next-epoch slot is
+    taken — the acquire loop must exhaust its timeout, never hot-spin
+    forever."""
+
+    def read_bytes(self, path):
+        if ".epochs/" in path:
+            raise PermissionError("GET denied")
+        return super().read_bytes(path)
+
+
+def test_acquire_respects_timeout_when_records_unreadable():
+    import time
+
+    fs = UnreadableRecordsFs()
+    # a live-looking record occupies epoch 1
+    fs.files["/led/_commits/_writer.lease.epochs/e000000000001.json"] = b"x"
+    t0 = time.time()
+    with pytest.raises(L.LedgerLockedError):
+        _acquire(fs, timeout_ms=500)
+    elapsed = time.time() - t0
+    assert 0.4 <= elapsed < 10, f"hot spin or hang: {elapsed:.2f}s"
+
+
+def test_ops_injection_rejected_on_rename_protocol():
+    """Injected ops are only honored by the epoch protocol; silently
+    probing one store and operating on another (the tombstone protocol
+    runs through the Spark-resolved FS) must be an explicit error."""
+    with pytest.raises(NotImplementedError, match="conditional-put"):
+        L.acquire_writer_lease(
+            None, "/led", timeout_ms=0, ops=ListingFakePosixFs()
+        )
+
+
+def test_backend_cache_is_per_instance_for_fakes():
+    """Two injected fakes with different semantics must never share a
+    cached selection: a posix fake probed first must not hand its
+    rename backend to an S3 fake probed second."""
+    posix, s3 = ListingFakePosixFs(), ListingFakeS3Fs()
+    b1 = P.backend_for(posix, "/t/_commits", posix.scheme_authority("/t"))
+    b2 = P.backend_for(s3, "/t/_commits", s3.scheme_authority("/t"))
+    assert isinstance(b1, P.RenamePublish)
+    assert isinstance(b2, P.ConditionalPutPublish)
