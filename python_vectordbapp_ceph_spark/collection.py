@@ -91,12 +91,30 @@ class VectorCollection:
 
     # --- DDL -------------------------------------------------------
     def ensure_exists(self) -> "VectorCollection":
-        """Idempotent create (the has_collection→create pattern)."""
-        try:
-            self.spark.read.schema(collection_schema(self.dim)).parquet(self.path).limit(0).collect()
-        except Exception:
-            empty = self.spark.createDataFrame([], collection_schema(self.dim))
-            empty.write.mode("overwrite").parquet(self.path)
+        """Idempotent create (the has_collection→create pattern).
+
+        Existence is probed with a FILESYSTEM check, never a
+        read-with-fallback: a read can fail transiently (store hiccup,
+        connection reset) and treating that as "missing" would
+        OVERWRITE a populated log with an empty one — the seq history
+        and every row gone on a blip (_next_seq documents the same
+        must-propagate rule for the seq floor). The create itself runs
+        under the writer lease with SaveMode.Ignore, so two racing
+        creators — or a creator racing a first append — cannot clobber
+        a directory that gained data after the probe."""
+        from .operators.merge import _fs
+
+        fs, hpath = _fs(self.spark, self.path)
+        if not fs.exists(hpath(self.path)):
+            lease = self._writer_lease()
+            try:
+                if not fs.exists(hpath(self.path)):
+                    empty = self.spark.createDataFrame(
+                        [], collection_schema(self.dim)
+                    )
+                    empty.write.mode("ignore").parquet(self.path)
+            finally:
+                lease.release()
         return self
 
     def describe(self) -> dict:
@@ -126,14 +144,14 @@ class VectorCollection:
         Concurrent mutators from OTHER sessions serialize on it or
         fail fast after the acquire timeout; a process killed
         mid-mutation leaves a lease that expires after its TTL."""
-        from .operators.lease import acquire_writer_lease
+        from .operators.lease import acquire_writer_lease, sibling_lease_path
 
         kw = {} if self.lease_timeout_ms is None else {
             "timeout_ms": self.lease_timeout_ms
         }
         return acquire_writer_lease(
             self.spark, self.path,
-            lease_path=self.path.rstrip("/") + "._lease", **kw,
+            lease_path=sibling_lease_path(self.path), **kw,
         )
 
     def leased(self):
@@ -149,6 +167,13 @@ class VectorCollection:
         @contextmanager
         def _section():
             lease = self._writer_lease()
+            # the section spans a whole micro-batch — embedding UDFs on
+            # a big backlog batch can run past the 10-min TTL with no
+            # mutation ticking the lease, and an "expired" lease lets a
+            # concurrent compact legitimately break it and swap the log
+            # out from under the in-flight append (the same reason
+            # compact() itself auto-heartbeats across its swap)
+            lease.start_auto_heartbeat()
             self._held_lease = lease
             self._seq_synced = False
             try:
@@ -440,16 +465,25 @@ class VectorCollection:
         last_log, last_live = self._compact_stats
         if log_rows == last_log:
             return False  # nothing appended since the last check
-        if last_live is not None and log_rows <= max_log_ratio * last_live:
+        if last_live is not None and log_rows <= max_log_ratio * max(
+            last_live, 1
+        ):
             # live rows only change when the log does; the cached count
             # is an upper bound on today's live set unless deletes
             # shrank it — and deletes grow the log, pulling the exact
             # check forward, so staleness is bounded by the ratio.
+            # max(live, 1) keeps the cheap gate meaningful at live=0
+            # (ratio*0 would force the expensive resolve EVERY call).
             self._compact_stats = (log_rows, last_live)
             return False
         live_rows = self.snapshot().count()
         self._compact_stats = (log_rows, live_rows)
-        if live_rows == 0 or log_rows <= max_log_ratio * live_rows:
+        if log_rows <= max_log_ratio * max(live_rows, 1):
+            # max(live, 1): a FULLY-DELETED collection (live=0) must
+            # still compact once its tombstone history outgrows the
+            # ratio — compacting to the empty resolved snapshot is
+            # legal, and skipping it forever would leave every
+            # subsequent read paying the whole dead history.
             return False
         self.compact()
         return True

@@ -419,7 +419,21 @@ def _bucket_aligned(df: DataFrame, n_buckets: int, files_per_bucket: int) -> Dat
     way."""
     if files_per_bucket <= 1:
         return df.repartition("_kb")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_bucket))
+    # salt over the hashable columns only: Spark rejects hash
+    # expressions over MapType (DATATYPE_MISMATCH.HASH_MAP_TYPE), and
+    # collection-shaped tables carry `tags map<string,string>` — the
+    # exact tables big enough to need the multiplier. Row spread is
+    # preserved as long as ANY non-map column varies; an (unlikely)
+    # all-map frame falls back to a random salt, which is fine for a
+    # write-side spread key.
+    hashable = [
+        F.col(c) for c, t in df.dtypes if not t.startswith("map")
+    ]
+    salt = (
+        F.pmod(F.xxhash64(*hashable), F.lit(files_per_bucket))
+        if hashable
+        else (F.rand() * files_per_bucket).cast("int")
+    )
     return df.repartition(
         n_buckets * files_per_bucket, F.col("_kb"), salt
     )

@@ -102,6 +102,7 @@ def ingest_stream(
     compact_log_ratio: float | None = None,
     object_type: str = "TEXT",
     object_bytes: DataFrame | None = None,
+    available_now: bool = True,
 ):
     """Wire a parsed event stream into a VectorCollection via
     foreachBatch. ``object_text`` (key → text) stands in for the S3
@@ -120,7 +121,13 @@ def ingest_stream(
     ``compact_log_ratio`` enables post-batch auto-compaction: when the
     change log outgrows that multiple of the live rows, the batch hook
     rewrites it (maintenance amortized into ingest, so read latency
-    doesn't degrade with stream lifetime).
+    doesn't degrade with stream lifetime). Compaction runs BEST-EFFORT
+    after the batch's appends commit — a maintenance failure is logged
+    and retried on a later batch, never replayed as the batch's own.
+
+    ``available_now=False`` keeps the query running continuously (the
+    live-webhook deployment shape); the default drains the available
+    backlog and terminates (the batch-refresh and test shape).
 
     Returns the StreamingQuery (caller awaits/stops).
     """
@@ -133,7 +140,29 @@ def ingest_stream(
         raise ValueError(f"unknown object format: {object_type!r}")
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # persist the parsed micro-batch: the upsert/delete split reads
+        from pyspark.sql import Window
+
+        # LAST EVENT PER KEY first, then the upsert/delete split: the
+        # split alone appends all tombstones above all upserts (one
+        # leased section, deletes get the higher seq), so a PUT that
+        # follows a DELETE of the same key WITHIN one micro-batch —
+        # near-certain under availableNow, which drains the backlog
+        # into few batches — would resolve as deleted. Reducing to the
+        # latest event by eventTime preserves the reference webhook's
+        # sequential per-key outcome; a key then appears in EITHER the
+        # upsert or the delete branch, never both, and superseded PUTs
+        # skip the embedding UDF entirely. Tiebreak on equal
+        # timestamps is upsert-over-delete (deterministic; with equal
+        # stamps arrival order is unknowable either way).
+        w = Window.partitionBy("key").orderBy(
+            F.col("ingest_ts").desc_nulls_last(), F.col("op").desc()
+        )
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # persist the reduced micro-batch: the upsert/delete split reads
         # it twice, and the emptiness probes must not re-run the source
         batch_df = batch_df.persist()
         extra_cached = []
@@ -169,7 +198,22 @@ def ingest_stream(
                     )
                 embed_col = image_embed_udf(F.col("content"))
             elif object_text is not None:
-                ups = ups.join(object_text, "key", "left")
+                # same null guard (and same single-evaluation persist)
+                # as the IMAGE branch: a key missing from the object
+                # store must be DROPPED with a logged count, not
+                # silently upserted as embed("") — every missing key
+                # would otherwise share one identical vector that
+                # clusters together in search results
+                ups = ups.join(object_text, "key", "left").persist()
+                extra_cached.append(ups)
+                n_missing = ups.filter(F.col("text").isNull()).count()
+                if n_missing:
+                    _log.warning(
+                        "ingest_stream batch %s: dropping %d upsert(s) "
+                        "whose object text is missing",
+                        batch_id, n_missing,
+                    )
+                    ups = ups.filter(F.col("text").isNotNull())
                 embed_col = text_embed_udf(F.col("text"))
             else:
                 ups = ups.withColumn("text", F.col("key"))
@@ -199,13 +243,28 @@ def ingest_stream(
                     # the delete key set never visits the driver
                     collection.delete_keys_df(dels.select("key").distinct())
             if compact_log_ratio is not None:
-                collection.maybe_compact(max_log_ratio=compact_log_ratio)
+                # best-effort AFTER the data commit: the appends are
+                # already durable, so a maintenance failure (another
+                # session holds the lease, transient FS error mid-swap)
+                # must not fail the micro-batch — that would replay and
+                # RE-APPEND the whole batch with fresh seqs on every
+                # restart while the stream never advances
+                try:
+                    collection.maybe_compact(max_log_ratio=compact_log_ratio)
+                except Exception:
+                    _log.warning(
+                        "ingest_stream batch %s: post-commit compaction "
+                        "failed (will retry on a later batch)",
+                        batch_id, exc_info=True,
+                    )
         finally:
             for cached in extra_cached:
                 cached.unpersist()
             batch_df.unpersist()
 
-    writer = events.writeStream.foreachBatch(do_batch).trigger(availableNow=True)
+    writer = events.writeStream.foreachBatch(do_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -1,0 +1,196 @@
+"""Regression pins for the round-12 self-review findings on the
+collection/ingest/merge surfaces (the protocol-file findings have
+their pins in tests/test_epoch_lease.py):
+
+  - ensure_exists probes existence with a filesystem check and must
+    never overwrite a populated log (the old read-with-fallback turned
+    any transient read error into silent total data loss);
+  - within one ingest micro-batch, the LAST event per key wins —
+    DELETE-then-PUT keeps the key, PUT-then-DELETE removes it (the old
+    upserts-then-tombstones split gave every delete the higher seq);
+  - leased() sections auto-heartbeat (a micro-batch outliving the TTL
+    must not present an expired lease to a concurrent compact);
+  - the TEXT ingest path drops keys missing from the object store with
+    a logged count instead of upserting embed("") for all of them;
+  - a post-commit compaction failure is best-effort: the batch's
+    appends stay committed and the stream drains;
+  - a fully-deleted collection still compacts once its tombstone
+    history outgrows the ratio (live=0 no longer disables the policy);
+  - files_per_bucket>1 works on map-bearing tables (the within-bucket
+    salt no longer hashes MapType columns).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vectordbapp_ceph_spark.collection import VectorCollection
+from python_vectordbapp_ceph_spark.streaming.ingest import (
+    ingest_stream,
+    parse_s3_events,
+)
+
+DIM = 4          # explicit-vector tests
+TEXT_DIM = 384   # what the stub text embedder emits (ingest-driven tests)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, embedding array<float>, tags map<string,string>"
+    )
+
+
+def _event(key, event="ObjectCreated:Put", t="2024-01-01T00:00:00Z"):
+    return {
+        "Records": [
+            {
+                "eventName": event,
+                "eventTime": t,
+                "s3": {
+                    "bucket": {"name": "b1"},
+                    "object": {"key": key, "tags": {}},
+                },
+            }
+        ]
+    }
+
+
+def _write_events(tmp_path, name, events):
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    with open(d / "batch.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    return d
+
+
+def _drain(spark, events_dir, coll, ckpt, **kw):
+    raw = spark.readStream.text(str(events_dir))
+    q = ingest_stream(
+        parse_s3_events(raw, json_col="value"), coll,
+        checkpoint_dir=str(ckpt), **kw,
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+
+
+def test_ensure_exists_never_clobbers_populated_log(spark, tmp_path):
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=DIM, name="t"
+    ).ensure_exists()
+    coll.upsert(_rows(spark, [("k1", [1.0, 0.0, 0.0, 0.0], None)]))
+    # the has_collection->create pattern re-runs on every startup
+    again = VectorCollection(
+        spark=spark, path=coll.path, dim=DIM, name="t"
+    ).ensure_exists()
+    assert {r.key for r in again.snapshot().collect()} == {"k1"}
+
+
+def test_delete_then_put_same_key_one_batch_keeps_key(spark, tmp_path):
+    """The reference webhook processes events sequentially; a PUT after
+    a DELETE of the same key must survive even when both land in one
+    micro-batch (availableNow drains the backlog into few batches)."""
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=TEXT_DIM, name="t"
+    ).ensure_exists()
+    events = _write_events(tmp_path, "ev", [
+        _event("k", "ObjectRemoved:Delete", t="2024-01-01T00:00:01Z"),
+        _event("k", "ObjectCreated:Put", t="2024-01-01T00:00:02Z"),
+    ])
+    _drain(spark, events, coll, tmp_path / "ckpt")
+    assert {r.key for r in coll.snapshot().collect()} == {"k"}
+
+
+def test_put_then_delete_same_key_one_batch_removes_key(spark, tmp_path):
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=TEXT_DIM, name="t"
+    ).ensure_exists()
+    events = _write_events(tmp_path, "ev", [
+        _event("k", "ObjectCreated:Put", t="2024-01-01T00:00:01Z"),
+        _event("k", "ObjectRemoved:Delete", t="2024-01-01T00:00:02Z"),
+    ])
+    _drain(spark, events, coll, tmp_path / "ckpt")
+    assert coll.snapshot().count() == 0
+
+
+def test_leased_section_auto_heartbeats(spark, tmp_path):
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=DIM, name="t"
+    ).ensure_exists()
+    with coll.leased() as lease:
+        assert lease._auto_hb, "leased() must arm the auto-heartbeat"
+    assert lease._stop.is_set(), "release must stop the heartbeat thread"
+
+
+def test_text_ingest_drops_missing_object_text(spark, tmp_path):
+    """A key absent from the object store is DROPPED (logged), not
+    upserted as the embedding of the empty string."""
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=TEXT_DIM, name="t"
+    ).ensure_exists()
+    events = _write_events(tmp_path, "ev", [
+        _event("present"), _event("missing"),
+    ])
+    object_text = spark.createDataFrame(
+        [("present", "some text")], "key string, text string"
+    )
+    _drain(spark, events, coll, tmp_path / "ckpt", object_text=object_text)
+    assert {r.key for r in coll.snapshot().collect()} == {"present"}
+
+
+def test_compact_failure_is_best_effort_after_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Post-commit maintenance must never fail the micro-batch: the
+    appends stay committed and the stream drains even when compaction
+    raises on every attempt."""
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=TEXT_DIM, name="t"
+    ).ensure_exists()
+    monkeypatch.setattr(
+        VectorCollection, "maybe_compact",
+        lambda self, **kw: (_ for _ in ()).throw(
+            RuntimeError("injected maintenance failure")
+        ),
+    )
+    events = _write_events(tmp_path, "ev", [_event("k1"), _event("k2")])
+    _drain(spark, events, coll, tmp_path / "ckpt", compact_log_ratio=1.0)
+    assert {r.key for r in coll.snapshot().collect()} == {"k1", "k2"}
+
+
+def test_fully_deleted_collection_still_compacts(spark, tmp_path):
+    coll = VectorCollection(
+        spark=spark, path=str(tmp_path / "c"), dim=DIM, name="t"
+    ).ensure_exists()
+    keys = [f"k{i}" for i in range(6)]
+    coll.upsert(_rows(
+        spark, [(k, [1.0, 0.0, 0.0, 0.0], None) for k in keys]
+    ))
+    coll.delete_keys(keys)
+    assert coll.snapshot().count() == 0
+    assert coll._log().count() == 12  # 6 upserts + 6 tombstones
+    assert coll.maybe_compact(max_log_ratio=3.0) is True
+    assert coll._log().count() == 0   # collapsed to the empty snapshot
+    assert coll.snapshot().count() == 0
+    # and the collection stays usable afterwards
+    coll.upsert(_rows(spark, [("new", [0.0, 1.0, 0.0, 0.0], None)]))
+    assert {r.key for r in coll.snapshot().collect()} == {"new"}
+
+
+def test_files_per_bucket_multiplier_on_map_column(spark, tmp_path):
+    """The within-bucket salt must not hash MapType columns (Spark
+    rejects hash over maps) — collection-shaped tables are exactly the
+    big tables the multiplier targets."""
+    from python_vectordbapp_ceph_spark.operators.merge import (
+        read_base,
+        write_bucketed_base,
+    )
+
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.col("id").alias("val"),
+        F.create_map(F.lit("a"), F.col("id").cast("string")).alias("tags"),
+    )
+    base = str(tmp_path / "base")
+    write_bucketed_base(df, base, "key", n_buckets=4, files_per_bucket=2)
+    assert read_base(spark, base).count() == 100
