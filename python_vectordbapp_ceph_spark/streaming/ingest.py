@@ -152,10 +152,13 @@ def ingest_stream(
         # sequential per-key outcome; a key then appears in EITHER the
         # upsert or the delete branch, never both, and superseded PUTs
         # skip the embedding UDF entirely. Tiebreak on equal
-        # timestamps is upsert-over-delete (deterministic; with equal
-        # stamps arrival order is unknowable either way).
+        # timestamps is DELETE-over-upsert — deterministic (with equal
+        # stamps arrival order is unknowable either way) and the
+        # conservative choice the pre-reduction pipeline pinned: a
+        # tombstone only suppresses a row until its next genuine PUT,
+        # while a resurrected deleted row leaks data.
         w = Window.partitionBy("key").orderBy(
-            F.col("ingest_ts").desc_nulls_last(), F.col("op").desc()
+            F.col("ingest_ts").desc_nulls_last(), F.col("op").asc()
         )
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -89,7 +89,9 @@ def test_ensure_exists_never_clobbers_populated_log(spark, tmp_path):
 def test_delete_then_put_same_key_one_batch_keeps_key(spark, tmp_path):
     """The reference webhook processes events sequentially; a PUT after
     a DELETE of the same key must survive even when both land in one
-    micro-batch (availableNow drains the backlog into few batches)."""
+    micro-batch (availableNow drains the backlog into few batches).
+    Ties on identical eventTimes resolve delete-wins (the conservative
+    pre-reduction behavior, pinned by test_ingest_stream_end_to_end)."""
     coll = VectorCollection(
         spark=spark, path=str(tmp_path / "c"), dim=TEXT_DIM, name="t"
     ).ensure_exists()
