@@ -21,6 +21,7 @@ Approximate by construction → registered rows-only with the driver
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 
@@ -35,6 +36,8 @@ from pyspark.sql.types import (
 )
 
 from ..functions import vector as V
+
+_log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -70,7 +73,13 @@ class IVFIndex:
                 "distance", F.round(V.l2_distance(F.col(self.vec_col), qlit), 6)
             )
             .select(self.id_col, "cluster_id", "distance")
-            .orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
+            # nulls LAST: a null/wrong-dim embedding yields a NULL
+            # distance, and Spark's bare asc() is NULLS FIRST — which
+            # would rank every such row ahead of all real neighbors
+            # (knn.py and search_batch already order nulls-last)
+            .orderBy(
+                F.col("distance").asc_nulls_last(), F.col(self.id_col).asc()
+            )
             .limit(k)
         )
 
@@ -206,6 +215,7 @@ def load_ivf(spark, path: str) -> IVFIndex:
     valid by construction) is visible to the next load_ivf/search —
     the persisted index IS the live index, exactly the backend-index
     contract the reference delegates."""
+    _recover_swap(spark, f"{path}/assigned", op="load_ivf")
     meta = _read_meta(spark, path)
     return IVFIndex(
         assigned=spark.read.parquet(f"{path}/assigned"),
@@ -236,6 +246,18 @@ def assign_new(index: IVFIndex, new_df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     spark = new_df.sparkSession
+    # rows with a NULL embedding can't be assigned (NULL distance to
+    # every centroid; the old NULLS-FIRST ordering silently dumped
+    # them into cluster 0, polluting its inverted list) — drop them
+    # with the same logged-count contract the ingest guards use
+    n_null = new_df.filter(F.col(index.vec_col).isNull()).count()
+    if n_null:
+        _log.warning(
+            "assign_new: dropping %d row(s) with NULL %s — a null "
+            "vector has no nearest centroid",
+            n_null, index.vec_col,
+        )
+        new_df = new_df.filter(F.col(index.vec_col).isNotNull())
     cents = F.broadcast(
         spark.createDataFrame(
             [(cid, c) for cid, c in enumerate(index.centroids)],
@@ -243,15 +265,22 @@ def assign_new(index: IVFIndex, new_df: DataFrame) -> DataFrame:
         )
     )
     d2 = V.squared_l2(F.col(index.vec_col).cast("array<double>"), F.col("_cent"))
-    w = Window.partitionBy(index.id_col).orderBy(
-        F.col("_d2").asc(), F.col("cluster_id").asc()
+    # rank per INPUT ROW, not per id: an at-least-once source can
+    # re-deliver the same id twice in one batch (possibly with
+    # different payloads), and a per-id window would silently collapse
+    # them to one arbitrary row — the append keeps every input row and
+    # leaves duplicate-id resolution to the documented at-least-once
+    # semantics of the maintenance stream
+    w = Window.partitionBy("_row").orderBy(
+        F.col("_d2").asc_nulls_last(), F.col("cluster_id").asc()
     )
     return (
-        new_df.crossJoin(cents)
+        new_df.withColumn("_row", F.monotonically_increasing_id())
+        .crossJoin(cents)
         .withColumn("_d2", d2)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_d2", "_cent")
+        .drop("_rn", "_d2", "_cent", "_row")
     )
 
 
@@ -301,9 +330,10 @@ def rebuild_ivf(
     Crash-safe the same way collection.compact() is: ONE write to a
     sibling temp dir, then a two-rename swap (each rename atomic on
     HDFS/POSIX). A crash between renames leaves the old layout at
-    ``path + '._old'`` — recoverable, never a missing index. Readers
-    opened after the swap see only the new layout; the refreshByPath
-    drops any cached file listings.
+    ``path + '._old'`` with the live path absent; the next
+    rebuild/load heals it (:func:`_recover_swap`). Readers opened
+    after the swap see only the new layout; the refreshByPath drops
+    any cached file listings.
 
     Returns the fresh IVFIndex whose ``assigned`` reads from ``path``.
 
@@ -323,6 +353,7 @@ def rebuild_ivf(
     # maintenance stream can't legitimately break it mid-rebuild
     lease.start_auto_heartbeat()
     try:
+        _recover_swap(spark, path, op="rebuild_ivf")
         current = spark.read.parquet(path).drop("cluster_id")
         index = build_ivf(
             current, nlist=nlist, vec_col=vec_col, id_col=id_col,
@@ -343,12 +374,42 @@ def rebuild_ivf(
     )
 
 
+def _recover_swap(spark, path: str, op: str) -> bool:
+    """Heal a crash that landed BETWEEN _swap_dirs' two renames: the
+    live path is absent but ``path._old`` (the renamed-aside previous
+    layout) exists — rename it back so readers and rebuilds see the
+    pre-swap index instead of a missing one. Called by load_ivf and by
+    the lease-holding rebuild before it reads; a no-op (False) when
+    the layout is healthy. Only safe to run when either no writer is
+    live (the crashed one is gone) or the caller holds the lease —
+    which is exactly when these callers run."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    old = path + "._old"
+    if fs.exists(hpath(path)) or not fs.exists(hpath(old)):
+        return False
+    if not fs.rename(hpath(old), hpath(path)):
+        raise IOError(
+            f"{op}: crash-recovery rename {old} -> {path} failed; "
+            "restore the layout manually before retrying"
+        )
+    _log.warning(
+        "%s: recovered index at %s from an interrupted swap "
+        "(previous layout restored from %s)", op, path, old,
+    )
+    spark.catalog.refreshByPath(path)
+    return True
+
+
 def _swap_dirs(spark, tmp: str, path: str, op: str) -> None:
     """Two-rename directory swap (each rename atomic on HDFS/POSIX):
     ``path`` → ``path._old`` → delete, ``tmp`` → ``path``. A crash
-    between renames leaves the old layout at ``path._old`` —
-    recoverable, never a missing index. Drops cached file listings
-    afterwards so already-open sessions re-list."""
+    between the renames leaves the live path ABSENT with the old
+    layout intact at ``path._old``; recovery is NOT automatic at the
+    crash site — the next load_ivf/rebuild_saved_ivf heals it via
+    :func:`_recover_swap` (readers in the crash-to-recovery window see
+    path-not-found, never mixed or lost data). Drops cached file
+    listings afterwards so already-open sessions re-list."""
     hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
     fs = hpath(tmp).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     old = path + "._old"
@@ -395,16 +456,26 @@ def rebuild_saved_ivf(
     old directory."""
     from .lease import acquire_writer_lease
 
-    meta = _read_meta(spark, root)
-    vec_col, id_col = meta[0].vec_col, meta[0].id_col
-    if nlist is None:
-        nlist = len(meta)
     assigned_path = f"{root}/assigned"
     _kw = {} if lease_timeout_ms is None else {"timeout_ms": lease_timeout_ms}
     lease = acquire_writer_lease(
         spark, assigned_path, lease_path=ivf_lease_path(assigned_path), **_kw
     )
     lease.start_auto_heartbeat()  # refit can outlive the TTL
+    # meta is read AFTER the lease: reading it before could observe
+    # another rebuild's in-flight swap (path momentarily absent → a
+    # spurious FileNotFoundError on a healthy index, or a pre-swap
+    # sidecar whose geometry is superseded the instant that writer
+    # releases)
+    try:
+        _recover_swap(spark, assigned_path, op="rebuild_saved_ivf")
+        meta = _read_meta(spark, root)
+    except Exception:
+        lease.release()
+        raise
+    vec_col, id_col = meta[0].vec_col, meta[0].id_col
+    if nlist is None:
+        nlist = len(meta)
     try:
         current = spark.read.parquet(assigned_path).drop("cluster_id")
         index = build_ivf(
@@ -481,18 +552,21 @@ def search_batch(
     data."""
     from pyspark.sql import Window
 
-    from ..functions import vector as V
-
     spark = queries.sparkSession
-    # size probe, not a count of the full set: limit(cap+1) stops the
-    # scan as soon as the cap is provably exceeded
-    small = queries.limit(max_driver_batch + 1).count() <= max_driver_batch
+    # ONE job both sizes and fetches: take(cap+1) returns the rows AND
+    # proves smallness (the old limit().count() + collect() executed a
+    # derived queries plan twice, and the source could grow between
+    # the two — over-collecting onto the driver)
+    qrows = queries.select(q_id_col, q_vec_col).take(max_driver_batch + 1)
+    small = len(qrows) <= max_driver_batch
     if small:
-        qrows = queries.select(q_id_col, q_vec_col).collect()
-        # driver-side centroid ranking per query: |Q| × nlist × dim flops
+        # a NULL query vector has no nearest centroids — skip it, the
+        # same outcome the distributed branch produces (no candidate
+        # rows for that query id), instead of a driver-side TypeError
         probe_rows = [
             (row[q_id_col], cid, [float(x) for x in row[q_vec_col]])
             for row in qrows
+            if row[q_vec_col] is not None
             for cid in index.probe_clusters(
                 [float(x) for x in row[q_vec_col]], nprobe
             )
@@ -526,12 +600,15 @@ def search_batch(
         )
         d2 = V.squared_l2(F.col("_qv"), F.col("_cent"))
         w_probe = Window.partitionBy(q_id_col).orderBy(
-            F.col("_d2").asc(), F.col("cluster_id").asc()
+            F.col("_d2").asc_nulls_last(), F.col("cluster_id").asc()
         )
         probes = (
             queries.select(
                 q_id_col, F.col(q_vec_col).cast("array<double>").alias("_qv")
             )
+            # a null query vector has no nearest centroids (its _d2 is
+            # NULL for every one) — drop it, matching the driver path
+            .filter(F.col("_qv").isNotNull())
             .crossJoin(cents)
             .withColumn("_d2", d2)
             .withColumn("_rn", F.row_number().over(w_probe))

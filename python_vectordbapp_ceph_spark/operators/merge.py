@@ -245,18 +245,29 @@ def current_manifest(spark: SparkSession, path: str, version: int | None = None)
     return best, _read_manifest(spark, path, best)
 
 
-def _publish(spark: SparkSession, path: str, version: int, buckets: dict) -> None:
+def _publish(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    buckets: dict,
+    extra: dict | None = None,
+) -> None:
     """THE commit: stage the manifest JSON to a temp name, then one
     rename onto its final versioned name (_stage_rename_json — the
     shared atomic-publish primitive; the file is immutable and
-    versioned, so the swap is a single all-or-nothing op)."""
+    versioned, so the swap is a single all-or-nothing op). ``extra``
+    merges additional metadata into the commit record (e.g. the
+    streaming sink's ``batch_tag`` replay marker)."""
+    payload = {
+        "version": version,
+        "buckets": {str(b): g for b, g in sorted(buckets.items())},
+    }
+    if extra:
+        payload.update(extra)
     ok = _stage_rename_json(
         spark,
         f"{path}/{_COMMITS}/{_commit_file(version)}",
-        {
-            "version": version,
-            "buckets": {str(b): g for b, g in sorted(buckets.items())},
-        },
+        payload,
     )
     if not ok:
         raise RuntimeError(

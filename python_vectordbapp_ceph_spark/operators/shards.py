@@ -43,9 +43,12 @@ from pyspark.sql import functions as F
 
 from .bloom import bloom_build_packed, bloom_contains_many
 from .merge import (
+    _COMMITS,
+    _commit_file,
     _fs,
     _gen_token,
     _publish,
+    _read_json,
     _staged_write,
     current_manifest,
     read_buckets,
@@ -317,6 +320,27 @@ def dedup_against_ledger(
     return docs.join(committed, "doc_id", "left_anti")
 
 
+def last_batch_tag(spark: SparkSession, path: str) -> str | None:
+    """The ``batch_tag`` carried by the CURRENT commit, or None — the
+    streaming sink's replay marker. A foreachBatch sink is
+    at-least-once: a crash after the manifest publish but before the
+    checkpoint's commit-log write replays the micro-batch, and without
+    this marker the replay would pack the same documents into a SECOND
+    visible segment (with dedup=False there is no other guard).
+    Cost: one O(1) version resolve + one commit-JSON read."""
+    version, _ = current_manifest(spark, path)
+    if version is None:
+        return None
+    try:
+        rec = _read_json(
+            spark, f"{path}/{_COMMITS}/{_commit_file(version)}"
+        )
+    except Exception:
+        return None
+    tag = rec.get("batch_tag")
+    return None if tag is None else str(tag)
+
+
 def append_segment(
     spark: SparkSession,
     path: str,
@@ -324,6 +348,7 @@ def append_segment(
     budget: int = SHARD_BUDGET_DEFAULT,
     files_per_segment: int = 4,
     dedup: bool = False,
+    batch_tag: str | None = None,
 ) -> int:
     """Append ``docs`` (doc_id, n_tokens) to the ledger at ``path`` as
     the next segment; creates the ledger on first call. Returns the
@@ -393,7 +418,10 @@ def append_segment(
     _write_sidecar(spark, path, gen)
     new_map = dict(live)
     new_map[seg] = gen
-    _publish(spark, path, v, new_map)
+    _publish(
+        spark, path, v, new_map,
+        extra={"batch_tag": batch_tag} if batch_tag is not None else None,
+    )
     spark.catalog.refreshByPath(path)
     return seg
 
@@ -520,8 +548,17 @@ def compact(
     new_map = {b: g for b, g in live.items() if b not in set(merged_ids)}
     new_map[target] = gen
     # the atomic visibility point; a racing commit at version+1 makes
-    # this raise and the staged directory an unreferenced orphan
-    _publish(spark, path, version + 1, new_map)
+    # this raise and the staged directory an unreferenced orphan.
+    # The superseded commit's batch_tag (the streaming sink's replay
+    # marker) is carried FORWARD: in-line compaction runs between the
+    # append commit and the stream's checkpoint write, and erasing the
+    # marker there would re-open the replay-duplication window it
+    # exists to close.
+    tag = last_batch_tag(spark, path)
+    _publish(
+        spark, path, version + 1, new_map,
+        extra={"batch_tag": tag} if tag is not None else None,
+    )
     # superseded generations retained for time travel; vacuum() reclaims
     spark.catalog.refreshByPath(path)
     return len(merged_ids)

@@ -26,17 +26,26 @@ polls `shard_manifest` for fresh shard ids.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..cache import release_caches
+from ..cache import cache_scope, release_caches
 from ..operators.lease import (
     LEASE_TTL_MS,
     acquire_writer_lease,
     release_on_termination,
 )
 from ..operators.merge import vacuum
-from ..operators.shards import SHARD_BUDGET_DEFAULT, append_segment, compact
+from ..operators.shards import (
+    SHARD_BUDGET_DEFAULT,
+    append_segment,
+    compact,
+    last_batch_tag,
+)
+
+_log = logging.getLogger(__name__)
 
 # stream_append's default compaction bound: 64 live containers keeps
 # every per-container cost a stream pays each batch — the sidecar-m
@@ -138,6 +147,12 @@ def stream_append(
     # real batch)
     lease.start_auto_heartbeat()
 
+    # per-stream cache scope: the per-batch release below must drain
+    # only THIS stream's pinned intermediates, never a concurrent
+    # query's tracked persists in the same driver (twophase boundary
+    # samples, another stream's dedup candidates)
+    cache_tag = f"shard_ingest:{checkpoint_dir}"
+
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         # re-assert ownership BEFORE mutating: if the lease was stolen
         # (expired under a stalled batch, or an operator forced a
@@ -146,30 +161,52 @@ def stream_append(
         lease.heartbeat()
         if batch.isEmpty():
             return
+        spark_b = batch.sparkSession
+        # foreachBatch is at-least-once: a crash AFTER the manifest
+        # publish but BEFORE the checkpoint's commit-log write replays
+        # this batch — without a marker the replay would pack the same
+        # docs into a SECOND visible segment (dedup=True would catch
+        # it; dedup=False has no other guard). The marker rides in the
+        # commit (and survives in-line compaction, which carries it
+        # forward), so a replayed batch is recognized and skipped.
+        # CHECKPOINT-scoped: batch ids restart at 0 for every new
+        # checkpoint, so a bare id would misread a DIFFERENT stream's
+        # first batch as a replay of ours.
+        tag = f"{checkpoint_dir}:{batch_id}"
+        if last_batch_tag(spark_b, path) == tag:
+            _log.warning(
+                "stream_append batch %s: already committed (replay "
+                "after a crash between publish and checkpoint) — "
+                "skipping the re-pack", batch_id,
+            )
+            return
         # persist the micro-batch: the dedup gate alone reads it three
         # times (key min/max for the zonemap, the distinct probe keys,
         # the final anti-join) before the pack + staged write — a
         # re-fetching source (Kafka) would otherwise pay each pass
         batch = batch.persist()
         try:
-            append_segment(
-                batch.sparkSession, path, batch, budget, dedup=dedup
-            )
-            if max_segments is not None:
-                compact(batch.sparkSession, path, max_segments)
-            if vacuum_keep is not None:
-                vacuum(
-                    batch.sparkSession, path, keep_versions=vacuum_keep,
-                    stage_grace_ms=stage_grace_ms,
+            with cache_scope(cache_tag):
+                append_segment(
+                    spark_b, path, batch, budget, dedup=dedup,
+                    batch_tag=tag,
                 )
+                if max_segments is not None:
+                    compact(spark_b, path, max_segments)
+                if vacuum_keep is not None:
+                    vacuum(
+                        spark_b, path, keep_versions=vacuum_keep,
+                        stage_grace_ms=stage_grace_ms,
+                    )
         finally:
             batch.unpersist()
             # the dedup gate persists its candidate set for the
             # flagged-container collect + verify join; release per
             # batch — a long stream must not accumulate pinned blocks
             # (measured: the r10 soak's batch wall doubled from block
-            # churn before this release)
-            release_caches()
+            # churn before this release). Scoped: only THIS stream's
+            # pins are dropped.
+            release_caches(cache_tag)
 
     writer = stream.writeStream.foreachBatch(pack_batch).option(
         "checkpointLocation", checkpoint_dir

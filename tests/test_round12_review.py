@@ -196,3 +196,173 @@ def test_files_per_bucket_multiplier_on_map_column(spark, tmp_path):
     base = str(tmp_path / "base")
     write_bucketed_base(df, base, "key", n_buckets=4, files_per_bucket=2)
     assert read_base(spark, base).count() == 100
+
+
+# --- second review pass: shard_ingest / ivf / cache --------------------------------
+
+
+def test_stream_append_replay_does_not_double_pack(spark, tmp_path):
+    """foreachBatch is at-least-once: deleting the checkpoint's LAST
+    batch commit marker (the crash-between-publish-and-checkpoint
+    shape) makes the restart replay that batch — the ledger's
+    batch_tag marker must recognize it and skip the re-pack, keeping
+    the ledger byte-identical (dedup is OFF: nothing else guards)."""
+    import os
+
+    from python_vectordbapp_ceph_spark.operators.shards import (
+        last_batch_tag,
+        read_ledger,
+    )
+    from python_vectordbapp_ceph_spark.streaming.shard_ingest import (
+        stream_append,
+    )
+
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        spark.range(i * 100, i * 100 + 50).select(
+            F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, n_tokens long")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    q = stream_append(_stream(), led, ckpt, budget=100_000)
+    assert q.awaitTermination(300)
+    spark.catalog.refreshByPath(led)
+    n = read_ledger(spark, led).count()
+    assert n == 150
+    tag_before = last_batch_tag(spark, led)
+    assert tag_before is not None
+
+    # crash shape: the last batch's manifest publish survived but its
+    # checkpoint commit marker didn't -> restart replays that batch
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar must go too
+        os.remove(crc)
+
+    q2 = stream_append(_stream(), led, ckpt, budget=100_000,
+                       lease_timeout_ms=30_000)
+    assert q2.awaitTermination(300)
+    spark.catalog.refreshByPath(led)
+    assert read_ledger(spark, led).count() == n, "replayed batch re-packed"
+
+
+def test_assign_new_keeps_duplicate_ids_and_drops_null_vectors(spark):
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        assign_new,
+        build_ivf,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    index = build_ivf(base, nlist=4)
+    batch = spark.createDataFrame(
+        [
+            (100, [1.0, 1.0]),
+            (100, [2.0, 2.0]),   # duplicate id, different payload
+            (101, None),          # null embedding: no nearest centroid
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = assign_new(index, batch)
+    rows = got.collect()
+    # both duplicate-id rows survive (at-least-once append semantics);
+    # the null row is dropped, never silently dumped into cluster 0
+    assert len(rows) == 2
+    assert sorted(r.vec_id for r in rows) == [100, 100]
+    assert all(r.cluster_id is not None for r in rows)
+
+
+def test_ivf_search_ranks_null_distances_last(spark):
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        IVFIndex,
+        build_ivf,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    built = build_ivf(base, nlist=2)
+    # poison one assigned row with a NULL embedding (a corrupt write)
+    poisoned = built.assigned.unionByName(
+        spark.createDataFrame(
+            [(999, None, 0)],
+            "vec_id long, embedding array<float>, cluster_id int",
+        )
+    )
+    index = IVFIndex(
+        assigned=poisoned, centroids=built.centroids,
+        vec_col=built.vec_col, id_col=built.id_col,
+    )
+    hits = index.search([0.0, 0.0], k=3, nprobe=2).collect()
+    assert all(r.vec_id != 999 for r in hits), "null distance ranked first"
+    assert all(r.distance is not None for r in hits)
+
+
+def test_search_batch_tolerates_null_query_vector(spark):
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        search_batch,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    index = build_ivf(base, nlist=2)
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "q_id long, q_embedding array<float>",
+    )
+    got = search_batch(index, queries, k=2, nprobe=2).collect()
+    assert {r.q_id for r in got} == {1}  # null-vec query yields no rows
+
+
+def test_load_ivf_recovers_interrupted_swap(spark, tmp_path):
+    import os
+
+    from python_vectordbapp_ceph_spark.operators.ivf import (
+        build_ivf,
+        load_ivf,
+        save_ivf,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    root = str(tmp_path / "ivf")
+    save_ivf(build_ivf(base, nlist=2), root)
+    # crash shape: rebuild renamed the live dir aside and died before
+    # renaming the new layout in
+    os.rename(f"{root}/assigned", f"{root}/assigned._old")
+    idx = load_ivf(spark, root)   # heals via _recover_swap
+    assert idx.assigned.count() == 20
+    assert os.path.isdir(f"{root}/assigned")
+    assert not os.path.exists(f"{root}/assigned._old")
+
+
+def test_release_caches_scopes_are_isolated(spark):
+    from python_vectordbapp_ceph_spark import cache as C
+
+    a = spark.range(10)
+    b = spark.range(20)
+    with C.cache_scope("stream-x"):
+        C.tracked_persist(a)
+    C.tracked_persist(b)  # default scope
+    C.release_caches("stream-x")
+    assert a.storageLevel.useMemory is False, "scoped frame not released"
+    assert b.storageLevel.useMemory is True, "unrelated pin was drained"
+    C.release_caches()  # legacy full drain still works
+    assert b.storageLevel.useMemory is False
