@@ -64,7 +64,23 @@ def bloom_build_packed(
 
 
 def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.unionByName(b).distinct()
+    """Union two same-geometry filters, form-aware. Position-set form
+    unions by distinct; BITSET form must OR the per-word bitsets — a
+    bare distinct leaves two rows per colliding word, and a probe
+    position matching both then counts twice toward ``_n_hits``, which
+    overshoots the ``== k`` membership test and produces a FALSE
+    NEGATIVE for a genuinely inserted key. Mixed forms are a caller
+    bug (pack the set form first)."""
+    a_packed, b_packed = "bits" in a.columns, "bits" in b.columns
+    if a_packed != b_packed:
+        raise ValueError(
+            "bloom_union: mixed filter forms (one packed word/bits, one "
+            "position-set) — pack both via bloom_build_packed first"
+        )
+    u = a.unionByName(b)
+    if a_packed:
+        return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    return u.distinct()
 
 
 def bloom_contains_many(
@@ -128,8 +144,15 @@ def bloom_contains(
     bloom: DataFrame, probes: DataFrame, key_col: str, k: int = 5, m: int = 4096
 ) -> DataFrame:
     """(key, maybe_present): present iff all k positions are set.
-    The bit table broadcasts; the probe side is never shuffled."""
-    pos = _positions(probes, key_col, k, m)
+    The bit table broadcasts; the probe side is never shuffled.
+
+    Probes are DEDUPED first: a key appearing twice in ``probes``
+    would emit 2k position rows and count 2k hits — failing the
+    ``== k`` test and reporting a genuinely present key absent, a
+    false negative in exactly the decontamination direction the
+    module guarantees impossible (bloom_contains_many already dedupes
+    for the same reason)."""
+    pos = _positions(probes.select(key_col).distinct(), key_col, k, m)
     hits = (
         pos.join(F.broadcast(bloom), "pos")
         .groupBy(key_col)

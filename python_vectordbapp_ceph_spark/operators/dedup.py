@@ -111,24 +111,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         except Exception:
             pass
         return df.repartition(target, key)
-    if files:
-        # few files may still mean many splits (maxPartitionBytes
-        # splits large files) — estimate from sizes; few files ⇒ few
-        # cheap driver-side FS calls
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        total = 0
-        try:
-            max_split = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-                spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
-            )
-            for f in files:
-                p = jvm.org.apache.hadoop.fs.Path(f)
-                total += p.getFileSystem(hconf).getFileStatus(p).getLen()
-        except Exception:
-            total, max_split = 0, 1
-        if total // max_split >= target:
-            return df
+    # few files may still mean many splits (maxPartitionBytes splits
+    # large files) — estimate from sizes; few files ⇒ few cheap
+    # driver-side FS calls
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    try:
+        max_split = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    except Exception:
+        total, max_split = 0, 1
+    if total // max_split >= target:
+        return df
     return df.repartition(target, key)
 
 
@@ -215,7 +214,26 @@ def minhash_lsh_candidates(
     Spark evaluates the whole shingle→signature→band pipeline TWICE
     (once per join side) — at scale that doubles the dominant cost.
     """
-    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    _rpb = F.floor(F.size("signature") / bands).cast("int")
+    # in-plan guard: bands > num_hashes floors rows_per_band to 0,
+    # making every band hash the hash of an EMPTY slice — identical
+    # for all documents, so the bucket join degenerates into the n²
+    # all-pairs explosion this operator exists to avoid (srp_signatures
+    # raises for its analogous misconfiguration)
+    rows_per_band = F.when(_rpb >= 1, _rpb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "minhash_lsh_candidates: bands="
+                    f"{int(bands)} exceeds the signature length "
+                ),
+                F.size("signature").cast("string"),
+                F.lit(" — every band hash would be identical and the "
+                      "bucket join all-pairs; lower bands or raise "
+                      "num_hashes"),
+            )
+        ).cast("int")
+    )
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -477,6 +495,12 @@ def minhash_lsh_mllib(
 
     tok = RegexTokenizer(inputCol=text_col, outputCol="_toks", pattern=r"\s+")
     toks = tok.transform(df.select(id_col, text_col))
+    # empty/whitespace-only documents tokenize to [] → an all-zero
+    # vector, which MinHashLSH rejects ("must have at least 1 non zero
+    # entry") — crashing the whole job on one degenerate row. They can
+    # have no similarity candidates anyway; drop them up front (the
+    # explicit MinHash implementation tolerates empty text natively).
+    toks = toks.filter(F.size("_toks") > 0)
     cv = CountVectorizer(inputCol="_toks", outputCol="_features", binary=True)
     cvm = cv.fit(toks)
     feats = cvm.transform(toks)
@@ -597,14 +621,22 @@ def srp_near_dups(
 def _min_label_numpy(src, dst) -> dict:
     """Vectorized driver-side finisher: min-label propagation with
     pointer jumping over dense-reindexed edge arrays. Same result as
-    the union-find (label → component-minimum label) but each round is
+    a union-find (label → component-minimum label) but each round is
     a handful of numpy kernels over all edges at once — ~10× faster
     than the per-edge Python loop at 10⁶ edges. Converges in
-    O(log diameter) rounds (pointer jumping halves chains)."""
+    O(log diameter) rounds (pointer jumping halves chains).
+
+    TYPE-AGNOSTIC: ids are dense-reindexed through np.unique, and the
+    numpy kernels run on the integer INDICES — string/uuid doc ids
+    (jaccard_pairs and the LSH tiers produce them routinely) work
+    unchanged, with the same lexicographic min-survivor semantics the
+    distributed contraction's F.least/min gives string columns. (An
+    earlier int64 coercion here crashed on any non-numeric id the
+    moment the frontier dropped below driver_finish_edges.)"""
     import numpy as np
 
-    src = np.asarray(src, dtype=np.int64)
-    dst = np.asarray(dst, dtype=np.int64)
+    src = np.asarray(src)
+    dst = np.asarray(dst)
     ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     s, d = inv[: len(src)], inv[len(src):]
     lab = np.arange(len(ids), dtype=np.int64)
@@ -618,31 +650,8 @@ def _min_label_numpy(src, dst) -> dict:
         lab = np.minimum(lab, lab[lab])
         if np.array_equal(lab, prev):
             break
-    return {int(i): int(ids[l]) for i, l in zip(ids, lab)}
-
-
-def _min_label_union_find(rows) -> dict:
-    """Driver-side finisher: union-find where the larger root always
-    attaches under the smaller, so each final root IS the component
-    minimum. Returns label -> min-reachable-label for every label that
-    appears in an edge."""
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in rows:
-        ra, rb = find(r[0]), find(r[1])
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    return {x: find(x) for x in list(parent)}
+    ids_list = ids.tolist()  # native Python values for createDataFrame
+    return {ids_list[i]: ids_list[l] for i, l in enumerate(lab)}
 
 
 def dedup_components(

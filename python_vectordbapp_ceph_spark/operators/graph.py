@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cache import materialize
+from ..cache import materialize, tracked_persist
 
 
 def pagerank(
@@ -51,7 +51,13 @@ def pagerank(
         .distinct(),
         checkpoint_dir,
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds BOTH eager materializations below (nodes, the weighted
+    # edge table) — persist it so the full-edge groupBy shuffle runs
+    # once per call, not twice (same discipline kcore applies to its
+    # identical degree table)
+    deg = tracked_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
     nodes = materialize(deg.select(F.col("src").alias("id")), checkpoint_dir)
     n = nodes.count()
     if n == 0:
@@ -125,8 +131,6 @@ def kcore(
         .distinct(),
         checkpoint_dir,
     )
-    from ..cache import tracked_persist
-
     for _ in range(max_iter):
         # persisted: the degree table feeds BOTH the stop-check count
         # and the keep-filter semi-joins — unpersisted it would be

@@ -125,7 +125,22 @@ def grouped_cumsum(
         F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off"),
     )
     w_in = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-    out = parts.join(F.broadcast(offsets), [*group_cols, "_pid"])
+    # NULL-SAFE equi-join back: a list-of-names join uses null-unsafe
+    # equality, so every row whose group key is NULL would match
+    # nothing and be silently DROPPED from the output (the window
+    # phases above treat NULL as an ordinary group value — the join
+    # must too)
+    off = offsets.select(
+        *[F.col(g).alias(f"_og{i}") for i, g in enumerate(group_cols)],
+        F.col("_pid").alias("_opid"),
+        "_off",
+    )
+    cond = parts["_pid"] == off["_opid"]
+    for i, g in enumerate(group_cols):
+        cond = cond & parts[g].eqNullSafe(off[f"_og{i}"])
+    out = parts.join(F.broadcast(off), cond).drop(
+        "_opid", *[f"_og{i}" for i in range(len(group_cols))]
+    )
     if cum_col is not None:
         out = out.withColumn(
             cum_col,
@@ -158,7 +173,13 @@ def global_ntile(
     identical to Spark's and DuckDB's ntile). The row count reaches
     the plan as a broadcast 1-row scalar, never the driver."""
     ranked = global_cumsum(df, order_cols, F.lit(1), cum_col="_rnk")
-    tot = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # n == max(_rnk) off the PERSISTED ranked frame — counting df
+    # directly would recompute its entire upstream lineage just for
+    # the scalar (q_rfm chains three global_ntile calls; the third
+    # would re-run two stacked cumsums for a count)
+    tot = ranked.agg(
+        F.coalesce(F.max("_rnk"), F.lit(0)).cast("long").alias("_n")
+    )
     return (
         ranked.crossJoin(F.broadcast(tot))
         .withColumn("_q", F.expr(f"_n div {n_tiles}"))

@@ -366,3 +366,124 @@ def test_release_caches_scopes_are_isolated(spark):
     assert b.storageLevel.useMemory is True, "unrelated pin was drained"
     C.release_caches()  # legacy full drain still works
     assert b.storageLevel.useMemory is False
+
+
+# --- third review pass: dedup / bloom / twophase / graph ---------------------------
+
+
+def test_bloom_contains_no_false_negative_on_duplicate_probes(spark):
+    """A probe key appearing TWICE must still be maybe_present — the
+    raw-row hit count (2k != k) used to report genuinely inserted keys
+    absent, a false negative in the decontamination direction."""
+    from python_vectordbapp_ceph_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    inserted = spark.createDataFrame([("a",), ("b",)], "key string")
+    bloom = bloom_build(inserted, "key")
+    probes = spark.createDataFrame(
+        [("a",), ("a",), ("c",)], "key string"  # 'a' duplicated
+    )
+    got = {r.key: r.maybe_present
+           for r in bloom_contains(bloom, probes, "key").collect()}
+    assert got["a"] is True, "duplicated inserted key reported absent"
+
+
+def test_bloom_union_packed_form_ors_bitsets(spark):
+    """Union of two PACKED filters must OR colliding words — a bare
+    distinct leaves two rows per word and double-counts probe hits,
+    failing the == k membership test for inserted keys."""
+    from python_vectordbapp_ceph_spark.operators.bloom import (
+        bloom_build,
+        bloom_build_packed,
+        bloom_contains_many,
+        bloom_union,
+    )
+    import pytest as _pytest
+
+    h1 = spark.createDataFrame([(f"x{i}",) for i in range(40)], "key string")
+    h2 = spark.createDataFrame([(f"y{i}",) for i in range(40)], "key string")
+    u = bloom_union(
+        bloom_build_packed(h1, "key"), bloom_build_packed(h2, "key")
+    )
+    # exactly one row per word after the union
+    assert u.groupBy("word").count().filter("count > 1").count() == 0
+    probes = spark.createDataFrame(
+        [("x3",), ("y7",), ("zz",)], "key string"
+    )
+    hits = {
+        r.key
+        for r in bloom_contains_many([("u", u, 4096)], probes, "key").collect()
+    }
+    assert {"x3", "y7"} <= hits  # no false negatives across both halves
+    with _pytest.raises(ValueError, match="mixed filter forms"):
+        bloom_union(bloom_build_packed(h1, "key"), bloom_build(h2, "key"))
+
+
+def test_grouped_cumsum_keeps_null_group_rows(spark):
+    """Rows whose group key is NULL must survive the broadcast join
+    back (a list-of-names join is null-unsafe and silently DROPPED
+    them) and carry a correct within-group cumsum."""
+    from python_vectordbapp_ceph_spark.operators.twophase import (
+        grouped_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 1, 10), ("g1", 2, 20), (None, 1, 5), (None, 2, 7)],
+        "grp string, ord int, v int",
+    )
+    got = grouped_cumsum(df, ["grp"], ["ord"], "v", cum_col="cum")
+    rows = got.collect()
+    assert len(rows) == 4, "null-group rows vanished"
+    null_rows = {r.ord: r.cum for r in rows if r.grp is None}
+    assert null_rows == {1: 5, 2: 12}
+
+
+def test_lsh_bands_exceeding_signature_raises(spark):
+    from python_vectordbapp_ceph_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "four five six")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, num_hashes=2)
+    with pytest.raises(Exception, match="exceeds the signature length"):
+        minhash_lsh_candidates(sigs, bands=4).collect()
+
+
+def test_dedup_components_supports_string_ids(spark):
+    """The driver finisher (frontier below driver_finish_edges — i.e.
+    nearly always) must handle string/uuid ids; the int64-coerced
+    numpy path crashed on them."""
+    from python_vectordbapp_ceph_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {r.id: r.comp for r in dedup_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_mllib_lsh_tolerates_empty_documents(spark):
+    from python_vectordbapp_ceph_spark.operators.dedup import (
+        minhash_lsh_mllib,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared tokens here right"),
+            (2, "shared tokens here right now"),
+            (3, ""),          # empty: all-zero vector crashed MinHashLSH
+            (4, "   "),       # whitespace-only: same
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_mllib(docs, threshold=0.6).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert 3 not in ids and 4 not in ids
+    assert any({r.id_a, r.id_b} == {1, 2} for r in pairs)
