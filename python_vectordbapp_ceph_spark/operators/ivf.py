@@ -215,7 +215,7 @@ def load_ivf(spark, path: str) -> IVFIndex:
     valid by construction) is visible to the next load_ivf/search —
     the persisted index IS the live index, exactly the backend-index
     contract the reference delegates."""
-    _recover_swap(spark, f"{path}/assigned", op="load_ivf")
+    _reader_precheck(spark, f"{path}/assigned")
     meta = _read_meta(spark, path)
     return IVFIndex(
         assigned=spark.read.parquet(f"{path}/assigned"),
@@ -246,18 +246,36 @@ def assign_new(index: IVFIndex, new_df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     spark = new_df.sparkSession
-    # rows with a NULL embedding can't be assigned (NULL distance to
-    # every centroid; the old NULLS-FIRST ordering silently dumped
-    # them into cluster 0, polluting its inverted list) — drop them
-    # with the same logged-count contract the ingest guards use
-    n_null = new_df.filter(F.col(index.vec_col).isNull()).count()
-    if n_null:
+    # rows with a NULL or WRONG-DIMENSION embedding can't be assigned:
+    # both yield a NULL _d2 against every centroid, and with the
+    # nulls-last + cluster_id tiebreak ranking such a row would be
+    # silently assigned to cluster 0 — the inverted-list pollution
+    # this guard exists to eliminate. Drop both shapes with the same
+    # logged-count contract the ingest guards use (ONE counting job
+    # for both kinds, same job count as the old null-only guard).
+    dim = len(index.centroids[0]) if index.centroids else 0
+    vec = F.col(index.vec_col)
+    counts = new_df.select(
+        F.count(F.when(vec.isNull(), 1)).alias("n_null"),
+        F.count(
+            F.when(vec.isNotNull() & (F.size(vec) != dim), 1)
+        ).alias("n_dim"),
+    ).first()
+    if counts["n_null"]:
         _log.warning(
             "assign_new: dropping %d row(s) with NULL %s — a null "
             "vector has no nearest centroid",
-            n_null, index.vec_col,
+            counts["n_null"], index.vec_col,
         )
-        new_df = new_df.filter(F.col(index.vec_col).isNotNull())
+    if counts["n_dim"]:
+        _log.warning(
+            "assign_new: dropping %d row(s) whose %s dimension != %d "
+            "(the index dimension) — a wrong-dim vector has no distance "
+            "to any centroid",
+            counts["n_dim"], index.vec_col, dim,
+        )
+    if counts["n_null"] or counts["n_dim"]:
+        new_df = new_df.filter(vec.isNotNull() & (F.size(vec) == dim))
     cents = F.broadcast(
         spark.createDataFrame(
             [(cid, c) for cid, c in enumerate(index.centroids)],
@@ -374,21 +392,74 @@ def rebuild_ivf(
     )
 
 
-def _recover_swap(spark, path: str, op: str) -> bool:
+def _reader_precheck(
+    spark, path: str, polls: int = 10, poll_s: float = 0.2
+) -> None:
+    """load_ivf's handling of the interrupted-swap layout (live path
+    absent, ``path._old`` present). A reader must NOT rename the old
+    layout back without the writer lease: that window also occurs
+    mid-swap under a LIVE rebuild, and a lease-less heal there would
+    restore the old directory just before the rebuild's tmp->path
+    rename — which would then nest the new layout INSIDE the restored
+    one, a silently mixed index. Instead: poll briefly for the live
+    writer's swap to finish (it is two renames — milliseconds), then
+    attempt recovery UNDER the lease (timeout 0: a crashed writer's
+    expired/released lease is claimable immediately; a live or
+    TTL-fresh one is not), and raise with the recovery hint if a
+    writer still holds it."""
+    import time
+
+    from .lease import LedgerLockedError, acquire_writer_lease
+
+    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    old = path + "._old"
+    for _ in range(max(1, polls)):
+        if fs.exists(hpath(path)) or not fs.exists(hpath(old)):
+            return  # healthy (or simply absent — the read raises below)
+        time.sleep(poll_s)
+    try:
+        lease = acquire_writer_lease(
+            spark, path, lease_path=ivf_lease_path(path), timeout_ms=0
+        )
+    except LedgerLockedError as e:
+        raise IOError(
+            f"load_ivf: index at {path} is mid-swap (live path absent, "
+            f"{old} present) and a writer holds the lease — retry once "
+            "its swap completes, or run rebuild_ivf/rebuild_saved_ivf "
+            "to recover if the writer is dead"
+        ) from e
+    try:
+        _recover_swap(spark, path, op="load_ivf")
+    finally:
+        lease.release()
+
+
+def _recover_swap(spark, path: str, op: str, _fs_pair=None) -> bool:
     """Heal a crash that landed BETWEEN _swap_dirs' two renames: the
     live path is absent but ``path._old`` (the renamed-aside previous
     layout) exists — rename it back so readers and rebuilds see the
-    pre-swap index instead of a missing one. Called by load_ivf and by
-    the lease-holding rebuild before it reads; a no-op (False) when
-    the layout is healthy. Only safe to run when either no writer is
-    live (the crashed one is gone) or the caller holds the lease —
-    which is exactly when these callers run."""
-    hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    pre-swap index instead of a missing one. LEASE-HOLDING CALLERS
+    ONLY (rebuild_ivf, rebuild_saved_ivf, and load_ivf's
+    _reader_precheck after it takes the lease): renaming without the
+    lease races a live rebuild's own swap. A no-op (False) when the
+    layout is healthy. ``_fs_pair`` injects (fs, hpath) — tests only,
+    to pin the lost-rename-race branch below deterministically."""
+    if _fs_pair is not None:
+        fs, hpath = _fs_pair
+    else:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     old = path + "._old"
     if fs.exists(hpath(path)) or not fs.exists(hpath(old)):
         return False
     if not fs.rename(hpath(old), hpath(path)):
+        # a concurrent recoverer (or the writer itself) may have healed
+        # the layout between our existence check and the rename — a
+        # healthy index must not read as a hard failure
+        if fs.exists(hpath(path)):
+            spark.catalog.refreshByPath(path)
+            return True
         raise IOError(
             f"{op}: crash-recovery rename {old} -> {path} failed; "
             "restore the layout manually before retrying"

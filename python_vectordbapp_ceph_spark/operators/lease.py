@@ -575,6 +575,16 @@ def _acquire_epoch(
             rec is None
             or rec.get("released")
             or steal
+            # OUR OWN record at the max: a previous _advance in this
+            # loop landed server-side but its acknowledgment was lost
+            # as a generic transient error (not FileExistsError, which
+            # _advance reconciles itself). Without this, the scan reads
+            # our orphan as a live FOREIGN holder and acquisition
+            # self-blocks until timeout while the orphan blocks every
+            # other acquirer for a full TTL. owner is a per-handle
+            # uuid4, so a match can only be this handle's own create —
+            # claim the slot by advancing past it.
+            or rec.get("owner") == lease.owner
             or now > int(rec.get("heartbeat_ms", 0)) + int(
                 rec.get("ttl_ms", ttl_ms)
             )

@@ -433,12 +433,15 @@ def _bucket_aligned(df: DataFrame, n_buckets: int, files_per_bucket: int) -> Dat
     # salt over the hashable columns only: Spark rejects hash
     # expressions over MapType (DATATYPE_MISMATCH.HASH_MAP_TYPE), and
     # collection-shaped tables carry `tags map<string,string>` — the
-    # exact tables big enough to need the multiplier. Row spread is
-    # preserved as long as ANY non-map column varies; an (unlikely)
-    # all-map frame falls back to a random salt, which is fine for a
-    # write-side spread key.
+    # exact tables big enough to need the multiplier. The exclusion
+    # must catch maps at ANY nesting depth (array<map<...>>, a struct
+    # field holding a map): the hash check recurses into the type, so
+    # the dtype-string scan does too. Row spread is preserved as long
+    # as ANY map-free column varies; an (unlikely) all-map frame falls
+    # back to a random salt, which is fine for a write-side spread key.
     hashable = [
-        F.col(c) for c, t in df.dtypes if not t.startswith("map")
+        F.col(c) for c, t in df.dtypes
+        if not t.startswith("map") and "map<" not in t
     ]
     salt = (
         F.pmod(F.xxhash64(*hashable), F.lit(files_per_bucket))

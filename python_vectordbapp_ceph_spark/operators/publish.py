@@ -171,23 +171,63 @@ class HadoopFsOps(FsOps):
             stream.close()
 
     @staticmethod
+    def _typed_conflict(je) -> bool | None:
+        """Typed verdict from the Java exception CHAIN, before any
+        string heuristics: True = a class-name AlreadyExists/
+        PreconditionFailed or an HTTP status code of exactly 412
+        (the conditional-PUT conflict — AWSS3Exception.statusCode() /
+        AmazonS3Exception.getStatusCode()); False = a typed status
+        code WAS found and it is NOT 412 (e.g. a 503 whose message
+        happens to contain ' 412' — retryable, NOT lost-the-race);
+        None = no typed information anywhere in the chain (opaque
+        wrapper — only then may the caller fall back to strings)."""
+        verdict: bool | None = None
+        cur, hops = je, 0
+        while cur is not None and hops < 8:
+            hops += 1
+            try:
+                cls = cur.getClass().getName()
+            except Exception:
+                break
+            if "AlreadyExists" in cls or "PreconditionFailed" in cls:
+                return True
+            for meth in ("statusCode", "getStatusCode"):
+                try:
+                    code = int(getattr(cur, meth)())
+                except Exception:
+                    continue
+                if code == 412:
+                    return True
+                verdict = False  # typed code found, and it isn't 412
+                break
+            try:
+                cur = cur.getCause()
+            except Exception:
+                break
+        return verdict
+
+    @staticmethod
     def _is_already_exists(e: Exception) -> bool:
         """Precise FileAlreadyExists detection on a Py4J-wrapped Java
-        exception: match the Java CLASS NAME first (the stringified
-        form carries a full stack trace whose text can contain
-        'exists' for unrelated failures — e.g. parent-path or bucket
-        diagnostics — which must NOT be misread as lost-the-race);
-        fall back to the message HEAD only (class + message precede
-        the trace), plus the 412/PreconditionFailed shapes a
-        conditional PUT reports."""
+        exception. Order matters — this function adjudicates the
+        conditional-PUT race, and a misread converts a retryable
+        transient into a false "another writer won":
+
+        1. TYPED chain walk (:meth:`_typed_conflict`): Java class
+           names and the AWS SDK's machine-readable HTTP status code.
+           A typed non-412 code is AUTHORITATIVE — the string fallback
+           is never consulted (a proxy 503 whose message carries
+           ' 412' must propagate as retryable).
+        2. Message-HEAD substrings, ONLY for genuinely opaque wrappers
+           (no java_exception, or a chain exposing neither class nor
+           code): head-bounded because the stringified form carries a
+           full stack trace whose text can contain 'exists'/' 412'
+           for unrelated frames."""
         je = getattr(e, "java_exception", None)
         if je is not None:
-            try:
-                cls = je.getClass().getName()
-                if "AlreadyExists" in cls:
-                    return True
-            except Exception:
-                pass
+            typed = HadoopFsOps._typed_conflict(je)
+            if typed is not None:
+                return typed
         head = str(e)[:300]
         return (
             "AlreadyExists" in head
