@@ -172,6 +172,18 @@ HEADLINE = [
 ROTATION_SIZE = 50
 ROTATION_EXCLUDE = {"q_dedup_near_mllib"}
 
+# Host-noise sentinels (r12 verdict ask #7): three cheap, code-stable
+# queries timed at the START and again at the END of the run, recorded
+# in the authoritative warm line. r12's driver-side artifact showed a
+# uniform ~1.2× inflation across 70+ UNTOUCHED queries — a host-state
+# signature that could only be adjudicated with a manual worktree A/B.
+# The sentinels make that normalization in-artifact: an end/start
+# ratio (or a sentinel-vs-previous-round ratio) far from 1.0 marks the
+# RUN as hot, so a reader discounts uniform movers without re-running
+# anything. Chosen small (sub-second, single-shuffle, no Python) so
+# they measure the HOST, not the engine.
+SENTINELS = ["q_agg_group", "q_join_inner", "q_tpch_q6"]
+
 
 def _bench_round() -> int:
     env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
@@ -183,14 +195,28 @@ def _bench_round() -> int:
     return len(glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
 
 
-def rotation_slice(round_no: int) -> tuple[list[str], int, int]:
+def rotation_slice(round_no: int, idx: int | None = None) -> tuple[list[str], int, int]:
     rest = [
         n for n in QUERIES
         if n not in set(HEADLINE) and n not in ROTATION_EXCLUDE
     ]
     n_chunks = max(1, (len(rest) + ROTATION_SIZE - 1) // ROTATION_SIZE)
-    idx = (round_no - 1) % n_chunks
+    if idx is None:
+        idx = (round_no - 1) % n_chunks
     return rest[idx * ROTATION_SIZE:(idx + 1) * ROTATION_SIZE], idx, n_chunks
+
+
+def _slice_indices(round_no: int) -> list[int]:
+    """Which rotation slices this run times. Default: the round's own
+    slice. SPARK_GRAFT_BENCH_SLICES="0,1,2" overrides — used to catch
+    the rotation up in one run (each slice still emits its OWN
+    rotation_slice record, so per-slice cross-round comparison in
+    bench_compare keeps working)."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_SLICES")
+    if env:
+        return [int(x) for x in env.split(",") if x.strip() != ""]
+    _, idx, _ = rotation_slice(round_no)
+    return [idx]
 
 
 def main() -> None:
@@ -208,6 +234,19 @@ def main() -> None:
 
     from python_vectordbapp_ceph_spark.operators.dedup import release_caches
 
+    def _run_sentinels() -> dict[str, float]:
+        out = {}
+        for name in SENTINELS:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.time() - t0, 3)
+            release_caches()
+        return out
+
+    sentinels_start = _run_sentinels()
+
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -221,17 +260,23 @@ def main() -> None:
             release_caches()  # LSH/shingle intermediates don't accumulate
         cold[name], warm[name] = runs[0], runs[1]
 
-    # rotation slice: one timed run each (JVM is warm after the
+    # rotation slice(s): one timed run each (JVM is warm after the
     # headline pass; these walls are history rows, not the headline
     # round-over-round signal, so a second warm run isn't paid for)
     round_no = _bench_round()
-    rot_names, rot_idx, rot_chunks = rotation_slice(round_no)
-    rotation: dict[str, float] = {}
-    for name in rot_names:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        rotation[name] = round(time.time() - t0, 3)
-        release_caches()
+    rotation_records = []
+    for slice_idx in _slice_indices(round_no):
+        rot_names, rot_idx, rot_chunks = rotation_slice(round_no, slice_idx)
+        rotation: dict[str, float] = {}
+        for name in rot_names:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rotation[name] = round(time.time() - t0, 3)
+            release_caches()
+        rotation_records.append((rot_idx, rot_chunks, rotation))
+
+    sentinels_end = _run_sentinels()
+    s_start, s_end = sum(sentinels_start.values()), sum(sentinels_end.values())
 
     total = round(sum(warm.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -248,21 +293,25 @@ def main() -> None:
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
     }))
-    print(json.dumps({
-        "metric": "rotation_slice",
-        "unit": "sec",
-        "sf": sf_val,
-        "round": round_no,
-        "slice_index": rot_idx,
-        "n_slices": rot_chunks,
-        "queries_rotation": rotation,
-        "rotation_total": round(sum(rotation.values()), 3),
-    }))
+    for rot_idx, rot_chunks, rotation in rotation_records:
+        print(json.dumps({
+            "metric": "rotation_slice",
+            "unit": "sec",
+            "sf": sf_val,
+            "round": round_no,
+            "slice_index": rot_idx,
+            "n_slices": rot_chunks,
+            "queries_rotation": rotation,
+            "rotation_total": round(sum(rotation.values()), 3),
+        }))
     print(json.dumps({
         "metric": "headline_queries_total",
         "unit": "sec",
         "sf": sf_val,
         "queries": warm,
+        "sentinels_start": sentinels_start,
+        "sentinels_end": sentinels_end,
+        "sentinel_drift": round(s_end / max(s_start, 1e-9), 3),
         "value": total,
     }))
     spark.stop()

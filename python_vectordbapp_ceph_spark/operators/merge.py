@@ -559,18 +559,31 @@ def vacuum(
     # O(V²); the checkpoint now removes even that one).
     ck = _read_checkpoint(spark, path)
     versions = None
+    kept_versions = None
     ck_referenced: set[str] = set()
     ck_version = -1
     if ck is not None:
         cur = _current_version(spark, path)
         if cur is not None:
-            lo = int(ck.get("file_min_version", ck["min_version"]))
-            versions = list(range(lo, cur + 1))
+            # TWO floors: deletes retry from the checkpoint FILE's own
+            # (lower) min so commit files a crashed vacuum left behind
+            # are reclaimed, while the kept window derives from the
+            # pointer-advanced (higher) min — versions at or above it
+            # are guaranteed present (vacuum advances the pointer
+            # before deleting anything), so a LATER vacuum with a
+            # WIDER keep_versions can never pull an already-deleted
+            # version into its kept set and abort on its manifest read
+            lo_delete = int(ck.get("file_min_version", ck["min_version"]))
+            lo_live = int(ck["min_version"])
+            versions = list(range(lo_delete, cur + 1))
+            live_versions = list(range(lo_live, cur + 1))
+            kept_versions = live_versions[-max(1, int(keep_versions)):]
             ck_referenced = set(ck.get("referenced", []))
             ck_version = int(ck["version"])
     if versions is None:
         versions = [v for v, _ in _list_commit_versions(spark, path)]
-    kept_versions = versions[-max(1, int(keep_versions)):]
+    if kept_versions is None:
+        kept_versions = versions[-max(1, int(keep_versions)):]
     kept_set = set(kept_versions)
     grace_cutoff_ms = None
     if stage_grace_ms and int(stage_grace_ms) > 0:
@@ -654,8 +667,10 @@ def vacuum(
         _write_ckpt_pointer(
             spark, path, int(ck["version"]), int(kept_versions[0])
         )
-    for v in versions[: len(versions) - len(kept_versions)]:
-        fs.delete(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}"), False)
+    kept_floor = kept_versions[0] if kept_versions else None
+    for v in versions:
+        if kept_floor is not None and v < kept_floor:
+            fs.delete(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}"), False)
     return removed
 
 

@@ -262,6 +262,26 @@ def test_checkpoint_referenced_pruned_to_existing_dirs(
     assert os.path.isdir(gen_dir), "in-flight staging lost grace protection"
 
 
+def test_vacuum_with_widened_retention_after_narrow_vacuum(
+    spark, tmp_path, small_interval
+):
+    """A vacuum with keep=2 followed by one with keep=10: the wider
+    window's kept set must clamp to versions that still exist (the
+    pointer-advanced floor), not pull already-deleted versions in from
+    the checkpoint file's lower delete-retry floor and abort."""
+    path = str(tmp_path / "base")
+    _mk_base(spark, path)
+    for c in range(1, 7):
+        _merge_one(spark, path, c)
+    M.vacuum(spark, path, keep_versions=2)    # floor -> 5
+    _merge_one(spark, path, 7)                # v7
+    M.vacuum(spark, path, keep_versions=10)   # wider than what exists
+    assert _commit_names(path) == [
+        M._commit_file(v) for v in (5, 6, 7)
+    ]
+    assert M.read_base(spark, path, version=5).count() == 8
+
+
 def test_legacy_table_without_checkpoint_unaffected(spark, tmp_path, monkeypatch):
     """Interval larger than the commit count → no checkpoint anywhere;
     every consumer takes the legacy listing path."""

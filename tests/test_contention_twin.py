@@ -1,0 +1,99 @@
+"""Multi-process conditional-put contention (r12 verdict ask #4):
+orchestrates tools/contention_twin.py — two OS processes, each its own
+JVM/SparkSession/lease handle, racing one ledger with the conditional-
+put backend forced and transient errors injected into the epoch-lease
+creates. In-process epoch-lease races are covered by
+test_epoch_lease.py; this is the cross-process twin the composed
+lifecycle lacked. Pins:
+
+  - exactly one winner; the loser raises LedgerLockedError BEFORE
+    touching any data (clean pre-append abort);
+  - the injected lost-acknowledgment/transient shapes all fired and
+    were reconciled (the writer still appended every batch);
+  - the winner's ledger is row-identical to a serial single-process
+    control run of the same batches;
+  - the epochs directory ends O(1) files (no orphan growth across
+    acquire + heartbeats + injected failures + release).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+TWIN = os.path.join(os.path.dirname(__file__), "..", "tools",
+                    "contention_twin.py")
+
+
+def test_two_process_condput_contention(tmp_path):
+    mdir = str(tmp_path / "markers")
+    os.makedirs(mdir)
+    race_ledger = str(tmp_path / "race_ledger")
+    serial_ledger = str(tmp_path / "serial_ledger")
+
+    env = dict(os.environ)
+    writer = subprocess.Popen(
+        [sys.executable, TWIN, "--writer", race_ledger, mdir],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    contender = subprocess.Popen(
+        [sys.executable, TWIN, "--contender", race_ledger, mdir],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    serial = subprocess.run(
+        [sys.executable, TWIN, "--serial", serial_ledger],
+        capture_output=True, timeout=300, env=env,
+    )
+    w_out, w_err = writer.communicate(timeout=420)
+    c_out, c_err = contender.communicate(timeout=120)
+    assert serial.returncode == 0, serial.stderr.decode()[-2000:]
+    assert writer.returncode == 0, (w_err or w_out).decode()[-2000:]
+    assert contender.returncode == 0, (c_err or c_out).decode()[-2000:]
+
+    w = json.load(open(f"{mdir}/writer.json"))
+    c = json.load(open(f"{mdir}/contender.json"))
+    # exactly one winner; the loser aborted clean pre-append
+    assert w["role"] == "winner" and w["appended"] == 3
+    assert c["role"] == "loser" and c["clean_abort"] is True
+    # every injected failure shape actually fired and was reconciled
+    fired = {m for _, m in w["injected_fired"]}
+    assert fired == {"lost_ack", "transient"}, w["injected_fired"]
+
+    # no orphan epoch growth: acquire + 3 heartbeats + injected
+    # failures + release must leave O(1) records (current released
+    # record, transiently its predecessor)
+    epochs_dir = os.path.join(race_ledger, "_commits",
+                              "_writer.lease.epochs")
+    n_epochs = len([n for n in os.listdir(epochs_dir)
+                    if n.endswith(".json")])
+    assert n_epochs <= 2, f"epoch records leaked: {n_epochs}"
+
+    # the raced ledger is row-identical to the serial control
+    import duckdb
+
+    def rows(path):
+        con = duckdb.connect()
+        # read through the CURRENT manifest exactly like read_ledger:
+        # every live (bucket, gen) directory
+        commits = sorted(
+            n for n in os.listdir(os.path.join(path, "_commits"))
+            if n.startswith("v") and n.endswith(".json")
+        )
+        man = json.load(open(os.path.join(path, "_commits", commits[-1])))
+        parts = [
+            os.path.join(path, f"gen={g}", f"_kb={b}", "*.parquet")
+            for b, g in man["buckets"].items()
+        ]
+        sel = " UNION ALL ".join(
+            "SELECT doc_id, n_tokens, cum, shard_id, segment "
+            f"FROM read_parquet('{p}')"
+            for p in parts
+        )
+        return con.execute(
+            f"SELECT * FROM ({sel}) ORDER BY doc_id, segment, shard_id"
+        ).fetchall()
+
+    assert rows(race_ledger) == rows(serial_ledger), \
+        "raced ledger diverged from the serial control"

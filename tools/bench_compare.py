@@ -110,14 +110,15 @@ def _from_tail(tail: str, path: str) -> dict:
     raise ValueError(f"{path}: no bench JSON recoverable from tail")
 
 
-def _load_rotation(path: str) -> dict | None:
-    """The artifact's rotation_slice record (r12+ bench format), or
-    None. Rotation walls are single-run history rows for the ~200
+def _load_rotation(path: str) -> dict[int, dict]:
+    """The artifact's rotation_slice records keyed by slice_index
+    (r12: one per file; r13+ a catch-up run may carry several).
+    Rotation walls are single-run history rows for the ~200
     non-headline registry queries; the same slice recurs every
     n_slices rounds, so cross-round comparison is only meaningful
-    between artifacts carrying the SAME slice_index."""
+    between records carrying the SAME slice_index."""
     text = open(path).read()
-    rec = None
+    recs: dict[int, dict] = {}
     for line in text.splitlines():
         line = line.strip()
         if not line.startswith("{"):
@@ -127,31 +128,33 @@ def _load_rotation(path: str) -> dict | None:
         except ValueError:
             continue
         if d.get("metric") == "rotation_slice":
-            rec = d
-    return rec
+            recs[int(d.get("slice_index", -1))] = d
+    return recs
 
 
 def _compare_rotation(a_path: str, b_path: str) -> None:
     ra, rb = _load_rotation(a_path), _load_rotation(b_path)
-    if not ra or not rb:
+    shared = sorted(set(ra) & set(rb))
+    if not shared:
+        if ra and rb:
+            print(f"# rotation slices differ ({sorted(ra)} vs "
+                  f"{sorted(rb)}) — no rotation comparison")
         return
-    if ra.get("slice_index") != rb.get("slice_index"):
-        print(f"# rotation slices differ ({ra.get('slice_index')} vs "
-              f"{rb.get('slice_index')}) — no rotation comparison")
-        return
-    qa, qb = ra["queries_rotation"], rb["queries_rotation"]
-    common = sorted(set(qa) & set(qb))
-    print(f"# rotation slice {rb.get('slice_index')}: {len(common)} common "
-          f"queries, totals {sum(qa[q] for q in common):.1f}s -> "
-          f"{sum(qb[q] for q in common):.1f}s")
-    flagged = [
-        q for q in common
-        if qb[q] > 2 * max(qa[q], 0.3)  # 0.3s floor: sub-second jitter
-    ]
-    for q in flagged:
-        print(f"# ROTATION >2x MOVER: {q} {qa[q]:.2f}s -> {qb[q]:.2f}s")
-    if not flagged:
-        print("# rotation: no >2x movers")
+    for idx in shared:
+        qa = ra[idx]["queries_rotation"]
+        qb = rb[idx]["queries_rotation"]
+        common = sorted(set(qa) & set(qb))
+        print(f"# rotation slice {idx}: {len(common)} common "
+              f"queries, totals {sum(qa[q] for q in common):.1f}s -> "
+              f"{sum(qb[q] for q in common):.1f}s")
+        flagged = [
+            q for q in common
+            if qb[q] > 2 * max(qa[q], 0.3)  # 0.3s floor: sub-second jitter
+        ]
+        for q in flagged:
+            print(f"# ROTATION >2x MOVER: {q} {qa[q]:.2f}s -> {qb[q]:.2f}s")
+        if not flagged:
+            print(f"# rotation slice {idx}: no >2x movers")
 
 
 def main() -> int:
@@ -178,13 +181,34 @@ def main() -> int:
         va, vb = float(a["value"]), float(b["value"])
         print(f"# authoritative warm TOTALS (all queries): {va:.1f}s -> "
               f"{vb:.1f}s ({(vb - va) / va * 100:+.1f}%)")
+    # host-noise sentinels (r13): three fixed sub-second queries timed
+    # at the start AND end of each run. Their cross-round ratio is the
+    # HOST factor — code for them never moves, so a ratio far from 1.0
+    # marks one run as hot and lets a reader normalize uniform movers
+    # without a worktree A/B (r12's driver-tail inflation needed one).
+    host = None
+    if a.get("sentinels_start") and b.get("sentinels_start"):
+        sa = sum(a["sentinels_start"].values()) + sum(
+            a.get("sentinels_end", {}).values())
+        sb = sum(b["sentinels_start"].values()) + sum(
+            b.get("sentinels_end", {}).values())
+        host = sb / max(sa, 1e-9)
+        print(f"# sentinel host ratio (new/old): {host:.2f}"
+              f"  [within-run drift old {a.get('sentinel_drift')}, "
+              f"new {b.get('sentinel_drift')}]")
+        if abs(host - 1.0) > 0.15:
+            print(f"# NOTE: hosts differ by {host:.2f}x — deltas below "
+                  "are annotated with the host-normalized new time")
     rows = sorted(common, key=lambda q: qb[q] - qa[q])
     print(f"{'query':28s} {'old':>7s} {'new':>7s} {'delta':>8s}")
     for q in rows:
         d = qb[q] - qa[q]
         if abs(d) < 0.15 and (qa[q] == 0 or abs(d) / max(qa[q], 1e-9) < 0.2):
             continue  # noise floor
-        print(f"{q:28s} {qa[q]:7.2f} {qb[q]:7.2f} {d:+8.2f}")
+        note = ""
+        if host is not None and abs(host - 1.0) > 0.15:
+            note = f"  (host-norm {qb[q] / host:6.2f})"
+        print(f"{q:28s} {qa[q]:7.2f} {qb[q]:7.2f} {d:+8.2f}{note}")
     _compare_rotation(a_path, b_path)
     return 0
 

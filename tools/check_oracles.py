@@ -35,17 +35,53 @@ from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+class _Tee:
+    """Mirror stdout into a file opened at ``path + '.partial'``;
+    :meth:`finalize` renames it onto ``path`` — so a COMPLETE artifact
+    (tally + entry lines present) is published atomically and a
+    killed/overwritten run can only ever leave a ``.partial``, never
+    silently truncate a previously complete sweep file (the r12
+    closing-artifact failure: the end-of-round snapshot captured a
+    re-running sweep mid-flight, 170 of 306 lines, no tally)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.partial = path + ".partial"
+        self.f = open(self.partial, "w")
+        self.stdout = sys.stdout
+
+    def write(self, s):
+        self.stdout.write(s)
+        self.f.write(s)
+
+    def flush(self):
+        self.stdout.flush()
+        self.f.flush()
+
+    def finalize(self):
+        sys.stdout = self.stdout
+        self.f.close()
+        os.replace(self.partial, self.path)
+
+
 def main() -> int:
     args = sys.argv[1:]
     hostile = "--hostile" in args
     twice = "--twice" in args
     oracle_timeout = 1e9
+    out_path = None
     for a in args:
         if a.startswith("--oracle-timeout="):
             oracle_timeout = float(a.split("=", 1)[1])
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
     args = [a for a in args if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    tee = None
+    if out_path:
+        tee = _Tee(out_path)
+        sys.stdout = tee
 
     if hostile:
         from pyspark.sql import SparkSession
@@ -195,6 +231,10 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
     spark.stop()
+    if tee is not None:
+        # the artifact is complete (tally + entry lines written):
+        # publish it by renaming the .partial onto the final name
+        tee.finalize()
     return 1 if n_fail else 0
 
 

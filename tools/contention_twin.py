@@ -1,0 +1,185 @@
+"""Multi-process contention twin for the conditional-put composed path
+(r12 verdict ask #4). test_epoch_lease covers racing acquirers
+IN-process; this tool races two OS PROCESSES — each with its own JVM,
+its own SparkSession, its own lease handle — against one ledger with
+``force_publish_backend("conditional-put")`` and INJECTED transient
+errors on the epoch-lease creates (the 503 and lost-acknowledgment
+shapes operators/lease.py `_advance`/`_acquire_epoch` claim to
+reconcile). The pytest orchestrator (tests/test_contention_twin.py)
+pins: exactly one winner, the loser aborts clean BEFORE any append,
+the winner's ledger row-identical to a serial single-process run, and
+no orphan epoch-record growth.
+
+Modes (marker files on the shared filesystem order the race):
+  --serial LEDGER          append the fixed batches single-process
+                           (the control run)
+  --writer LEDGER DIR      acquire the lease under a flaky-ops
+                           schedule, signal "held", WAIT for the
+                           contender's clean-abort marker, then append
+                           the same fixed batches (explicit heartbeat
+                           + bounded retry per batch), release
+  --contender LEDGER DIR   wait for "held", attempt acquisition with a
+                           short timeout — MUST lose (LedgerLockedError)
+                           and write its marker without touching data
+
+Flaky schedule (writer): epoch-create call 1 = lost acknowledgment
+(create lands server-side, generic error raised — the _acquire_epoch
+owner-adoption path), call 4 = pure transient (nothing lands — retry
+path), call 5 = lost acknowledgment on a heartbeat (the _advance
+FileExistsError owner-reconcile path). All three reconciliations the
+protocol documents, exercised in one run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
+from python_vectordbapp_ceph_spark.operators import publish as P  # noqa: E402
+from python_vectordbapp_ceph_spark.operators import shards as S  # noqa: E402
+from python_vectordbapp_ceph_spark.operators.lease import (  # noqa: E402
+    LedgerLockedError,
+    acquire_writer_lease,
+)
+
+N_BATCHES = 3
+BUDGET = 500
+
+
+def _batches(spark):
+    return [
+        spark.createDataFrame(
+            [(i * 100 + j, 10 + (j % 7)) for j in range(60)],
+            "doc_id long, n_tokens long",
+        )
+        for i in range(N_BATCHES)
+    ]
+
+
+class FlakyOps(P.HadoopFsOps):
+    """HadoopFsOps whose epoch-record creates fail per a deterministic
+    schedule: 'lost_ack' lands the create server-side then raises a
+    generic error (the lost-acknowledgment shape); 'transient' raises
+    without landing anything (the plain 503 shape). Only `.epochs/`
+    paths count — manifest commits and probes stay honest."""
+
+    def __init__(self, spark, path, schedule):
+        super().__init__(spark, path)
+        self.schedule = dict(schedule)
+        self.calls = 0
+        self.fired = []
+
+    def create_bytes(self, path, data, overwrite):
+        if ".epochs/" in path:
+            self.calls += 1
+            mode = self.schedule.get(self.calls)
+            if mode == "lost_ack":
+                super().create_bytes(path, data, overwrite)
+                self.fired.append((self.calls, mode))
+                raise RuntimeError(
+                    "injected 503 Slow Down (create landed, response lost)"
+                )
+            if mode == "transient":
+                self.fired.append((self.calls, mode))
+                raise RuntimeError("injected 503 Slow Down (nothing landed)")
+        return super().create_bytes(path, data, overwrite)
+
+
+def _wait_for(path: str, timeout_s: float = 120.0) -> None:
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > timeout_s:
+            raise TimeoutError(f"marker {path} never appeared")
+        time.sleep(0.1)
+
+
+def _hb_retry(lease, tries: int = 4) -> int:
+    """Heartbeat with bounded retry on TRANSIENT errors only — a
+    LedgerLockedError (fenced) is terminal and propagates, exactly the
+    contract a micro-batch caller follows."""
+    for i in range(tries):
+        try:
+            lease.heartbeat()
+            return i
+        except LedgerLockedError:
+            raise
+        except Exception:
+            time.sleep(0.1)
+    raise RuntimeError(f"heartbeat still failing after {tries} tries")
+
+
+def main() -> int:
+    mode = sys.argv[1]
+    ledger = sys.argv[2]
+    mdir = sys.argv[3] if len(sys.argv) > 3 else None
+    P.force_publish_backend("conditional-put")
+    spark = get_spark(
+        app_name=f"contention-{mode.strip('-')}", master="local[4]",
+        shuffle_partitions=4,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "--serial":
+        for b in _batches(spark):
+            S.append_segment(spark, ledger, b, budget=BUDGET)
+        print(json.dumps({"role": "serial", "ok": True}))
+        spark.stop()
+        return 0
+
+    if mode == "--writer":
+        flaky = FlakyOps(
+            spark, ledger, {1: "lost_ack", 4: "transient", 5: "lost_ack"}
+        )
+        lease = acquire_writer_lease(
+            spark, ledger, ttl_ms=600_000, timeout_ms=10_000, ops=flaky
+        )
+        with open(f"{mdir}/held.json", "w") as f:
+            json.dump({"epoch": lease.epoch, "owner": lease.owner}, f)
+        # hold the lease until the contender has provably lost
+        _wait_for(f"{mdir}/contender.json")
+        retries = 0
+        for b in _batches(spark):
+            retries += _hb_retry(lease)
+            S.append_segment(spark, ledger, b, budget=BUDGET)
+        lease.release()
+        with open(f"{mdir}/writer.json", "w") as f:
+            json.dump({
+                "role": "winner", "appended": N_BATCHES,
+                "injected_fired": flaky.fired, "hb_retries": retries,
+                "final_epoch": lease.epoch,
+            }, f)
+        spark.stop()
+        return 0
+
+    if mode == "--contender":
+        _wait_for(f"{mdir}/held.json")
+        try:
+            lease = acquire_writer_lease(
+                spark, ledger, ttl_ms=600_000, timeout_ms=2_000
+            )
+        except LedgerLockedError as e:
+            with open(f"{mdir}/contender.json", "w") as f:
+                json.dump({
+                    "role": "loser", "clean_abort": True,
+                    "error": str(e)[:200],
+                }, f)
+            spark.stop()
+            return 0
+        # acquiring would be the dual-writer bug the lease exists to
+        # prevent — report it and leave the evidence
+        lease.release()
+        with open(f"{mdir}/contender.json", "w") as f:
+            json.dump({"role": "usurper", "clean_abort": False}, f)
+        spark.stop()
+        return 1
+
+    raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

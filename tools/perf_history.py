@@ -57,9 +57,10 @@ def collect() -> dict[str, dict[int, tuple[float, str]]]:
         except Exception:
             pass
         try:
-            rot = _load_rotation(path)
-            if rot:
-                for q, w in rot.get("queries_rotation", {}).items():
+            # r13+: _load_rotation returns {slice_index: record} (a
+            # catch-up run can carry several slices in one artifact)
+            for rec in _load_rotation(path).values():
+                for q, w in rec.get("queries_rotation", {}).items():
                     put(q, rnd, float(w), "r")
         except Exception:
             pass

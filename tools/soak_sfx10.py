@@ -69,8 +69,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # recentProgress keeps only the last 100 batches by default — at
     # 150 batches the first-10 walls would silently become batches
-    # ~50-60 and the drift ratio would compare mid-run to end-run
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    # ~50-60 and the drift ratio would compare mid-run to end-run.
+    # Sized from N_FILES (+compaction slack): the fixed 256 of r12
+    # silently clipped the 300-batch run the same way.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(N_FILES + 64)
+    )
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -119,10 +123,85 @@ def main() -> None:
     rows = read_ledger(spark, led)
     n_ledger = rows.count()
     commit_names = sorted(x for x in os.listdir(f"{led}/_commits")
-                          if x.endswith(".json"))
+                          if x.startswith("v") and x.endswith(".json"))
     n_commits = len(commit_names)
+    n_ckpts = len([x for x in os.listdir(f"{led}/_commits")
+                   if x.startswith("_checkpoint.")])
     with open(f"{led}/_commits/{commit_names[-1]}") as f:
         n_live = len(json.load(f)["buckets"])
+
+    # --- metadata-plane cost probes (r12 verdict ask #1's evidence):
+    # on the SAME final ledger, time describe_history / hint-absent
+    # recovery / retention vacuum twice — once through the manifest
+    # checkpoint (one checkpoint read + bounded tail; the claim under
+    # test is that this stays FLAT as commits grow) and once with the
+    # checkpoint blinded (the legacy listing path, O(#commits) reads —
+    # the growth curve the checkpoint removes). Vacuum mutates, so it
+    # runs LAST and only via the checkpoint.
+    from python_vectordbapp_ceph_spark.operators import merge as M
+
+    reads = {"n": 0, "lists": 0}
+    real_read_json = M._read_json
+    real_list = M._list_commit_versions
+
+    def counting_read(s, p):
+        reads["n"] += 1
+        return real_read_json(s, p)
+
+    def counting_list(s, p):
+        reads["lists"] += 1
+        return real_list(s, p)
+
+    def timed(fn):
+        reads["n"], reads["lists"] = 0, 0
+        t = time.time()
+        fn()
+        return round(time.time() - t, 3), reads["n"], reads["lists"]
+
+    has_ckpt = hasattr(M, "_read_checkpoint")  # False on the pre-
+    # checkpoint package when this tool runs as a worktree A/B control
+    if has_ckpt:
+        M._read_json = counting_read
+        M._list_commit_versions = counting_list
+        try:
+            hist_ckpt = timed(
+                lambda: M.describe_history(spark, led).collect()
+            )
+            real_ckpt = M._read_checkpoint
+            M._read_checkpoint = lambda s, p: None
+            hist_legacy = timed(
+                lambda: M.describe_history(spark, led).collect()
+            )
+            M._read_checkpoint = real_ckpt
+            hint = f"{led}/_commits/_latest"
+            hint_bytes = open(hint, "rb").read()
+            os.remove(hint)
+            recov_ckpt = timed(lambda: M._current_version(spark, led))
+            M._read_checkpoint = lambda s, p: None
+            recov_legacy = timed(lambda: M._current_version(spark, led))
+            M._read_checkpoint = real_ckpt
+            with open(hint, "wb") as f:
+                f.write(hint_bytes)
+            vacuum_ckpt = timed(
+                lambda: M.vacuum(spark, led, keep_versions=2)
+            )
+        finally:
+            M._read_json = real_read_json
+            M._list_commit_versions = real_list
+
+        def _probe(t):
+            return {"sec": t[0], "json_reads": t[1], "dir_listings": t[2]}
+
+        meta_probes = {
+            "n_commits_at_probe": n_commits,
+            "history_ckpt": _probe(hist_ckpt),
+            "history_legacy": _probe(hist_legacy),
+            "recovery_ckpt": _probe(recov_ckpt),
+            "recovery_legacy": _probe(recov_legacy),
+            "vacuum_keep2_ckpt": _probe(vacuum_ckpt),
+        }
+    else:
+        meta_probes = None
     n_gens = len([x for x in os.listdir(led) if x.startswith("gen=")])
     n_parquet = sum(
         len([f for f in files if f.endswith(".parquet")])
@@ -155,6 +234,8 @@ def main() -> None:
         ),
         "redelivery_median_ms": med(redel) if redel else None,
         "n_commits": n_commits,
+        "n_checkpoints": n_ckpts,
+        "metadata_probes": meta_probes,
         "n_live_containers": n_live,
         "n_gens": n_gens,
         "n_parquet_files": n_parquet,
