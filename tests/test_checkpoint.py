@@ -282,6 +282,33 @@ def test_vacuum_with_widened_retention_after_narrow_vacuum(
     assert M.read_base(spark, path, version=5).count() == 8
 
 
+def test_checkpoint_under_conditional_put_backend(
+    spark, tmp_path, small_interval
+):
+    """Checkpoint files publish through the same pluggable backend as
+    the commits: with conditional-put FORCED (the S3/RGW protocol) the
+    whole plane — immutable checkpoint, mutable pointer, vacuum floor
+    update — works rename-free end-to-end."""
+    from python_vectordbapp_ceph_spark.operators import publish as P
+
+    P.force_publish_backend("conditional-put")
+    P._BACKEND_CACHE.clear()
+    try:
+        path = str(tmp_path / "base")
+        _mk_base(spark, path)
+        for c in range(1, 6):
+            _merge_one(spark, path, c)
+        assert _ckpt_names(path) == [M._ckpt_file(4)]
+        ck = M._read_checkpoint(spark, path)
+        assert [r[0] for r in ck["history"]] == list(range(5))
+        M.vacuum(spark, path, keep_versions=2)
+        assert _commit_names(path) == [M._commit_file(4), M._commit_file(5)]
+        assert M._current_version(spark, path) == 5
+    finally:
+        P.force_publish_backend(None)
+        P._BACKEND_CACHE.clear()
+
+
 def test_legacy_table_without_checkpoint_unaffected(spark, tmp_path, monkeypatch):
     """Interval larger than the commit count → no checkpoint anywhere;
     every consumer takes the legacy listing path."""
