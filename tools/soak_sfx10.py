@@ -129,6 +129,15 @@ def main() -> None:
                    if x.startswith("_checkpoint.")])
     with open(f"{led}/_commits/{commit_names[-1]}") as f:
         n_live = len(json.load(f)["buckets"])
+    # layout counts BEFORE the probes: the vacuum probe below mutates
+    # the ledger (the r13 HEAD artifact counted post-vacuum gens while
+    # its pre-checkpoint control counted pre-vacuum — disclosed there)
+    n_gens = len([x for x in os.listdir(led) if x.startswith("gen=")])
+    n_parquet = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for root, _, files in os.walk(led)
+        if "_commits" not in root
+    )
 
     # --- metadata-plane cost probes (r12 verdict ask #1's evidence):
     # on the SAME final ledger, time describe_history / hint-absent
@@ -202,12 +211,6 @@ def main() -> None:
         }
     else:
         meta_probes = None
-    n_gens = len([x for x in os.listdir(led) if x.startswith("gen=")])
-    n_parquet = sum(
-        len([f for f in files if f.endswith(".parquet")])
-        for root, _, files in os.walk(led)
-        if "_commits" not in root
-    )
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     head, tail = med(walls[:10]), med(walls[-10:])
     # attribute the drift: batch i is a FULL REDELIVERY iff i % 7 == 3
