@@ -78,6 +78,7 @@ def stream_append(
     lease_timeout_ms: int | None = None,
     steal_lease: bool = False,
     stage_grace_ms: int = STAGE_GRACE_MS_DEFAULT,
+    maintenance_every: int = 1,
 ) -> StreamingQuery:
     """Pack a streaming (doc_id, n_tokens) frame into the ledger at
     ``path``, one committed segment per non-empty micro-batch.
@@ -118,6 +119,20 @@ def stream_append(
     commits nothing (append_segment's empty guard), so re-delivery
     never mints empty segments.
 
+    ``maintenance_every`` is the CADENCE of the in-line maintenance
+    passes: compaction + vacuum run after every K-th COMMITTED batch
+    (default 1 — the historical every-batch behavior). The tuned
+    150-batch soak showed per-batch maintenance, not the lease or
+    publish protocol, dominating the micro-batch wall under tight
+    policies; K>1 amortizes it. The bounds relax accordingly and only
+    transiently: the live container count can overshoot
+    ``max_segments`` by up to K−1 between passes, and a DRAINED
+    (availableNow) stream whose final batches landed after the last
+    pass leaves that tail unmaintained until the next run's first
+    cadence hit (or an offline operators.shards.compact). Crash-safe
+    for free: maintenance never carries state between batches — a
+    missed pass is picked up whole by the next one.
+
     SINGLE WRITER — ENFORCED: the stream acquires the ledger's writer
     lease (``_commits/_writer.lease``, operators/lease.py) before it
     starts, re-asserts it at every micro-batch, and releases it when
@@ -152,6 +167,10 @@ def stream_append(
     # query's tracked persists in the same driver (twophase boundary
     # samples, another stream's dedup candidates)
     cache_tag = f"shard_ingest:{checkpoint_dir}"
+    # committed-batch counter for the maintenance cadence — driver-
+    # local is correct here: foreachBatch runs on the driver, and a
+    # restart resetting the count only delays the first pass by <K
+    committed_count = [0]
 
     def pack_batch(batch: DataFrame, batch_id: int) -> None:
         # re-assert ownership BEFORE mutating: if the lease was stolen
@@ -191,6 +210,11 @@ def stream_append(
                     spark_b, path, batch, budget, dedup=dedup,
                     batch_tag=tag,
                 )
+                # cadence counts COMMITTED batches (this one included);
+                # empty/replayed batches returned above and don't tick
+                committed_count[0] += 1
+                if committed_count[0] % max(1, int(maintenance_every)):
+                    return
                 if max_segments is not None:
                     compact(spark_b, path, max_segments)
                 if vacuum_keep is not None:

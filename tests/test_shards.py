@@ -845,3 +845,45 @@ def test_bloom_sidecar_scales_with_merged_keys(spark, tmp_path):
         ).collect()
     )
     assert kept == list(range(301_000, 301_500)), "mixed-format gate inexact"
+
+
+def test_stream_maintenance_cadence(spark, tmp_path):
+    """maintenance_every=3 amortizes the in-line compact/vacuum passes:
+    the live container count may overshoot max_segments by up to K-1
+    between passes (and in a drained stream's unmaintained tail), the
+    ledger CONTENT is identical to the every-batch cadence, and the
+    next cadence hit restores the policy bound."""
+    from python_vectordbapp_ceph_spark.streaming.shard_ingest import (
+        stream_append,
+    )
+
+    rows = {}
+    for name, every in (("k1", 1), ("k3", 3)):
+        src = str(tmp_path / f"src_{name}")
+        led = str(tmp_path / f"led_{name}")
+        for i in range(7):
+            _docs(spark, i * 1000, 30).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q = stream_append(
+            spark.readStream.schema("doc_id long, n_tokens long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            led,
+            str(tmp_path / f"ckpt_{name}"),
+            BUDGET,
+            max_segments=2,
+            vacuum_keep=2,
+            maintenance_every=every,
+        )
+        assert q.awaitTermination(240)
+        spark.catalog.refreshByPath(led)
+        rows[name] = {
+            (r.doc_id, r.n_tokens) for r in read_ledger(spark, led).collect()
+        }
+        segs, _, _ = _live_layout(led)
+        # K=1: bound exact. K=3: 7 batches -> passes after #3 and #6,
+        # batch 7 appends unmaintained -> at most 2 + (3-1)
+        cap = 2 if every == 1 else 2 + (every - 1)
+        assert len(segs) <= cap, f"{name}: {segs}"
+    assert rows["k1"] == rows["k3"], "cadence changed ledger content"

@@ -51,6 +51,10 @@ def main() -> None:
         N_FILES = int(sys.argv[3])
     defaults_only = "--defaults" in sys.argv
     condput = "--condput" in sys.argv
+    maint_every = 1
+    for a in sys.argv:
+        if a.startswith("--maint-every="):
+            maint_every = int(a.split("=", 1)[1])
     if condput:
         # force the conditional-put publish backend + epoch lease for
         # the whole run (the S3-protocol soak twin: every manifest
@@ -104,6 +108,8 @@ def main() -> None:
         if defaults_only
         else {"max_segments": 8, "vacuum_keep": 2, "dedup": True}
     )
+    if maint_every != 1:
+        knobs["maintenance_every"] = maint_every
     t0 = time.time()
     q = stream_append(
         spark.readStream.schema("doc_id long, n_tokens long")
@@ -244,6 +250,7 @@ def main() -> None:
         "n_parquet_files": n_parquet,
         "defaults_only": defaults_only,
         "condput": condput,
+        "maintenance_every": maint_every,
     }))
     spark.stop()
 
