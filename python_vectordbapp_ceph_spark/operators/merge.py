@@ -293,6 +293,11 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         new_versions = [v for v, _ in listed]
         min_version = new_versions[0] if new_versions else 0
     for v in new_versions:
+        # exists() first: with retention armed, most of the inter-
+        # checkpoint window is already vacuumed, and a failed read
+        # costs a Py4J exception where the probe costs one cheap RPC
+        if not fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}")):
+            continue
         try:
             payload = _read_json(spark, f"{path}/{_COMMITS}/{_commit_file(v)}")
         except Exception:
@@ -474,7 +479,15 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
                 have[int(r[0])] = (int(r[0]), int(r[1]), int(r[2]), int(r[3]))
         cur = _current_version(spark, path)
         fs, hpath = _fs(spark, path)
-        for v in range(int(ck["version"]) + 1, (cur if cur is not None else -1) + 1):
+        # tail starts at the RETENTION FLOOR when vacuum advanced it
+        # past the checkpointed version — versions in between are
+        # deleted, and attempting their reads pays a Py4J exception
+        # (~100 ms each) per missing file, measured as 25 wasted reads
+        # per call on the tuned-retention soak
+        for v in range(
+            max(int(ck["version"]) + 1, floor),
+            (cur if cur is not None else -1) + 1,
+        ):
             if v in have:
                 continue
             try:
@@ -608,10 +621,16 @@ def vacuum(
             # abort the vacuum loudly, never silently drop protection
             live = _read_manifest(spark, path, v)
         else:
+            # existence-probe first: under the checkpoint route this
+            # walk spans the delete-retry range, where most versions
+            # are already reclaimed — a failed read costs a Py4J
+            # exception (~100 ms), an exists() one cheap RPC
+            if not fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}")):
+                continue
             try:
                 live = _read_manifest(spark, path, v)
             except Exception:
-                continue  # below the retention floor — already vacuumed
+                continue  # reclaimed between the probe and the read
         referenced_ever |= set(live.values())
         if v in kept_set:
             keep |= {(g, b) for b, g in live.items()}
