@@ -138,3 +138,38 @@ def test_two_process_rename_contention(tmp_path):
     assert "_writer.lease" not in commits
     assert not any(n.endswith(".epochs") for n in commits)
     assert _ledger_rows(race_ledger) == _ledger_rows(serial_ledger)
+
+
+def test_two_process_condput_handover(tmp_path):
+    """Ownership transfer across processes: the loser retries through
+    the winner's release, acquires, and appends its OWN batch — the
+    final ledger reads as the serial run of both writers' batches,
+    with one coherent token sequence across the handover."""
+    mdir = str(tmp_path / "markers")
+    os.makedirs(mdir)
+    race_ledger = str(tmp_path / "race_ledger")
+    serial_ledger = str(tmp_path / "serial_ledger")
+    env = dict(os.environ)
+    writer = subprocess.Popen(
+        [sys.executable, TWIN, "--writer", race_ledger, mdir],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    second = subprocess.Popen(
+        [sys.executable, TWIN, "--handover", race_ledger, mdir],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    serial = subprocess.run(
+        [sys.executable, TWIN, "--serial2", serial_ledger],
+        capture_output=True, timeout=300, env=env,
+    )
+    w_out, w_err = writer.communicate(timeout=420)
+    s_out, s_err = second.communicate(timeout=420)
+    assert serial.returncode == 0, serial.stderr.decode()[-2000:]
+    assert writer.returncode == 0, (w_err or w_out).decode()[-2000:]
+    assert second.returncode == 0, (s_err or s_out).decode()[-2000:]
+    w = json.load(open(f"{mdir}/writer.json"))
+    h = json.load(open(f"{mdir}/handover.json"))
+    assert w["role"] == "winner"
+    assert h["role"] == "second_writer" and h["segment"] == 3
+    assert _ledger_rows(race_ledger) == _ledger_rows(serial_ledger), \
+        "handover ledger diverged from the serial two-writer control"

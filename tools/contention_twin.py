@@ -134,9 +134,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if mode == "--serial":
+    if mode in ("--serial", "--serial2"):
         for b in _batches(spark):
             S.append_segment(spark, ledger, b, budget=BUDGET)
+        if mode == "--serial2":  # handover control: + the 2nd writer's batch
+            extra = spark.createDataFrame(
+                [(9000 + j, 5 + (j % 3)) for j in range(40)],
+                "doc_id long, n_tokens long",
+            )
+            S.append_segment(spark, ledger, extra, budget=BUDGET)
         print(json.dumps({"role": "serial", "ok": True}))
         spark.stop()
         return 0
@@ -174,6 +180,37 @@ def main() -> int:
                 "hb_retries": retries,
                 "final_epoch": getattr(lease, "epoch", None),
             }, f)
+        spark.stop()
+        return 0
+
+    if mode == "--handover":
+        # lose first, then RETRY through the winner's release, acquire,
+        # and append our own batch — cross-process ownership transfer:
+        # the final ledger must read as the serial run of both writers
+        _wait_for(f"{mdir}/held.json")
+        try:
+            acquire_writer_lease(spark, ledger, ttl_ms=600_000,
+                                 timeout_ms=1_000)
+            with open(f"{mdir}/contender.json", "w") as f:
+                json.dump({"role": "usurper", "clean_abort": False}, f)
+            spark.stop()
+            return 1
+        except LedgerLockedError:
+            with open(f"{mdir}/contender.json", "w") as f:
+                json.dump({"role": "loser", "clean_abort": True}, f)
+        # the winner appends + releases once it sees our marker; a
+        # generous poll window covers its three batches
+        lease = acquire_writer_lease(
+            spark, ledger, ttl_ms=600_000, timeout_ms=180_000
+        )
+        extra = spark.createDataFrame(
+            [(9000 + j, 5 + (j % 3)) for j in range(40)],
+            "doc_id long, n_tokens long",
+        )
+        seg = S.append_segment(spark, ledger, extra, budget=BUDGET)
+        lease.release()
+        with open(f"{mdir}/handover.json", "w") as f:
+            json.dump({"role": "second_writer", "segment": seg}, f)
         spark.stop()
         return 0
 
