@@ -292,6 +292,16 @@ def main() -> None:
         "sf": sf_val,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
+        # r13 introduced the start-of-run sentinel pass, and all three
+        # SENTINELS are also HEADLINE queries: from r13 on, the "cold"
+        # rows for q_agg_group and q_join_inner time an already-
+        # executed query (q_tpch_q6 was pre-warmed by the warmup even
+        # before r13). Cross-round COLD comparisons therefore have a
+        # discontinuity at r13; warm totals are unaffected and remain
+        # the authoritative round-over-round signal.
+        "cold_note": "sentinel pass pre-warms q_agg_group/q_join_inner "
+                     "since r13; cold rows for those are warm-ish — "
+                     "cross-round cold comparison discontinuity at r13",
     }))
     for rot_idx, rot_chunks, rotation in rotation_records:
         print(json.dumps({

@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import json
 import logging
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -242,10 +243,16 @@ def _read_checkpoint(spark: SparkSession, path: str) -> dict | None:
 
 def _write_ckpt_pointer(
     spark: SparkSession, path: str, checkpoint_version: int, min_version: int
-) -> None:
+) -> bool:
     """Best-effort overwrite of the `_last_checkpoint` pointer (the
     `_latest` discipline: mutable by design, any torn write absorbed
-    by the listing fallback — never raises)."""
+    by the listing fallback — never raises). Returns True iff the
+    write landed: vacuum's kept-window guarantee ("versions >= the
+    pointer floor are present") depends on the floor advance landing
+    BEFORE any commit file is deleted, so that caller checks the
+    result and skips its deletes on failure (r13 ADVICE — a swallowed
+    pointer failure followed by deletes let a later wider-window
+    vacuum pull deleted versions into its kept set)."""
     try:
         from .publish import HadoopFsOps
 
@@ -259,8 +266,9 @@ def _write_ckpt_pointer(
             ).encode("utf-8"),
             overwrite=True,
         )
+        return True
     except Exception:
-        pass
+        return False
 
 
 def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
@@ -283,7 +291,21 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     referenced: set[str] = set()
     if prev is not None:
         start = int(prev["version"]) + 1
-        min_version = int(prev["min_version"])
+        # TWO floors carried separately (r13 ADVICE): the snapshot's
+        # own min_version must carry forward the previous FILE floor —
+        # not the (pointer-maxed) live floor — so commit files a
+        # crashed vacuum left behind below the pointer stay inside the
+        # delete-retry range of every later vacuum instead of becoming
+        # permanent orphans. The carried floor self-heals: it advances
+        # past versions whose commit files are CONFIRMED absent (their
+        # deletes completed), stopping at the first leftover.
+        live_floor = int(prev["min_version"])
+        file_floor = int(prev.get("file_min_version", live_floor))
+        while file_floor < live_floor and not fs.exists(
+            hpath(f"{path}/{_COMMITS}/{_commit_file(file_floor)}")
+        ):
+            file_floor += 1
+        min_version = file_floor
         for r in prev.get("history", []):
             history[int(r[0])] = list(r)
         referenced |= set(prev.get("referenced", []))
@@ -292,6 +314,7 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         listed = _list_commit_versions(spark, path)  # one-time bootstrap
         new_versions = [v for v, _ in listed]
         min_version = new_versions[0] if new_versions else 0
+        live_floor = min_version
     for v in new_versions:
         # exists() first: with retention armed, most of the inter-
         # checkpoint window is already vacuumed, and a failed read
@@ -301,7 +324,26 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         try:
             payload = _read_json(spark, f"{path}/{_COMMITS}/{_commit_file(v)}")
         except Exception:
-            continue  # vacuumed between checkpoints — below retention
+            # re-probe before skipping (r13 ADVICE): "vacuumed under
+            # us" and "transient store error" look identical at the
+            # first read, but skipping a LIVE version drops it from
+            # checkpoint history permanently (incremental checkpoints
+            # carry the gap forward). If the file still exists, retry
+            # once; still failing → abort THIS checkpoint (deferring
+            # to a later publish — _publish logs and absorbs).
+            if not fs.exists(hpath(f"{path}/{_COMMITS}/{_commit_file(v)}")):
+                continue  # vacuumed between the probe and the read
+            try:
+                payload = _read_json(
+                    spark, f"{path}/{_COMMITS}/{_commit_file(v)}"
+                )
+            except Exception as e:
+                raise RuntimeError(
+                    f"manifest checkpoint at v{version}: commit v{v} "
+                    "exists but is unreadable (transient store error?) — "
+                    "aborting this checkpoint rather than permanently "
+                    "dropping a live version from history"
+                ) from e
         ts = payload.get("committed_at_ms")
         if ts is None:  # legacy commit (pre-checkpoint): file mtime
             try:
@@ -313,8 +355,10 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         gens = {str(g) for g in payload.get("buckets", {}).values()}
         history[v] = [v, int(ts), len(payload.get("buckets", {})), len(gens)]
         referenced |= gens
-    # prune both to the retention floor / the still-existing dirs
-    history = {v: r for v, r in history.items() if v >= min_version}
+    # prune both to the LIVE retention floor / the still-existing dirs
+    # (history rows below the pointer floor describe versions vacuum
+    # has already released — only the delete-retry floor stays low)
+    history = {v: r for v, r in history.items() if v >= live_floor}
     existing: set[str] = set()
     if fs.exists(hpath(path)):
         for st in fs.listStatus(hpath(path)):
@@ -333,7 +377,10 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         spark, f"{path}/{_COMMITS}/{_ckpt_file(int(version))}", payload
     ):
         return  # a racing writer published this checkpoint — theirs wins
-    _write_ckpt_pointer(spark, path, int(version), int(min_version))
+    # the pointer keeps the LIVE floor: regressing it to the (lower)
+    # delete-retry floor would un-guarantee versions vacuum already
+    # promised present
+    _write_ckpt_pointer(spark, path, int(version), int(live_floor))
     if prev is not None and prev.get("prev_checkpoint") is not None:
         fs.delete(
             hpath(f"{path}/{_COMMITS}/{_ckpt_file(int(prev['prev_checkpoint']))}"),
@@ -424,8 +471,6 @@ def _publish(
     (best-effort, AFTER the commit is durable — a checkpoint failure
     or a crash in between never loses the commit, only defers the
     snapshot to a later publish)."""
-    import time as _time
-
     payload = {
         "version": version,
         "buckets": {str(b): g for b, g in sorted(buckets.items())},
@@ -468,7 +513,13 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     table size. With a manifest checkpoint present: ONE checkpoint
     read + the commit tail since it (bounded by the checkpoint
     interval), no listing; otherwise one listing + one read per
-    version (the legacy path, still O(V) not O(V²))."""
+    version (the legacy path, still O(V) not O(V²)).
+
+    ``committed_at`` is the committing DRIVER's wall clock at publish
+    time: with multiple sessions writing over time, clock skew can make
+    timestamps non-monotonic across versions. Ordering is by
+    ``version`` (the authoritative total order); treat the timestamp as
+    informational."""
     rows = []
     ck = _read_checkpoint(spark, path)
     if ck is not None:
@@ -600,8 +651,6 @@ def vacuum(
     kept_set = set(kept_versions)
     grace_cutoff_ms = None
     if stage_grace_ms and int(stage_grace_ms) > 0:
-        import time as _time
-
         grace_cutoff_ms = int(_time.time() * 1000) - int(stage_grace_ms)
     keep = set()
     # checkpoint-covered versions contribute their referenced tokens
@@ -683,9 +732,22 @@ def vacuum(
     # describe_history UNDER-report (hiding doomed commits the next
     # vacuum removes), never show versions whose files are gone.
     if ck is not None and kept_versions:
-        _write_ckpt_pointer(
+        if not _write_ckpt_pointer(
             spark, path, int(ck["version"]), int(kept_versions[0])
-        )
+        ):
+            # the floor advance did NOT land (r13 ADVICE): deleting
+            # commit files anyway would break the kept-window guarantee
+            # for a later vacuum with a wider keep_versions — defer the
+            # commit-file reclamation to the next pass (data dirs above
+            # were already safe to remove: no retained manifest
+            # references them regardless of the pointer).
+            _log.warning(
+                "vacuum(%s): _last_checkpoint floor advance failed; "
+                "skipping commit-file deletion this pass (retried on "
+                "the next vacuum)",
+                path,
+            )
+            return removed
     kept_floor = kept_versions[0] if kept_versions else None
     for v in versions:
         if kept_floor is not None and v < kept_floor:
@@ -795,8 +857,6 @@ def _staged_write(
     # than the grace stays protected for the grace measured from THIS
     # stamp. Clock skew between writer and vacuumer bounds the
     # guarantee, as with any lease/grace protocol here.
-    import time as _time
-
     _stage_rename_json(
         spark,
         f"{path}/gen={gen}/{_STAGED_MARKER}",
