@@ -143,9 +143,17 @@ def apply_delta(
     if not buckets:
         return []
 
+    # resolve ONCE and pin both the read and the optimistic commit's
+    # conflict check to that version (merge.py merge_into discipline:
+    # a disjoint writer may commit between this read and the publish)
+    from .merge import current_manifest
+
+    read_version, _ = current_manifest(spark, path)
+    if read_version is None:
+        raise FileNotFoundError(f"no committed manifest under {path}")
     # manifest-pruned read: only the touched buckets' directories are
     # even LISTED; None = none of them exist yet (pure insert)
-    view = read_buckets(spark, path, buckets)
+    view = read_buckets(spark, path, buckets, version=read_version)
     if view is None:
         view = spark.createDataFrame([], d.schema)
     merged = (
@@ -159,7 +167,9 @@ def apply_delta(
         # materialize before overwriting the files just read
         .localCheckpoint()
     )
-    overwrite_touched_buckets(spark, path, merged, buckets)
+    overwrite_touched_buckets(
+        spark, path, merged, buckets, read_version=read_version
+    )
     return sorted(buckets)
 
 

@@ -20,6 +20,14 @@ COMPOSITIONS are a second writer racing a maintenance pass:
 This module turns both misuses into fail-fast errors: at most one
 live writer per guarded path.
 
+Since r14 the lease is NOT required between plain writers: the commit
+protocol's optimistic concurrency (merge.commit_optimistic) lets
+disjoint-bucket commits rebase and land concurrently, and overlapping
+ones lose with a typed conflict. The lease remains the guard for the
+maintenance COMPOSITIONS above (vacuum/swap vs in-flight staging) and
+an optional serialization convenience for order-dependent appenders
+(a ledger's segment tail) that prefer waiting over retrying.
+
 Mechanics — built from the SAME primitive the commit protocol trusts:
 the pluggable atomic JSON publish (operators/publish.py, selected by
 a per-store capability probe): stage+rename-without-overwrite where

@@ -42,15 +42,29 @@ visible. A merge:
 
 Rename-without-overwrite also makes the commit a first-writer-wins
 concurrency guard: two racing merges computing the same target version
-cannot both publish — the loser's rename fails and raises. Because
-each attempt stages under its OWN `gen=<G>-<tok>` directory, the
-loser's staged write cannot have touched the winner's files either
-(the round-7 hazard: a shared `gen=<G>` dir let the loser's
-mode('overwrite') delete data the winner's manifest already
-referenced). The loser's unique directory is never referenced and is
-vacuumable. Retrying a crashed merge stages a fresh token directory;
-the crashed attempt's partial files are unreferenced orphans that
-vacuum() reclaims.
+cannot both publish — the loser's rename fails. Because each attempt
+stages under its OWN `gen=<G>-<tok>` directory, the loser's staged
+write cannot have touched the winner's files either (the round-7
+hazard: a shared `gen=<G>` dir let the loser's mode('overwrite')
+delete data the winner's manifest already referenced). The loser's
+unique directory is never referenced and is vacuumable. Retrying a
+crashed merge stages a fresh token directory; the crashed attempt's
+partial files are unreferenced orphans that vacuum() reclaims.
+
+On top of that primitive sits OPTIMISTIC MULTI-WRITER CONCURRENCY
+(commit_optimistic — Delta-style, r14): every commit records the
+bucket ids it TOUCHED, and a writer that lost the version race
+conflict-checks the commits that landed since its read version —
+disjoint touched sets rebase (the new manifest = current map with the
+writer's buckets swapped in; sound because a disjoint commit cannot
+have changed the contents this rewrite derived from) and BOTH commits
+land without any lease; overlapping sets (or commits with no touched
+info — legacy, or "*" full replacements) raise the typed
+ConcurrentWriteConflictError and the loser retries from a fresh read.
+The single-writer lease (operators/lease.py) is therefore no longer a
+throughput wall between disjoint-key writers — the reference's
+multi-tenant ingest shape; it remains the guard for maintenance
+compositions (vacuum vs in-flight staging, directory swaps).
 
 At 100 TB with n_buckets≈4096 and a typical batch touching a few
 hundred buckets, the merge reads and writes a few percent of the
@@ -454,28 +468,43 @@ def current_manifest(spark: SparkSession, path: str, version: int | None = None)
     return best, _read_manifest(spark, path, best)
 
 
-def _publish(
+class ConcurrentWriteConflictError(RuntimeError):
+    """A concurrent commit touched buckets this writer also touched (or
+    carried no touched-set information, which is treated as touching
+    everything): the optimistic commit cannot rebase and the write must
+    be retried from a fresh read. The loser's staged generation was
+    already cleaned up (or is an unreferenced orphan vacuum reclaims)
+    — nothing of the winner's state was disturbed."""
+
+
+def _try_publish(
     spark: SparkSession,
     path: str,
     version: int,
     buckets: dict,
     extra: dict | None = None,
-) -> None:
-    """THE commit: stage the manifest JSON to a temp name, then one
-    rename onto its final versioned name (_stage_rename_json — the
-    shared atomic-publish primitive; the file is immutable and
-    versioned, so the swap is a single all-or-nothing op). ``extra``
-    merges additional metadata into the commit record (e.g. the
-    streaming sink's ``batch_tag`` replay marker). Every
-    CHECKPOINT_EVERY_DEFAULT commits the manifest checkpoint refreshes
-    (best-effort, AFTER the commit is durable — a checkpoint failure
-    or a crash in between never loses the commit, only defers the
-    snapshot to a later publish)."""
+    touched=None,
+) -> bool:
+    """One commit ATTEMPT at exactly ``version`` — True iff this
+    caller's manifest is now the committed v``version``, False if
+    another writer already owns that version (the caller decides:
+    :func:`_publish` raises, :func:`commit_optimistic` rebases).
+
+    ``touched`` records WHICH bucket ids this commit rewrote (or the
+    string ``"*"`` for a full-table replacement) inside the immutable
+    commit record — the information a later optimistic committer's
+    conflict check reads. Commits without it (legacy, or direct
+    low-level publishes) are conservatively treated as touching
+    everything."""
     payload = {
         "version": version,
         "buckets": {str(b): g for b, g in sorted(buckets.items())},
         "committed_at_ms": int(_time.time() * 1000),
     }
+    if touched is not None:
+        payload["touched"] = (
+            "*" if touched == "*" else sorted(int(b) for b in touched)
+        )
     if extra:
         payload.update(extra)
     ok = _stage_rename_json(
@@ -484,10 +513,7 @@ def _publish(
         payload,
     )
     if not ok:
-        raise RuntimeError(
-            f"merge commit v{version} lost the publish race for {path} "
-            "(another writer committed this version); retry the merge"
-        )
+        return False
     # refresh the O(1)-resolution pointer (best effort — resolution
     # forward-probes past a stale hint and falls back to listing)
     _write_latest_hint(spark, path, version)
@@ -502,6 +528,170 @@ def _publish(
                 "later publish (resolution falls back to the listing)",
                 version, path, exc_info=True,
             )
+    return True
+
+
+def _publish(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    buckets: dict,
+    extra: dict | None = None,
+    touched=None,
+) -> None:
+    """THE commit: stage the manifest JSON to a temp name, then one
+    rename onto its final versioned name (_stage_rename_json — the
+    shared atomic-publish primitive; the file is immutable and
+    versioned, so the swap is a single all-or-nothing op). ``extra``
+    merges additional metadata into the commit record (e.g. the
+    streaming sink's ``batch_tag`` replay marker). Every
+    CHECKPOINT_EVERY_DEFAULT commits the manifest checkpoint refreshes
+    (best-effort, AFTER the commit is durable — a checkpoint failure
+    or a crash in between never loses the commit, only defers the
+    snapshot to a later publish). Raises on a lost version race — the
+    fixed-version primitive; version-flexible writers go through
+    :func:`commit_optimistic` instead."""
+    if not _try_publish(spark, path, version, buckets, extra, touched):
+        raise ConcurrentWriteConflictError(
+            f"merge commit v{version} lost the publish race for {path} "
+            "(another writer committed this version); retry the merge"
+        )
+
+
+def _commit_touched(spark: SparkSession, path: str, version: int):
+    """The touched-bucket set recorded in commit ``version`` — None
+    when the commit claims everything ("*" full replacement), predates
+    the touched field, or cannot be read (vacuumed/transient): all
+    three mean a conflict checker must assume overlap."""
+    try:
+        payload = _read_json(spark, f"{path}/{_COMMITS}/{_commit_file(version)}")
+    except Exception:
+        return None
+    t = payload.get("touched")
+    if t is None or t == "*":
+        return None
+    return {int(b) for b in t}
+
+
+def _drop_staged(spark: SparkSession, path: str, gen: str) -> None:
+    """Eagerly delete this writer's OWN never-published staging (the
+    writer knows it is garbage; vacuum's stage-grace would otherwise
+    protect it for the grace window). Best-effort — an orphan left
+    behind is invisible and vacuum reclaims it."""
+    try:
+        fs, hpath = _fs(spark, path)
+        fs.delete(hpath(f"{path}/gen={gen}"), True)
+    except Exception:
+        pass
+
+
+def commit_optimistic(
+    spark: SparkSession,
+    path: str,
+    read_version: int | None,
+    touched,
+    gen: str,
+    survivors,
+    extra: dict | None = None,
+    extra_fn=None,
+    max_retries: int = 20,
+) -> int:
+    """OPTIMISTIC multi-writer commit (Delta-style, the r13 verdict's
+    top ask): publish the staged generation ``gen`` as the next
+    version, REBASING over concurrent commits whose touched bucket
+    sets are disjoint from ours instead of serializing every appender
+    through the single writer lease.
+
+    The writer read the table at ``read_version`` (None/-1 = the table
+    did not exist), rewrote exactly the buckets in ``touched``, and
+    staged the surviving ones (``survivors`` ⊆ touched; a touched
+    bucket absent from survivors emptied out and leaves the manifest).
+    Commit loop:
+
+      1. resolve the current version; CONFLICT-CHECK every commit in
+         (read_version, current]: each records the bucket ids it
+         touched (``_try_publish``), and any overlap with ours — or a
+         commit carrying no touched info: legacy, "*" full
+         replacement, or unreadable — raises
+         :class:`ConcurrentWriteConflictError` (our staging is
+         eagerly cleaned up; the winner is untouched);
+      2. disjoint → REBASE: the new manifest is the CURRENT live map
+         with our touched buckets replaced by our staged generation —
+         sound because a disjoint commit cannot have changed the
+         bucket contents our rewrite derived from, so the result
+         equals the serial execution in either order;
+      3. publish at current+1 through the same first-writer-wins
+         primitive as every commit; losing that version race just
+         re-enters the loop (the winner becomes one more commit to
+         conflict-check), bounded by ``max_retries``.
+
+    ``extra_fn`` (called per attempt) lets metadata that must reflect
+    the REBASED-ONTO state — e.g. the streaming ``batch_tag`` carried
+    forward by compaction — be recomputed after each race loss;
+    ``extra`` merges attempt-invariant metadata.
+
+    Concurrency contract at scale: commits are metadata-sized JSON
+    reads/writes, so the conflict check costs one small read per
+    concurrent commit — independent of data volume. The single-writer
+    lease (operators/lease.py) is no longer required BETWEEN writers
+    whose key ranges hash to disjoint buckets (the reference's
+    multi-tenant shape, SURVEY §2.B6); it remains the guard for
+    maintenance compositions — a vacuum may still reclaim an
+    optimistic writer's in-flight staging unless it runs under the
+    lease or with ``stage_grace_ms`` armed (streaming default)."""
+    touched = {int(b) for b in touched}
+    checked = -1 if read_version is None else int(read_version)
+    attempts = 0
+    while True:
+        attempts += 1
+        cur = _current_version(spark, path)
+        cur = -1 if cur is None else int(cur)
+        conflicts = []
+        for v in range(checked + 1, cur + 1):
+            theirs = _commit_touched(spark, path, v)
+            if theirs is None:
+                conflicts.append((v, "*"))
+            elif theirs & touched:
+                conflicts.append((v, sorted(theirs & touched)))
+        if conflicts:
+            _drop_staged(spark, path, gen)
+            v0, overlap = conflicts[0]
+            raise ConcurrentWriteConflictError(
+                f"optimistic commit for {path} conflicts with concurrent "
+                f"commit v{v0} (overlapping buckets: {overlap}); this "
+                f"writer read v{checked if checked >= 0 else '<none>'} and "
+                f"touched {sorted(touched)} — retry the write from a "
+                "fresh read"
+            )
+        checked = cur
+        live = _read_manifest(spark, path, cur) if cur >= 0 else {}
+        new_map = {b: g for b, g in live.items() if b not in touched}
+        new_map.update({int(b): gen for b in survivors})
+        x = dict(extra) if extra else {}
+        if extra_fn is not None:
+            more = extra_fn()
+            if more:
+                x.update(more)
+        if _try_publish(
+            spark, path, cur + 1, new_map, extra=x or None, touched=touched
+        ):
+            if attempts > 1:
+                _log.info(
+                    "optimistic commit for %s rebased over %d concurrent "
+                    "commit(s) and landed at v%d", path, cur - (
+                        -1 if read_version is None else int(read_version)
+                    ), cur + 1,
+                )
+            return cur + 1
+        if attempts >= max_retries:
+            _drop_staged(spark, path, gen)
+            raise ConcurrentWriteConflictError(
+                f"optimistic commit for {path} lost the version race "
+                f"{max_retries} times (heavy commit contention); retry "
+                "the write"
+            )
+        # lost the version race — loop: the winner becomes one more
+        # commit to conflict-check, then we rebase past it
 
 
 def describe_history(spark: SparkSession, path: str) -> DataFrame:
@@ -885,6 +1075,7 @@ def overwrite_touched_buckets(
     n_buckets: int = N_BUCKETS_DEFAULT,
     files_per_bucket: int = 1,
     keep_history: bool = False,
+    read_version: int | None = None,
 ) -> None:
     """Atomically replace the ``buckets`` of the base with ``result``
     (which holds their new contents; a touched bucket absent from
@@ -894,20 +1085,38 @@ def overwrite_touched_buckets(
     generations stay readable via read_buckets(version=...) — snapshot
     time travel — until vacuum() reclaims them. ``result`` must
     already be materialized (checkpointed) if its lineage reads
-    ``path``."""
-    version, live = current_manifest(spark, path)
-    if version is None:
-        raise FileNotFoundError(f"no committed manifest under {path}")
+    ``path``.
+
+    The commit is OPTIMISTIC (:func:`commit_optimistic`): concurrent
+    commits whose touched buckets are disjoint from ``buckets`` are
+    rebased over and BOTH land; an overlapping concurrent commit (or
+    one carrying no touched info) raises
+    :class:`ConcurrentWriteConflictError` — the caller re-reads and
+    retries. ``read_version`` pins the version whose bucket contents
+    ``result`` was derived from (the version the caller read); None
+    resolves the current version here, correct only when nothing can
+    have committed between the caller's read and this call."""
+    if read_version is not None:
+        version = int(read_version)
+        live = _read_manifest(spark, path, version)
+    else:
+        version, live = current_manifest(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no committed manifest under {path}")
     gen = _gen_token(version + 1)
     survivors = _staged_write(
         spark, path, result, gen, n_buckets, files_per_bucket
     )
-    new_map = {b: g for b, g in live.items() if b not in set(buckets)}
-    new_map.update({b: gen for b in survivors})
-    _publish(spark, path, version + 1, new_map)
+    touched = set(buckets) | set(survivors)
+    commit_optimistic(
+        spark, path, version, touched, gen, survivors
+    )
     if not keep_history:
         # lazy cleanup of superseded directories — crash-safe: nothing
-        # below is referenced by the CURRENT manifest anymore
+        # below is referenced by the CURRENT manifest anymore (disjoint
+        # concurrent commits cannot have remapped OUR touched buckets,
+        # so the generation each held at our read version is still the
+        # superseded one)
         fs, hpath = _fs(spark, path)
         for b in set(buckets):
             old = live.get(b)
@@ -951,7 +1160,11 @@ def replace_base(
     survivors = _staged_write(
         spark, path, bucketed, gen, n_buckets, files_per_bucket
     )
-    _publish(spark, path, v, {b: gen for b in survivors})
+    # a full replacement touches EVERYTHING — including buckets that
+    # do not exist yet — so it cannot rebase over any concurrent
+    # commit and it must conflict with every later optimistic one:
+    # touched="*" (fixed-version publish; a lost race raises)
+    _publish(spark, path, v, {b: gen for b in survivors}, touched="*")
     fs, hpath = _fs(spark, path)
     for b, g in live.items():
         if g != gen:
@@ -992,7 +1205,19 @@ def merge_into(
     if not buckets:
         return []
 
-    base = read_buckets(spark, path, buckets)
+    # resolve the manifest ONCE and pin both the bucket read and the
+    # commit's conflict check to that version: with optimistic
+    # concurrency a disjoint writer may legitimately commit between
+    # here and the publish, and the commit must conflict-check from
+    # the version this merge actually READ, not whatever is current
+    # at publish time
+    read_version, _ = current_manifest(spark, path)
+    if read_version is None:
+        raise FileNotFoundError(
+            f"no committed manifest under {path} — not a merge base "
+            "(write it with write_bucketed_base)"
+        )
+    base = read_buckets(spark, path, buckets, version=read_version)
     if base is None:
         # none of the touched buckets exist yet: pure insert
         base_cols = ch.drop(op_col).columns
@@ -1028,7 +1253,7 @@ def merge_into(
     result = materialize(result, checkpoint_dir)
     overwrite_touched_buckets(
         spark, path, result, buckets, n_buckets, files_per_bucket,
-        keep_history=keep_history,
+        keep_history=keep_history, read_version=read_version,
     )
     return sorted(buckets)
 

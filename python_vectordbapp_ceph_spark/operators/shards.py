@@ -47,9 +47,9 @@ from .merge import (
     _commit_file,
     _fs,
     _gen_token,
-    _publish,
     _read_json,
     _staged_write,
+    commit_optimistic,
     current_manifest,
     read_buckets,
 )
@@ -416,10 +416,17 @@ def append_segment(
     # generation dir: published by the rename below or orphaned with
     # it on a crash
     _write_sidecar(spark, path, gen)
-    new_map = dict(live)
-    new_map[seg] = gen
-    _publish(
-        spark, path, v, new_map,
+    # OPTIMISTIC commit (merge.commit_optimistic): two concurrent
+    # APPENDS both compute segment id max(live)+1, so they overlap on
+    # `seg` and the loser raises ConcurrentWriteConflictError — appends
+    # are order-dependent (the next id AND the token offset derive
+    # from the previous tail) and must re-read, not rebase. A
+    # concurrent COMPACTION, though, touches only ALREADY-COMMITTED
+    # container ids (disjoint from the fresh `seg`), so an append
+    # rebases over it and both land without the writer lease.
+    commit_optimistic(
+        spark, path,
+        read_version=version, touched={seg}, gen=gen, survivors=[seg],
         extra={"batch_tag": batch_tag} if batch_tag is not None else None,
     )
     spark.catalog.refreshByPath(path)
@@ -545,19 +552,25 @@ def compact(
     # design saturates as containers grow — and the merged zonemap is
     # the merged keys' true range
     _write_sidecar(spark, path, gen)
-    new_map = {b: g for b, g in live.items() if b not in set(merged_ids)}
-    new_map[target] = gen
-    # the atomic visibility point; a racing commit at version+1 makes
-    # this raise and the staged directory an unreferenced orphan.
+    # the atomic visibility point — OPTIMISTIC: a racing APPEND touches
+    # only its fresh segment id (disjoint from the already-committed
+    # ids this compaction merges), so the compaction rebases over it
+    # and both land; a racing COMPACTION overlaps on the merged ids and
+    # the loser raises, its staged directory an unreferenced orphan.
     # The superseded commit's batch_tag (the streaming sink's replay
-    # marker) is carried FORWARD: in-line compaction runs between the
-    # append commit and the stream's checkpoint write, and erasing the
-    # marker there would re-open the replay-duplication window it
+    # marker) is carried FORWARD and RE-READ per attempt (extra_fn):
+    # in-line compaction runs between the append commit and the
+    # stream's checkpoint write, and erasing — or rebasing past — the
+    # newest marker would re-open the replay-duplication window it
     # exists to close.
-    tag = last_batch_tag(spark, path)
-    _publish(
-        spark, path, version + 1, new_map,
-        extra={"batch_tag": tag} if tag is not None else None,
+    def _tag_extra():
+        tag = last_batch_tag(spark, path)
+        return {"batch_tag": tag} if tag is not None else None
+
+    commit_optimistic(
+        spark, path,
+        read_version=version, touched=set(merged_ids), gen=gen,
+        survivors=[target], extra_fn=_tag_extra,
     )
     # superseded generations retained for time travel; vacuum() reclaims
     spark.catalog.refreshByPath(path)

@@ -173,3 +173,109 @@ def test_two_process_condput_handover(tmp_path):
     assert h["role"] == "second_writer" and h["segment"] == 3
     assert _ledger_rows(race_ledger) == _ledger_rows(serial_ledger), \
         "handover ledger diverged from the serial two-writer control"
+
+
+# --- optimistic multi-writer twin (r13 verdict ask #1) -------------------------
+
+
+def _base_rows_duck(path):
+    """(key, val) set of a merge base read through its CURRENT
+    manifest — DuckDB, no Spark in the orchestrator."""
+    import duckdb
+
+    con = duckdb.connect()
+    commits = sorted(
+        n for n in os.listdir(os.path.join(path, "_commits"))
+        if n.startswith("v") and n.endswith(".json")
+    )
+    man = json.load(open(os.path.join(path, "_commits", commits[-1])))
+    parts = [
+        os.path.join(path, f"gen={g}", f"_kb={b}", "*.parquet")
+        for b, g in man["buckets"].items()
+    ]
+    sel = " UNION ALL ".join(
+        f"SELECT key, val FROM read_parquet('{p}')" for p in parts
+    )
+    return set(con.execute(sel).fetchall())
+
+
+def _commit_json(path, v):
+    return json.load(
+        open(os.path.join(path, "_commits", f"v{v:012d}.json"))
+    )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("protocol", ["condput", "rename"])
+def test_two_process_optimistic_commits(tmp_path, protocol):
+    """Two OS processes, each its own JVM, write ONE merge base with NO
+    lease anywhere. Round 1: both read the SAME version and merge keys
+    in DISJOINT buckets — BOTH must land (the publish-race loser
+    rebases), and the base equals the serial control. Round 2: both
+    read the same version and merge the SAME key — exactly one lands,
+    the loser aborts with the typed conflict, content shows exactly
+    the winner's value. Parametrized over both publish backends."""
+    mdir = str(tmp_path / "markers")
+    os.makedirs(mdir)
+    base = str(tmp_path / "base")
+    serial_base = str(tmp_path / "serial_base")
+    env = dict(os.environ)
+    proto = f"--protocol={protocol}"
+
+    setup = subprocess.run(
+        [sys.executable, TWIN, "--opt-setup", base, proto],
+        capture_output=True, timeout=300, env=env,
+    )
+    assert setup.returncode == 0, setup.stderr.decode()[-2000:]
+
+    wa = subprocess.Popen(
+        [sys.executable, TWIN, "--opt-writer", base, mdir, "a", "b", proto],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    wb = subprocess.Popen(
+        [sys.executable, TWIN, "--opt-writer", base, mdir, "b", "a", proto],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    serial = subprocess.run(
+        [sys.executable, TWIN, "--opt-serial", serial_base, proto],
+        capture_output=True, timeout=420, env=env,
+    )
+    a_out, a_err = wa.communicate(timeout=600)
+    b_out, b_err = wb.communicate(timeout=600)
+    assert serial.returncode == 0, serial.stderr.decode()[-2000:]
+    assert wa.returncode == 0, (a_err or a_out).decode()[-2000:]
+    assert wb.returncode == 0, (b_err or b_out).decode()[-2000:]
+
+    r1a = json.load(open(f"{mdir}/a.r1.json"))
+    r1b = json.load(open(f"{mdir}/b.r1.json"))
+    r2a = json.load(open(f"{mdir}/a.r2.json"))
+    r2b = json.load(open(f"{mdir}/b.r2.json"))
+
+    # round 1: same read version, disjoint buckets -> BOTH landed
+    assert r1a["read_version"] == r1b["read_version"] == 0
+    assert r1a["landed"] and r1b["landed"], (r1a, r1b)
+    # the two round-1 commits (v1, v2) recorded DISJOINT touched sets
+    t1, t2 = _commit_json(base, 1)["touched"], _commit_json(base, 2)["touched"]
+    assert not (set(t1) & set(t2)), (t1, t2)
+    assert {tuple(t1), tuple(t2)} == {(1,), (3,)}  # k1 -> b1, k2 -> b3
+
+    # round 2: same read version, SAME bucket -> exactly one winner,
+    # typed clean conflict for the loser
+    assert r2a["read_version"] == r2b["read_version"] == 2
+    landed = [r for r in (r2a, r2b) if r["landed"]]
+    lost = [r for r in (r2a, r2b) if not r["landed"]]
+    assert len(landed) == 1 and len(lost) == 1, (r2a, r2b)
+    assert lost[0]["clean_conflict"] and "overlapping" in lost[0]["error"]
+    assert _commit_json(base, 3)["touched"] == [1]
+
+    # content = serial control with k1 overwritten by the r2 winner
+    want = _base_rows_duck(serial_base)
+    want = {(k, v) for k, v in want if k != "k1"} | {("k1", landed[0]["val"])}
+    assert _base_rows_duck(base) == want, "raced base diverged from serial"
+
+    # no lease artifacts anywhere: this ran lease-free by design
+    commits = os.listdir(os.path.join(base, "_commits"))
+    assert "_writer.lease" not in commits
+    assert not any(n.endswith(".epochs") for n in commits)

@@ -319,12 +319,15 @@ def test_merge_crash_before_publish_leaves_old_state(spark, tmp_path, monkeypatc
         "key string, val long, ts long, op string",
     )
 
-    real_publish = M._publish
+    real_publish = M._try_publish
 
     def crash_publish(*a, **kw):
         raise RuntimeError("injected crash between stage and publish")
 
-    monkeypatch.setattr(M, "_publish", crash_publish)
+    # _try_publish is the single visibility transition every commit
+    # route funnels through (fixed-version _publish AND the optimistic
+    # rebase loop)
+    monkeypatch.setattr(M, "_try_publish", crash_publish)
     import pytest
 
     with pytest.raises(RuntimeError, match="injected crash"):
@@ -339,7 +342,7 @@ def test_merge_crash_before_publish_leaves_old_state(spark, tmp_path, monkeypatc
     assert _manifest(path)["version"] == 0
 
     # retry self-heals: same generation recomputed, committed, visible
-    monkeypatch.setattr(M, "_publish", real_publish)
+    monkeypatch.setattr(M, "_try_publish", real_publish)
     merge_into(spark, path, changes, key_col="key", ts_col="ts",
                n_buckets=N_BUCKETS)
     got = {(r.key, r.val) for r in read_base(spark, path).collect()}
@@ -478,10 +481,12 @@ def test_merge_race_loser_cannot_clobber_winner(spark, tmp_path, monkeypatch):
 
     before = file_state()
 
-    # writer B still believes the base is at v0: pin its manifest reads
+    # writer B still believes the base is at v0: pin its manifest reads.
+    # Both writers touched k1's bucket, so the optimistic conflict
+    # check fires (overlap = still single-winner).
     monkeypatch.setattr(M, "current_manifest",
                         lambda *a, **kw: stale)
-    with pytest.raises(RuntimeError, match="publish race"):
+    with pytest.raises(M.ConcurrentWriteConflictError, match="overlapping"):
         M.merge_into(
             spark, path,
             spark.createDataFrame([("k1", 222, 2, "upsert")],

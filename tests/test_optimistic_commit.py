@@ -1,0 +1,289 @@
+"""Optimistic multi-writer commits (operators/merge.commit_optimistic
+— the r13 verdict's top ask): writers stage independently and
+conflict-check the TOUCHED BUCKET SET of every commit that landed
+since their read version. Disjoint commits rebase and BOTH land
+(the table equals the serial execution in either order); overlapping
+commits — and commits carrying no touched info — still single-win
+with a clean, typed loss. Pinned here IN-process under BOTH publish
+backends; the cross-process race lives in tools/contention_twin.py +
+tests/test_contention_twin.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import python_vectordbapp_ceph_spark.operators.merge as M
+from python_vectordbapp_ceph_spark.operators import publish as P
+
+N_BUCKETS = 16
+
+
+@pytest.fixture(params=["rename", "conditional-put"])
+def backend(request):
+    P.force_publish_backend(request.param)
+    yield request.param
+    P.force_publish_backend(None)
+
+
+def _base_rows(spark, n=40):
+    return spark.createDataFrame(
+        [(f"k{i}", i * 10, 0) for i in range(n)],
+        "key string, val long, ts long",
+    )
+
+
+def _bucket_of(spark, key: str) -> int:
+    return spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(key)), F.lit(N_BUCKETS)).alias("b")
+    ).collect()[0].b
+
+
+def _two_disjoint_keys(spark):
+    """Two keys whose buckets differ (so two merges touch disjoint
+    bucket sets)."""
+    a = "k1"
+    ba = _bucket_of(spark, a)
+    for i in range(2, 40):
+        b = f"k{i}"
+        if _bucket_of(spark, b) != ba:
+            return a, b
+    raise AssertionError("no disjoint key pair in 40 keys?!")
+
+
+def _change(spark, key, val, ts=1):
+    return spark.createDataFrame(
+        [(key, val, ts, "upsert")],
+        "key string, val long, ts long, op string",
+    )
+
+
+def _rows(spark, path):
+    return {(r.key, r.val) for r in M.read_base(spark, path).collect()}
+
+
+def _merge_with_stale_view(spark, path, change, stale, monkeypatch):
+    """Run merge_into as a writer that READ the table at ``stale`` —
+    the optimistic-concurrency geometry: its staged result derives
+    from the stale version while newer commits may exist."""
+    monkeypatch.setattr(M, "current_manifest", lambda *a, **kw: stale)
+    try:
+        return M.merge_into(
+            spark, path, change, key_col="key", ts_col="ts",
+            n_buckets=N_BUCKETS, keep_history=True,
+        )
+    finally:
+        monkeypatch.undo()
+
+
+def test_disjoint_merges_both_land_equal_serial(
+    spark, tmp_path, monkeypatch, backend
+):
+    """Two merges read the SAME version and touch DISJOINT buckets:
+    the second rebases over the first and both land — final content
+    identical to the serial run, under both publish backends."""
+    ka, kb = _two_disjoint_keys(spark)
+
+    serial = str(tmp_path / "serial")
+    M.write_bucketed_base(_base_rows(spark), serial, "key", N_BUCKETS)
+    M.merge_into(spark, serial, _change(spark, ka, 111), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS)
+    M.merge_into(spark, serial, _change(spark, kb, 222), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS)
+    want = _rows(spark, serial)
+
+    raced = str(tmp_path / "raced")
+    M.write_bucketed_base(_base_rows(spark), raced, "key", N_BUCKETS)
+    stale = M.current_manifest(spark, raced)       # both writers read v0
+    M.merge_into(spark, raced, _change(spark, ka, 111), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS, keep_history=True)  # v1
+    _merge_with_stale_view(
+        spark, raced, _change(spark, kb, 222), stale, monkeypatch
+    )                                              # rebases onto v1 → v2
+    spark.catalog.refreshByPath(raced)
+    v, _ = M.current_manifest(spark, raced)
+    assert v == 2, "both commits landed (no lease, no lost write)"
+    assert _rows(spark, raced) == want
+    # each commit records its touched set for later conflict checks
+    rec = M._read_json(spark, f"{raced}/_commits/{M._commit_file(2)}")
+    assert rec["touched"] == [_bucket_of(spark, kb)]
+
+
+def test_overlapping_merges_single_win_and_clean_staging(
+    spark, tmp_path, monkeypatch, backend
+):
+    """Same read version, SAME bucket: the loser raises the typed
+    conflict, its staged generation is eagerly cleaned up, and the
+    winner's state is untouched."""
+    path = str(tmp_path / "base")
+    M.write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    stale = M.current_manifest(spark, path)
+    M.merge_into(spark, path, _change(spark, "k1", 111), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS, keep_history=True)
+    won = _rows(spark, path)
+    with pytest.raises(M.ConcurrentWriteConflictError, match="overlapping"):
+        _merge_with_stale_view(
+            spark, path, _change(spark, "k1", 222, ts=2), stale, monkeypatch
+        )
+    spark.catalog.refreshByPath(path)
+    assert _rows(spark, path) == won
+    # exactly one v1-staged generation remains: the winner's (the
+    # loser dropped its own eagerly — it KNOWS it lost)
+    g1 = [d for d in os.listdir(path) if d.startswith("gen=1-")]
+    assert len(g1) == 1
+
+
+def test_rebase_over_multiple_disjoint_commits(
+    spark, tmp_path, monkeypatch, backend
+):
+    """A writer that fell TWO disjoint commits behind rebases past both
+    in one commit loop."""
+    spark_keys = _two_disjoint_keys(spark)
+    ka, kb = spark_keys
+    # find a third key disjoint from both
+    used = {_bucket_of(spark, ka), _bucket_of(spark, kb)}
+    kc = next(
+        f"k{i}" for i in range(2, 40)
+        if _bucket_of(spark, f"k{i}") not in used
+    )
+    path = str(tmp_path / "base")
+    M.write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    stale = M.current_manifest(spark, path)
+    M.merge_into(spark, path, _change(spark, ka, 111), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS, keep_history=True)  # v1
+    M.merge_into(spark, path, _change(spark, kb, 222), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS, keep_history=True)  # v2
+    _merge_with_stale_view(
+        spark, path, _change(spark, kc, 333), stale, monkeypatch
+    )                                                                  # v3
+    spark.catalog.refreshByPath(path)
+    v, _ = M.current_manifest(spark, path)
+    assert v == 3
+    got = _rows(spark, path)
+    assert {(ka, 111), (kb, 222), (kc, 333)} <= got
+
+
+def test_version_race_loss_retries_and_lands(
+    spark, tmp_path, monkeypatch, backend
+):
+    """Losing the PUBLISH race at version N (another writer snatched it
+    between our resolve and our rename/create) is not a conflict: the
+    loop conflict-checks the snatcher (disjoint) and lands at N+1."""
+    ka, kb = _two_disjoint_keys(spark)
+    path = str(tmp_path / "base")
+    M.write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+
+    real = M._try_publish
+    sniped = {}
+
+    def snipe(spark_, path_, version_, buckets_, extra=None, touched=None):
+        if not sniped:
+            sniped["v"] = version_
+            # another writer snatches EXACTLY this version with a
+            # disjoint no-op remap of kb's bucket
+            live = M._read_manifest(spark_, path_, version_ - 1)
+            bb = _bucket_of(spark_, kb)
+            assert real(spark_, path_, version_, live, touched=[bb])
+            return False  # and our caller loses the race
+        return real(spark_, path_, version_, buckets_, extra, touched)
+
+    monkeypatch.setattr(M, "_try_publish", snipe)
+    M.merge_into(spark, path, _change(spark, ka, 111), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS, keep_history=True)
+    monkeypatch.undo()
+    assert sniped["v"] == 1
+    spark.catalog.refreshByPath(path)
+    v, _ = M.current_manifest(spark, path)
+    assert v == 2, "snatcher at v1, our merge rebased to v2"
+    assert (ka, 111) in _rows(spark, path)
+
+
+def test_commit_without_touched_info_is_conservative_conflict(
+    spark, tmp_path, monkeypatch, backend
+):
+    """A concurrent commit that predates the touched field (or was
+    published through the low-level fixed-version primitive) must be
+    treated as touching EVERYTHING — even if it was actually disjoint:
+    correctness never depends on optional metadata."""
+    ka, kb = _two_disjoint_keys(spark)
+    path = str(tmp_path / "base")
+    M.write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    stale = M.current_manifest(spark, path)
+    # legacy-shaped commit: full map, no touched field
+    _, live = M.current_manifest(spark, path)
+    M._publish(spark, path, 1, live)
+    with pytest.raises(M.ConcurrentWriteConflictError, match="v1"):
+        _merge_with_stale_view(
+            spark, path, _change(spark, kb, 222), stale, monkeypatch
+        )
+
+
+def test_full_replacement_conflicts_with_everything(
+    spark, tmp_path, monkeypatch, backend
+):
+    """replace_base/write_bucketed_base commits carry touched="*": any
+    optimistic writer rebasing across one must conflict — its staged
+    result derives from a table that no longer exists."""
+    _, kb = _two_disjoint_keys(spark)
+    path = str(tmp_path / "base")
+    M.write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+    bb = _bucket_of(spark, kb)
+    # the optimistic writer reads v0 and STAGES while v0's files still
+    # exist (the realistic ordering — a lazy read after the replacement
+    # fails loudly at scan time instead, also safe)
+    staged = M.read_buckets(spark, path, [bb], version=0).localCheckpoint()
+    gen = M._gen_token(1)
+    survivors = M._staged_write(spark, path, staged, gen, N_BUCKETS, 1)
+    # full replacement lands in between (touched="*")
+    M.write_bucketed_base(_base_rows(spark, n=10), path, "key", N_BUCKETS)
+    with pytest.raises(M.ConcurrentWriteConflictError, match="v1"):
+        M.commit_optimistic(
+            spark, path, read_version=0, touched={bb}, gen=gen,
+            survivors=survivors,
+        )
+
+
+def test_append_rebases_over_compaction(spark, tmp_path, monkeypatch, backend):
+    """Ledger side: an append racing an in-line COMPACTION is disjoint
+    (the compaction touches only already-committed container ids) —
+    the append rebases and both land, with packing continuity intact."""
+    import python_vectordbapp_ceph_spark.operators.shards as sh
+
+    path = str(tmp_path / "ledger")
+    docs = lambda lo: spark.createDataFrame(  # noqa: E731
+        [(lo + j, 10 + (j % 7)) for j in range(50)],
+        "doc_id long, n_tokens long",
+    )
+    for i in range(5):
+        sh.append_segment(spark, path, docs(i * 1000), budget=500)  # v0..v4
+    stale = sh.current_manifest(spark, path)      # v4, live {0..4}
+    assert sh.compact(spark, path, max_segments=2) == 4          # v5
+    before = {
+        (r.doc_id, r.shard_id, r.segment)
+        for r in sh.read_ledger(spark, path).collect()
+    }
+    monkeypatch.setattr(sh, "current_manifest", lambda *a, **kw: stale)
+    seg = sh.append_segment(spark, path, docs(9000), budget=500)  # → v6
+    monkeypatch.undo()
+    assert seg == 5
+    spark.catalog.refreshByPath(path)
+    v, live = sh.current_manifest(spark, path)
+    assert v == 6 and 5 in live
+    after = {
+        (r.doc_id, r.shard_id, r.segment)
+        for r in sh.read_ledger(spark, path).collect()
+    }
+    assert before <= after and len(after) == len(before) + 50
+    # continuity: the appended segment packs from the committed offset
+    serial = str(tmp_path / "serial")
+    for i in range(5):
+        sh.append_segment(spark, serial, docs(i * 1000), budget=500)
+    sh.append_segment(spark, serial, docs(9000), budget=500)
+    want = {
+        (r.doc_id, r.shard_id)
+        for r in sh.read_ledger(spark, serial).collect()
+    }
+    assert {(d, s) for d, s, _ in after} == want

@@ -318,8 +318,11 @@ def test_merge_crash_and_retry_under_conditional_put(
              ("new1", 999, 1, "upsert")],
             "key string, val long, ts long, op string",
         )
-        real_publish = M._publish
-        monkeypatch.setattr(M, "_publish", lambda *a, **kw: (_ for _ in ()).throw(
+        # _try_publish is the single visibility transition every commit
+        # route funnels through (fixed-version _publish AND the
+        # optimistic rebase loop)
+        real_publish = M._try_publish
+        monkeypatch.setattr(M, "_try_publish", lambda *a, **kw: (_ for _ in ()).throw(
             RuntimeError("injected crash between stage and publish")
         ))
         with pytest.raises(RuntimeError, match="injected crash"):
@@ -328,7 +331,7 @@ def test_merge_crash_and_retry_under_conditional_put(
         spark.catalog.refreshByPath(path)
         assert {(r.key, r.val) for r in read_base(spark, path).collect()} == old
 
-        monkeypatch.setattr(M, "_publish", real_publish)
+        monkeypatch.setattr(M, "_try_publish", real_publish)
         merge_into(spark, path, changes, key_col="key", ts_col="ts",
                    n_buckets=4)
         got = {(r.key, r.val) for r in read_base(spark, path).collect()}

@@ -407,37 +407,93 @@ def test_compaction_preserves_time_travel(spark, tmp_path):
     assert _ledger_rows(spark, path) == snaps[4]
 
 
-def test_racing_compaction_loses_cleanly(spark, tmp_path, monkeypatch):
-    """A compaction that staged against a manifest another writer has
-    since superseded must FAIL its publish rename (first-writer-wins)
-    and leave the winner's ledger fully intact."""
-    import pytest
-
+def test_compaction_racing_disjoint_append_rebases_and_lands(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMISTIC concurrency (r13 verdict top ask): a compaction that
+    staged against a manifest a concurrent APPEND has since superseded
+    no longer fails — the append touched only its fresh segment id,
+    disjoint from the already-committed ids the compaction merges, so
+    the compaction REBASES onto the newer manifest and BOTH commits
+    land. The ledger reads identically (compaction is layout-only) and
+    the appended segment survives."""
     import python_vectordbapp_ceph_spark.operators.shards as sh
+    from python_vectordbapp_ceph_spark.operators.merge import (
+        _read_json as rj,
+    )
 
     path = str(tmp_path / "ledger")
     for i in range(4):
         append_segment(spark, path, _docs(spark, i * 1000, 50), BUDGET)
 
-    # freeze the loser's view of the manifest, then let an append win
-    # the next version before the loser publishes
+    # freeze the compactor's view of the manifest, then let an append
+    # win the next version before the compactor publishes
     stale = sh.current_manifest(spark, path)
     append_segment(spark, path, _docs(spark, 9000, 50), BUDGET)
     want = _ledger_rows(spark, path)
 
     monkeypatch.setattr(sh, "current_manifest", lambda *_a, **_k: stale)
-    with pytest.raises(RuntimeError, match="lost the publish race"):
-        sh.compact(spark, path, max_segments=2)
+    assert sh.compact(spark, path, max_segments=2) == 3
     monkeypatch.undo()
 
     spark.catalog.refreshByPath(path)
-    assert _ledger_rows(spark, path) == want, "winner's state untouched"
-    # loser's staged orphan is reclaimable, and reclaim changes nothing
+    v, live = sh.current_manifest(spark, path)
+    assert v == 5, "appends v0..v4; the rebased compaction lands at v5"
+    assert 4 in live and len(live) == 3, (
+        "3 of the 4 stale-view containers merged; appended segment kept"
+    )
+    assert _ledger_rows(spark, path) == want, (
+        "compaction must stay read-identical across the rebase"
+    )
+    # the rebased commit records what it touched for later writers
+    rec = rj(spark, f"{path}/_commits/v{5:012d}.json")
+    assert len(rec["touched"]) == 3 and set(rec["touched"]) <= {0, 1, 2, 3}
+    # superseded generations reclaim as usual, reclaim changes nothing
     from python_vectordbapp_ceph_spark.operators.merge import vacuum
 
     assert vacuum(spark, path) >= 1
     spark.catalog.refreshByPath(path)
     assert _ledger_rows(spark, path) == want
+
+
+def test_racing_appends_still_single_win(spark, tmp_path, monkeypatch):
+    """Appends are ORDER-DEPENDENT (next segment id and token offset
+    both derive from the previous tail), so two appends racing from
+    the same read version must still single-win: the loser raises
+    ConcurrentWriteConflictError, its staging is cleaned up eagerly,
+    and a plain retry (fresh read) lands it after the winner."""
+    import pytest
+
+    import python_vectordbapp_ceph_spark.operators.shards as sh
+    from python_vectordbapp_ceph_spark.operators.merge import (
+        ConcurrentWriteConflictError,
+    )
+
+    path = str(tmp_path / "ledger")
+    for i in range(2):
+        append_segment(spark, path, _docs(spark, i * 1000, 50), BUDGET)
+
+    stale = sh.current_manifest(spark, path)
+    append_segment(spark, path, _docs(spark, 5000, 50), BUDGET)  # winner
+
+    monkeypatch.setattr(sh, "current_manifest", lambda *_a, **_k: stale)
+    with pytest.raises(ConcurrentWriteConflictError, match="overlapping"):
+        append_segment(spark, path, _docs(spark, 9000, 50), BUDGET)
+    monkeypatch.undo()
+
+    # loser's staging was eagerly dropped (it KNOWS it lost) — no
+    # unreferenced gen dirs wait for vacuum
+    import os
+
+    _, live = sh.current_manifest(spark, path)
+    on_disk = {d.split("=", 1)[1] for d in os.listdir(path)
+               if d.startswith("gen=")}
+    assert on_disk == set(live.values())
+
+    # plain retry from a fresh read lands as the next segment
+    seg = append_segment(spark, path, _docs(spark, 9000, 50), BUDGET)
+    assert seg == 3
+    assert _ledger_rows(spark, path)
 
 
 def test_streaming_compaction_bounds_container_count(spark, tmp_path):

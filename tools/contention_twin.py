@@ -40,6 +40,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from python_vectordbapp_ceph_spark.session import get_spark  # noqa: E402
+from python_vectordbapp_ceph_spark.operators import merge as M  # noqa: E402
 from python_vectordbapp_ceph_spark.operators import publish as P  # noqa: E402
 from python_vectordbapp_ceph_spark.operators import shards as S  # noqa: E402
 from python_vectordbapp_ceph_spark.operators.lease import (  # noqa: E402
@@ -49,6 +50,51 @@ from python_vectordbapp_ceph_spark.operators.lease import (  # noqa: E402
 
 N_BATCHES = 3
 BUDGET = 500
+
+# --- optimistic multi-writer twin (r13 verdict ask #1) -----------------------
+# fixed MERGE-BASE geometry: 40 keys k0..k39 over 16 hash buckets.
+# xxhash64 bucket assignment is stable across Spark versions, so the
+# disjoint pair is a constant: k1 -> bucket 1, k2 -> bucket 3.
+OPT_N_BUCKETS = 16
+OPT_KEY_A, OPT_KEY_B = "k1", "k2"         # disjoint buckets (1 vs 3)
+OPT_ROUND2_KEY = "k1"                     # both writers -> overlap
+
+
+def _opt_base_rows(spark):
+    return spark.createDataFrame(
+        [(f"k{i}", i * 10, 0) for i in range(40)],
+        "key string, val long, ts long",
+    )
+
+
+def _opt_change(spark, key, val, ts):
+    return spark.createDataFrame(
+        [(key, val, ts, "upsert")],
+        "key string, val long, ts long, op string",
+    )
+
+
+def _opt_merge_pinned(spark, base, change, stale):
+    """merge_into with the manifest READ pinned to ``stale`` (captured
+    by the caller BEFORE the inter-process barrier) — the optimistic-
+    concurrency geometry: the other writer's commit lands between this
+    read and our publish, and the commit loop must rebase (disjoint)
+    or conflict (overlap). Pinning makes the cross-process race
+    deterministic regardless of JVM timing; the conflict-check/rebase
+    machinery itself runs entirely real and cross-process."""
+    real = M.current_manifest
+    M.current_manifest = lambda *a, **kw: stale
+    try:
+        M.merge_into(
+            spark, base, change, key_col="key", ts_col="ts",
+            n_buckets=OPT_N_BUCKETS, keep_history=True,
+        )
+        return {"landed": True}
+    except M.ConcurrentWriteConflictError as e:
+        return {"landed": False, "clean_conflict": True,
+                "error": str(e)[:200]}
+    finally:
+        M.current_manifest = real
 
 
 def _batches(spark):
@@ -133,6 +179,69 @@ def main() -> int:
         shuffle_partitions=4,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "--opt-serial":
+        # control: the same two changes applied serially
+        M.write_bucketed_base(
+            _opt_base_rows(spark), ledger, "key", OPT_N_BUCKETS
+        )
+        M.merge_into(spark, ledger, _opt_change(spark, OPT_KEY_A, 111, 1),
+                     key_col="key", ts_col="ts", n_buckets=OPT_N_BUCKETS)
+        M.merge_into(spark, ledger, _opt_change(spark, OPT_KEY_B, 222, 1),
+                     key_col="key", ts_col="ts", n_buckets=OPT_N_BUCKETS)
+        print(json.dumps({"role": "opt-serial", "ok": True}))
+        spark.stop()
+        return 0
+
+    if mode == "--opt-setup":
+        M.write_bucketed_base(
+            _opt_base_rows(spark), ledger, "key", OPT_N_BUCKETS
+        )
+        print(json.dumps({"role": "opt-setup", "ok": True}))
+        spark.stop()
+        return 0
+
+    if mode == "--opt-writer":
+        # args: BASE DIR NAME OTHER — two of these race one base.
+        # Round 1 (disjoint): A merges k1, B merges k2, both reads
+        # pinned at the same version — BOTH must land (the loser of the
+        # version race rebases). Round 2 (overlap): both merge k1 from
+        # the same version — exactly ONE must land, the other aborts
+        # with the typed conflict before touching the winner's state.
+        name, other = args[3], args[4]
+        r1_key, r1_val = (OPT_KEY_A, 111) if name == "a" else (OPT_KEY_B, 222)
+        r2_val = 333 if name == "a" else 444
+
+        # capture the round-1 read version BEFORE the barrier: no
+        # commit can land until both writers pass it, so BOTH provably
+        # read the same version and the loser of the publish race
+        # exercises the rebase (not a fresh read)
+        stale1 = M.current_manifest(spark, ledger)
+        with open(f"{mdir}/{name}.up", "w") as f:
+            f.write("1")
+        _wait_for(f"{mdir}/{other}.up")
+        r1 = _opt_merge_pinned(
+            spark, ledger, _opt_change(spark, r1_key, r1_val, 1), stale1
+        )
+        with open(f"{mdir}/{name}.r1.json", "w") as f:
+            json.dump({"name": name, "read_version": stale1[0], **r1}, f)
+        # barrier 2: both round-1 commits landed before either captures
+        # its round-2 read version — so both capture the same version
+        # again, now with OVERLAPPING keys
+        _wait_for(f"{mdir}/{other}.r1.json")
+        stale2 = M.current_manifest(spark, ledger)
+        with open(f"{mdir}/{name}.mid", "w") as f:
+            f.write("1")
+        _wait_for(f"{mdir}/{other}.mid")
+        r2 = _opt_merge_pinned(
+            spark, ledger, _opt_change(spark, OPT_ROUND2_KEY, r2_val, 2),
+            stale2,
+        )
+        with open(f"{mdir}/{name}.r2.json", "w") as f:
+            json.dump({"name": name, "val": r2_val,
+                       "read_version": stale2[0], **r2}, f)
+        spark.stop()
+        return 0
 
     if mode in ("--serial", "--serial2"):
         for b in _batches(spark):
