@@ -83,15 +83,17 @@ BLOOM_M_CAP = 1 << 23
 # and the gate says so loudly instead of degrading silently
 SIDECAR_UNION_WARN_BYTES = 32 << 20
 
-# (ledger path, gen token) -> (m, kmin, kmax) of that generation's
+# (ledger path, gen token) -> (m, lo, hi) of that generation's
 # sidecar: the bloom geometry plus the key-range ZONEMAP (r11 — lets a
 # probe whose key range is disjoint from a container skip its bloom
 # entirely; the steady-state refresh appends monotonically increasing
 # ids, so most committed containers are disjoint from most batches).
-# Gen dirs are write-once, so entries never invalidate; bounded by the
-# live generations ever seen by this driver process. Legacy sidecars
-# (no kmin/kmax columns) resolve to (m, None, None) = always probed.
-_SIDECAR_M_CACHE: dict[tuple[str, str], tuple[int, int | None, int | None]] = {}
+# (lo, hi) are TYPED per the ledger's key family: longs for integral
+# doc_ids, strs (binary-order min/max, r14) for string doc_ids,
+# (None, None) = range unknown, always probed. Gen dirs are
+# write-once, so entries never invalidate; bounded by the live
+# generations ever seen by this driver process.
+_SIDECAR_M_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _is_integral(dtype: str) -> bool:
@@ -110,15 +112,39 @@ def _bloom_m(n_keys: int) -> int:
     return m
 
 
+# column names the packing/layout machinery owns: an incoming payload
+# column colliding with one would be silently overwritten downstream,
+# so append_segment refuses it loudly (part of the schema-evolution
+# contract)
+_RESERVED_COLS = frozenset(
+    {"cum", "shard_id", "segment", "_kb", "_k", "_pid", "_off", "_mass",
+     "gen"}
+)
+
+
 def _pack(docs: DataFrame, budget: int, offset) -> DataFrame:
     """Assign (doc_id, n_tokens) rows to token-budget shards starting
     at global token ``offset``: deterministic shuffle order within the
     batch (md5(id:salt), the q_shuffle_order deal), two-phase global
     cumsum (no corpus-sized window on one task), shard = the shard
-    containing the doc's first token — docs never split."""
+    containing the doc's first token — docs never split.
+
+    Extra PAYLOAD columns beyond (doc_id, n_tokens) ride through the
+    packing untouched (schema evolution — see append_segment's
+    contract); they play no part in the shuffle order or the budget
+    arithmetic, so their presence can never change an assignment."""
+    extras = [c for c in docs.columns if c not in ("doc_id", "n_tokens")]
+    bad = sorted(set(extras) & _RESERVED_COLS)
+    if bad:
+        raise ValueError(
+            f"payload column(s) {bad} collide with the shard ledger's "
+            f"reserved columns {sorted(_RESERVED_COLS)}; rename them "
+            "before appending"
+        )
     t = docs.select(
         "doc_id",
         "n_tokens",
+        *extras,
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SALT))).alias(
             "_k"
         ),
@@ -131,6 +157,7 @@ def _pack(docs: DataFrame, budget: int, offset) -> DataFrame:
     return c.select(
         "doc_id",
         "n_tokens",
+        *extras,
         (F.col("cum") + F.lit(int(offset)).cast("bigint")).alias("cum"),
     ).withColumn("shard_id", F.expr(f"(cum - n_tokens) div {int(budget)}"))
 
@@ -149,20 +176,29 @@ def _write_sidecar(spark: SparkSession, path: str, gen: str) -> None:
         F.max("doc_id").alias("kmax"),
     ).collect()[0]
     m = _bloom_m(stats.n)
-    # The zonemap is only meaningful for INTEGRAL doc_ids: on a
-    # string-keyed ledger min/max is LEXICOGRAPHIC ("10" < "9"), so
-    # casting it to long can produce an inverted range that wrongly
-    # prunes a container holding a real redelivery — a dedup false
-    # negative. Non-integral ledgers write null kmin/kmax = this
-    # container is always probed (bloom still prunes the work).
-    integral = _is_integral(dict(staged.dtypes).get("doc_id", ""))
+    # TYPED zonemap columns: integral doc_ids record (kmin, kmax) as
+    # longs; STRING doc_ids record (kmin_str, kmax_str) — min/max under
+    # Spark's binary (UTF8_BINARY) string ordering, which matches the
+    # probe side's Python code-point comparison (UTF-8 byte order
+    # preserves code-point order), so range-disjointness is sound for
+    # the string total order too. The r11 hazard was CASTING string
+    # min/max to long ("10" < "9" inverts) — keeping each key family in
+    # its own typed columns removes the cast entirely. Other key types
+    # write all-null zonemaps = always probed (bloom still prunes).
+    dtype = dict(staged.dtypes).get("doc_id", "")
+    integral = _is_integral(dtype)
+    is_str = dtype == "string"
     kmin = stats.kmin if integral else None
     kmax = stats.kmax if integral else None
+    kmin_s = stats.kmin if is_str else None
+    kmax_s = stats.kmax if is_str else None
     (
         bloom_build_packed(staged.select("doc_id"), "doc_id", BLOOM_K, m)
         .withColumn("m", F.lit(m))
         .withColumn("kmin", F.lit(kmin).cast("long"))
         .withColumn("kmax", F.lit(kmax).cast("long"))
+        .withColumn("kmin_str", F.lit(kmin_s).cast("string"))
+        .withColumn("kmax_str", F.lit(kmax_s).cast("string"))
         .write.mode("overwrite")
         .parquet(f"{path}/gen={gen}/_bloom")
     )
@@ -242,6 +278,10 @@ def dedup_against_ledger(
                      else F.lit(None).cast("long")).alias("kmin"),
                     (F.col("kmax") if "kmax" in u_sides[b].columns
                      else F.lit(None).cast("long")).alias("kmax"),
+                    (F.col("kmin_str") if "kmin_str" in u_sides[b].columns
+                     else F.lit(None).cast("string")).alias("kmin_str"),
+                    (F.col("kmax_str") if "kmax_str" in u_sides[b].columns
+                     else F.lit(None).cast("string")).alias("kmax_str"),
                 ).limit(1)
                 for b in sorted(unknown)
             ]
@@ -249,33 +289,48 @@ def dedup_against_ledger(
             for p in m_parts[1:]:
                 m_union = m_union.unionByName(p)
             for r in m_union.collect():
+                # one typed (lo, hi) pair per container: longs for
+                # integral-keyed sidecars, strs for string-keyed ones,
+                # (None, None) = range unknown, always probed
+                lo, hi = (
+                    (r.kmin, r.kmax) if r.kmin is not None
+                    else (r.kmin_str, r.kmax_str)
+                )
                 _SIDECAR_M_CACHE[(path, live[r.b])] = (
-                    int(r.m or BLOOM_M), r.kmin, r.kmax
+                    int(r.m or BLOOM_M), lo, hi
                 )
         meta_by_b = {b: _SIDECAR_M_CACHE[(path, g)] for b, g in live.items()}
         # ZONEMAP prune: one min/max scan of the batch's key column,
         # then a driver-side range-overlap check per container — any
         # container whose committed key range is disjoint from the
         # batch cannot hold a redelivery, so its bloom never loads and
-        # its keys are never verified. Unknown ranges (legacy
-        # sidecars) are conservatively probed. Only sound for INTEGRAL
-        # doc_ids (matching _write_sidecar's gate): a string-keyed
-        # batch would compare str min/max against the sidecars' long
-        # kmin/kmax — TypeError on numeric strings, and lexicographic
-        # ranges mis-prune anyway — so non-integral keys skip the
-        # prune and probe every container (bloom still bounds the
-        # work; no correctness loss, only the range fast-path).
-        if _is_integral(dict(docs.dtypes).get("doc_id", "")):
+        # its keys are never verified. Sound for INTEGRAL keys (long
+        # ranges) and, since r14, STRING keys (typed kmin_str/kmax_str
+        # under the same binary total order on both sides — never a
+        # string→long cast, the r11 mis-prune hazard). Unknown ranges
+        # (legacy sidecars) and cross-family comparisons (a string
+        # batch against an integral-keyed container, possible only on
+        # a mixed-history ledger) are conservatively probed. Other key
+        # types skip the prune entirely (bloom still bounds the work;
+        # no correctness loss, only the range fast-path).
+        key_dtype = dict(docs.dtypes).get("doc_id", "")
+        if _is_integral(key_dtype) or key_dtype == "string":
             rng = docs.agg(
                 F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
             ).collect()[0]
             if rng.lo is None:
                 return docs  # empty batch
-            probe_bs = [
-                b for b in sorted(live)
-                if meta_by_b[b][1] is None or meta_by_b[b][2] is None
-                or (meta_by_b[b][1] <= rng.hi and rng.lo <= meta_by_b[b][2])
-            ]
+            want_str = key_dtype == "string"
+
+            def _overlaps(meta) -> bool:
+                lo, hi = meta[1], meta[2]
+                if lo is None or hi is None:
+                    return True  # range unknown: always probe
+                if isinstance(lo, str) != want_str:
+                    return True  # key-family mismatch: probe, never compare
+                return lo <= rng.hi and rng.lo <= hi
+
+            probe_bs = [b for b in sorted(live) if _overlaps(meta_by_b[b])]
         else:
             probe_bs = sorted(live)
         if not probe_bs:
@@ -368,7 +423,25 @@ def append_segment(
     only the genuinely new ones. Every append also stages a bloom
     sidecar of its own keys inside its generation directory — it
     publishes (and vacuums) atomically with the segment, which is what
-    keeps the gate's step 1 a metadata-sized read."""
+    keeps the gate's step 1 a metadata-sized read.
+
+    SCHEMA EVOLUTION (pinned contract, r14): a batch may carry extra
+    PAYLOAD columns beyond (doc_id, n_tokens) — they are ACCEPTED and
+    stored in the new segment, and reads NULL-BACKFILL them for the
+    segments that predate the column (read_ledger/compact read with
+    mergeSchema, a footer-level merge — metadata-sized, never row
+    data). Symmetrically, a batch MISSING a column earlier segments
+    carry appends fine and reads null-backfill its rows. Payload
+    columns never affect packing: the shuffle order and budget
+    arithmetic see only (doc_id, n_tokens), so evolving the schema
+    cannot change any doc→shard assignment (pytest-pinned). Two hard
+    rules fail loudly instead of corrupting: a payload column may not
+    collide with the ledger's reserved columns (cum/shard_id/segment/
+    _kb/...), and a TYPE CHANGE of an existing column is refused by
+    the parquet footer merge at read time (mergeSchema raises on
+    incompatible types) — use a new column name. Time travel is
+    unaffected: `version=` replays the ledger with exactly the schema
+    committed as of that version."""
     version, live = current_manifest(spark, path)
     if version is None:
         v, seg, offset = 0, 0, 0
