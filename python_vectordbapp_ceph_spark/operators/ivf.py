@@ -42,12 +42,45 @@ _log = logging.getLogger(__name__)
 
 @dataclass
 class IVFIndex:
-    """Coarse-quantized index: assigned table + centroid list."""
+    """Coarse-quantized index: assigned table + centroid list.
+
+    ``curve`` is the optional measured recall-vs-nprobe ladder
+    (sorted (nprobe, recall@k) pairs — see record_recall_curve):
+    loaded from the ``_nprobe_curve`` sidecar by load_ivf, consumed by
+    resolve_nprobe / the ``target_recall=`` search surface."""
 
     assigned: DataFrame            # base table + cluster_id column
     centroids: list[list[float]]   # nlist × dim, index = cluster_id
     vec_col: str
     id_col: str
+    curve: list[tuple[int, float]] | None = None
+
+    def resolve_nprobe(self, target_recall: float) -> int:
+        """The measured KNEE: the smallest recorded nprobe whose
+        measured recall meets ``target_recall`` — the quantized tiers
+        state their accuracy contract via re-rank; this is the IVF
+        tier's equivalent, resolved from the index's own recorded
+        curve instead of a guessed constant. If even the full-probe
+        entry falls short (possible when the curve was recorded with a
+        k larger than some clusters), the max recorded nprobe is
+        returned with a warning — accuracy saturates, never silently
+        undershoots a smaller nprobe."""
+        if not self.curve:
+            raise ValueError(
+                "no recorded recall curve on this index — build/rebuild "
+                "with record_curve=True (or call record_recall_curve) "
+                "before using target_recall="
+            )
+        for nprobe, recall in self.curve:
+            if recall >= float(target_recall):
+                return int(nprobe)
+        max_np, max_r = self.curve[-1]
+        _log.warning(
+            "resolve_nprobe: target recall %.3f exceeds the curve's "
+            "maximum measured %.3f; using nprobe=%d (full ladder)",
+            float(target_recall), max_r, max_np,
+        )
+        return int(max_np)
 
     def probe_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
         """Rank centroids by L2 distance to the query (driver-side:
@@ -58,13 +91,24 @@ class IVFIndex:
         dists.sort(key=lambda t: (t[1], t[0]))
         return [cid for cid, _ in dists[:nprobe]]
 
-    def search(self, qvec: list[float], k: int, nprobe: int = 4) -> DataFrame:
+    def search(
+        self,
+        qvec: list[float],
+        k: int,
+        nprobe: int = 4,
+        target_recall: float | None = None,
+    ) -> DataFrame:
         """Probe the nprobe nearest inverted lists, exact re-rank inside.
 
         The IN-filter on cluster_id is a pushable predicate: over a
         table written partitionBy('cluster_id') it becomes partition
         pruning and only nprobe/nlist of the files are read.
+
+        ``target_recall=`` resolves nprobe from the index's recorded
+        recall curve (resolve_nprobe) instead of the caller guessing.
         """
+        if target_recall is not None:
+            nprobe = self.resolve_nprobe(target_recall)
         probes = self.probe_clusters(qvec, nprobe)
         qlit = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
         cand = self.assigned.filter(F.col("cluster_id").isin(probes))
@@ -160,7 +204,100 @@ def _write_meta(spark, index: IVFIndex, meta_path: str) -> None:
     meta.coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 
-def save_ivf(index: IVFIndex, path: str) -> None:
+_CURVE_SIDECAR = "_nprobe_curve"
+
+
+def default_nprobe_ladder(nlist: int) -> list[int]:
+    """Powers of two up to (and always including) the full probe —
+    log2(nlist)+1 measurement points, each one pruned scan."""
+    ladder, p = [], 1
+    while p < nlist:
+        ladder.append(p)
+        p <<= 1
+    ladder.append(nlist)
+    return ladder
+
+
+def record_recall_curve(
+    index: IVFIndex,
+    layout_path: str | None = None,
+    k: int = 5,
+    n_queries: int = 32,
+    nprobes: list[int] | None = None,
+) -> list[tuple[int, float]]:
+    """Measure the index's OWN recall-vs-nprobe curve and (optionally)
+    persist it as the ``_nprobe_curve`` sidecar inside ``layout_path``
+    (the partitioned assigned directory — underscore-prefixed, hidden
+    from scans, swapped atomically with the data it describes).
+
+    Method: a fixed deterministic query sample (first ``n_queries``
+    ids) is searched at every ladder point through the SAME batch plan
+    production uses (search_batch); ground truth is the full probe
+    (nprobe = nlist examines every inverted list = exact by
+    construction, no separate brute-force oracle). recall@k per ladder
+    point = |approx ∩ exact| / |exact| over the sample. Monotone
+    non-decreasing by construction: a larger nprobe's candidate set is
+    a superset, so its top-k can only get closer to the truth.
+
+    Cost: len(ladder)+1 partition-pruned scans over the index — at
+    nlist=16384 that's ~15 probes of a 32-query batch, bounded and
+    build-time-appropriate. Returns the sorted curve; also attaches it
+    to ``index.curve``."""
+    spark = index.assigned.sparkSession
+    nlist = len(index.centroids)
+    if nprobes is None:
+        nprobes = default_nprobe_ladder(nlist)
+    nprobes = sorted({int(p) for p in nprobes if 1 <= int(p) <= nlist})
+    queries = (
+        index.assigned.select(
+            F.col(index.id_col).alias("q_id"),
+            F.col(index.vec_col).alias("q_embedding"),
+        )
+        .orderBy("q_id")
+        .limit(int(n_queries))
+    )
+
+    def _pairs(nprobe: int) -> set:
+        return {
+            (r["q_id"], r[index.id_col])
+            for r in search_batch(index, queries, k=k, nprobe=nprobe).collect()
+        }
+
+    truth = _pairs(nlist)
+    curve = []
+    for p in nprobes:
+        got = truth if p == nlist else _pairs(p)
+        recall = len(got & truth) / max(1, len(truth))
+        curve.append((int(p), float(recall)))
+    curve.sort()
+    index.curve = curve
+    if layout_path is not None:
+        spark.createDataFrame(
+            [(n, r, int(k), int(n_queries)) for n, r in curve],
+            "nprobe int, recall double, k int, n_queries int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{layout_path}/{_CURVE_SIDECAR}"
+        )
+    return curve
+
+
+def _read_curve(spark, assigned_path: str) -> list[tuple[int, float]] | None:
+    from .merge import _fs
+
+    fs, hpath = _fs(spark, assigned_path)
+    loc = f"{assigned_path}/{_CURVE_SIDECAR}"
+    if not fs.exists(hpath(loc)):
+        return None
+    return sorted(
+        (int(r.nprobe), float(r.recall))
+        for r in spark.read.parquet(loc).collect()
+    )
+
+
+def save_ivf(
+    index: IVFIndex, path: str, record_curve: bool = False,
+    curve_k: int = 5, curve_queries: int = 32,
+) -> None:
     """Persist the WHOLE index — inverted lists AND centroids — so a
     fresh session reconstructs it without refitting KMeans. This is
     the durability the reference gets for free from its backend (the
@@ -177,10 +314,19 @@ def save_ivf(index: IVFIndex, path: str) -> None:
     ``_delta_log`` convention) — so a directory-rename rebuild swaps
     data and centroids at ONE visibility point. Written after the
     data: a crash in between leaves no sidecar → load_ivf raises
-    FileNotFoundError (no index), never a mismatched one."""
+    FileNotFoundError (no index), never a mismatched one.
+
+    ``record_curve=True`` additionally measures and persists the
+    recall-vs-nprobe curve (record_recall_curve) next to the _meta
+    sidecar, enabling ``target_recall=`` searches on the loaded
+    index."""
     spark = index.assigned.sparkSession
     write_partitioned(index, f"{path}/assigned")
     _write_meta(spark, index, f"{path}/assigned/_meta")
+    if record_curve:
+        record_recall_curve(
+            index, f"{path}/assigned", k=curve_k, n_queries=curve_queries
+        )
 
 
 def _read_meta(spark, root: str):
@@ -222,6 +368,7 @@ def load_ivf(spark, path: str) -> IVFIndex:
         centroids=[[float(x) for x in r.centroid] for r in meta],
         vec_col=meta[0].vec_col,
         id_col=meta[0].id_col,
+        curve=_read_curve(spark, f"{path}/assigned"),
     )
 
 
@@ -503,6 +650,7 @@ def _swap_dirs(spark, tmp: str, path: str, op: str) -> None:
 def rebuild_saved_ivf(
     spark, root: str, nlist: int | None = None, seed: int = 42,
     max_iter: int = 20, lease_timeout_ms: int | None = None,
+    record_curve: bool = False, curve_k: int = 5, curve_queries: int = 32,
 ) -> IVFIndex:
     """Rebuild a SAVED index in place (the save_ivf layout:
     ``root/assigned`` with the ``_meta`` sidecar inside), refreshing
@@ -558,6 +706,17 @@ def rebuild_saved_ivf(
             "overwrite"
         ).partitionBy("cluster_id").parquet(tmp)
         _write_meta(spark, index, f"{tmp}/_meta")  # staged WITH the data
+        if record_curve:
+            # measured on the fresh index, STAGED with its data — the
+            # swap publishes data + centroids + curve at one visibility
+            # point. A plain rebuild (record_curve=False) deliberately
+            # DROPS any previous curve with the old directory: the old
+            # measurements described the old centroids, and a stale
+            # curve silently surviving a rebuild is exactly the
+            # mixed-metadata hazard the swap discipline exists to stop.
+            record_recall_curve(
+                index, tmp, k=curve_k, n_queries=curve_queries
+            )
         _swap_dirs(spark, tmp, assigned_path, op="rebuild_saved_ivf")
         # a legacy sibling sidecar (pre-r10 layout) is now stale —
         # remove it so nothing can ever read old centroids again; safe
@@ -598,6 +757,7 @@ def search_batch(
     q_vec_col: str = "q_embedding",
     q_id_col: str = "q_id",
     max_driver_batch: int = 10_000,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Batch IVF probe: top-k per query for MANY queries in one plan.
 
@@ -620,10 +780,16 @@ def search_batch(
     At scale: the probe list is nprobe rows per query, the join is
     partition-pruned to the union of probed clusters, and the shuffle
     for the window carries only candidate rows — nprobe/nlist of the
-    data."""
+    data.
+
+    ``target_recall=`` resolves nprobe from the index's recorded
+    recall curve (resolve_nprobe — the measured knee) instead of the
+    caller guessing a constant; raises if no curve was recorded."""
     from pyspark.sql import Window
 
     spark = queries.sparkSession
+    if target_recall is not None:
+        nprobe = index.resolve_nprobe(target_recall)
     # ONE job both sizes and fetches: take(cap+1) returns the rows AND
     # proves smallness (the old limit().count() + collect() executed a
     # derived queries plan twice, and the source could grow between

@@ -767,6 +767,58 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     ).orderBy("version")
 
 
+def describe_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    """One-row health report of the table's manifest-CHECKPOINT plane
+    (describe_history's sibling for the metadata layer): is there a
+    checkpoint, how far behind the current version is it (the tail a
+    history/vacuum call must read commit-by-commit), what the two
+    retention floors are (live = the pointer-advanced floor vacuum
+    guarantees present; file = the lower delete-retry floor that keeps
+    a crashed vacuum's leftovers reclaimable), how many history rows
+    and referenced generation tokens it carries, and how many
+    checkpoint files exist on disk (steady state ≤ 2: current +
+    not-yet-GC'd predecessor). All metadata-sized reads — one pointer
+    + one checkpoint JSON + one `_commits/` listing for the file
+    count; safe to call on any table at any size.
+
+    A table with no checkpoint yet (fewer than
+    CHECKPOINT_EVERY_DEFAULT commits, or checkpointing persistently
+    deferred) reports ``has_checkpoint=false`` with the current
+    version and null checkpoint fields."""
+    ck = _read_checkpoint(spark, path)
+    cur = _current_version(spark, path)
+    fs, hpath = _fs(spark, path)
+    cdir = hpath(f"{path}/{_COMMITS}")
+    n_ckpt_files = 0
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            if st.getPath().getName().startswith("_checkpoint."):
+                n_ckpt_files += 1
+    if ck is None:
+        row = (False, None, None, None, None, None,
+               None, int(cur) if cur is not None else None, n_ckpt_files)
+    else:
+        tail = (int(cur) - int(ck["version"])) if cur is not None else None
+        row = (
+            True,
+            int(ck["version"]),
+            int(ck["min_version"]),
+            int(ck["file_min_version"]),
+            len(ck.get("history", [])),
+            len(ck.get("referenced", [])),
+            tail,
+            int(cur) if cur is not None else None,
+            n_ckpt_files,
+        )
+    return spark.createDataFrame(
+        [row],
+        "has_checkpoint boolean, checkpoint_version long, "
+        "live_min_version long, file_min_version long, "
+        "n_history_rows long, n_referenced_generations long, "
+        "tail_length long, current_version long, n_checkpoint_files long",
+    )
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

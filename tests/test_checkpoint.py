@@ -395,3 +395,45 @@ def test_checkpoint_plane_model_random_interleavings(
             assert M.read_base(spark, path, version=v).count() >= 1
         # the newest version must always be reported
         assert existing[-1] in hist, f"step {step} ({op}): newest missing"
+
+
+def test_describe_checkpoint_health_report(spark, tmp_path, small_interval):
+    """describe_checkpoint mirrors describe_history for the metadata
+    plane: pre-checkpoint tables report has_checkpoint=false; after
+    the interval, version/floors/tail/referenced counts line up with
+    the on-disk state, and vacuum's floor advance is visible."""
+    path = str(tmp_path / "base")
+    _mk_base(spark, path)                      # v0
+    for c in range(1, 3):                      # v1, v2 — no ckpt yet
+        _merge_one(spark, path, c)
+    r = M.describe_checkpoint(spark, path).collect()[0]
+    assert r.has_checkpoint is False
+    assert r.current_version == 2 and r.n_checkpoint_files == 0
+
+    for c in range(3, 7):                      # v3..v6 → ckpt at v4
+        _merge_one(spark, path, c)
+    r = M.describe_checkpoint(spark, path).collect()[0]
+    assert r.has_checkpoint is True
+    assert r.checkpoint_version == 4 and r.current_version == 6
+    assert r.tail_length == 2
+    assert r.live_min_version == 0 and r.file_min_version == 0
+    assert r.n_history_rows == 5               # v0..v4
+    assert r.n_referenced_generations >= 1
+    assert r.n_checkpoint_files == 1
+
+    M.vacuum(spark, path, keep_versions=2)     # pointer floor → 5
+    r = M.describe_checkpoint(spark, path).collect()[0]
+    assert r.live_min_version == 5
+    assert r.file_min_version == 0, (
+        "the delete-retry floor stays at the checkpoint FILE's value "
+        "until the next checkpoint confirms the range clear"
+    )
+    for c in range(7, 9):                      # v7, v8 → ckpt at v8
+        _merge_one(spark, path, c)
+    r = M.describe_checkpoint(spark, path).collect()[0]
+    assert r.checkpoint_version == 8 and r.tail_length == 0
+    assert r.live_min_version == 5
+    assert r.file_min_version == 5, (
+        "the next checkpoint self-heals the file floor past the "
+        "confirmed-deleted range"
+    )
