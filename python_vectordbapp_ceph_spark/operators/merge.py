@@ -1236,6 +1236,7 @@ def merge_into(
     files_per_bucket: int = 1,
     checkpoint_dir: str | None = None,
     keep_history: bool = False,
+    conflict_retries: int = 0,
 ) -> list[int]:
     """MERGE the change set into the bucketed base at ``path``.
     ``keep_history=True`` retains the superseded generations for
@@ -1247,7 +1248,40 @@ def merge_into(
     Pass a reliable ``checkpoint_dir`` on long cluster runs (see
     cache.materialize); ``files_per_bucket`` bounds write skew for
     giant buckets (see _bucket_aligned).
+
+    CONCURRENCY: commits are optimistic (commit_optimistic) — a
+    concurrent merge over DISJOINT buckets rebases and both land; an
+    OVERLAPPING one raises :class:`ConcurrentWriteConflictError`.
+    ``conflict_retries=N`` re-runs the whole merge from a FRESH read
+    up to N times on that conflict (the overlapping winner's rows are
+    then part of the base this retry merges against — the serial
+    semantics); the default 0 surfaces the conflict to the caller.
     """
+    last_err: ConcurrentWriteConflictError | None = None
+    for _attempt in range(max(0, int(conflict_retries)) + 1):
+        try:
+            return _merge_into_once(
+                spark, path, changes, key_col, ts_col, op_col, delete_op,
+                n_buckets, files_per_bucket, checkpoint_dir, keep_history,
+            )
+        except ConcurrentWriteConflictError as e:
+            last_err = e
+    raise last_err
+
+
+def _merge_into_once(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str,
+    delete_op: str,
+    n_buckets: int,
+    files_per_bucket: int,
+    checkpoint_dir: str | None,
+    keep_history: bool,
+) -> list[int]:
     # materialize the (small, by contract) change set ONCE: bucket
     # derivation and the merge plan below both read it, and without
     # this the change lineage — often scans+filters over a big fact —

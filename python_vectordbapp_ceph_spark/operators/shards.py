@@ -404,6 +404,7 @@ def append_segment(
     files_per_segment: int = 4,
     dedup: bool = False,
     batch_tag: str | None = None,
+    conflict_retries: int = 0,
 ) -> int:
     """Append ``docs`` (doc_id, n_tokens) to the ledger at ``path`` as
     the next segment; creates the ledger on first call. Returns the
@@ -441,7 +442,39 @@ def append_segment(
     the parquet footer merge at read time (mergeSchema raises on
     incompatible types) — use a new column name. Time travel is
     unaffected: `version=` replays the ledger with exactly the schema
-    committed as of that version."""
+    committed as of that version.
+
+    CONCURRENCY: appends are ORDER-DEPENDENT (the next segment id and
+    token offset derive from the committed tail), so two appends
+    racing from one read version single-win — the loser raises
+    :class:`~.merge.ConcurrentWriteConflictError`; a concurrent
+    COMPACTION is disjoint and rebased over (both land).
+    ``conflict_retries=N`` re-runs the whole append from a fresh read
+    up to N times on that conflict — the retry packs after the
+    winner's segment, exactly the serial outcome."""
+    from .merge import ConcurrentWriteConflictError
+
+    last_err = None
+    for _attempt in range(max(0, int(conflict_retries)) + 1):
+        try:
+            return _append_segment_once(
+                spark, path, docs, budget, files_per_segment, dedup,
+                batch_tag,
+            )
+        except ConcurrentWriteConflictError as e:
+            last_err = e
+    raise last_err
+
+
+def _append_segment_once(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    budget: int,
+    files_per_segment: int,
+    dedup: bool,
+    batch_tag: str | None,
+) -> int:
     version, live = current_manifest(spark, path)
     if version is None:
         v, seg, offset = 0, 0, 0

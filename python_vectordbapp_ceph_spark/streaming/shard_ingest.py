@@ -147,7 +147,14 @@ def stream_append(
     lease expired (the checkpoint lock guarantees it's the same query).
     Side BATCH merges against the path remain the caller's
     responsibility: take ``acquire_writer_lease`` around them or run
-    them while no stream holds the lease."""
+    them while no stream holds the lease.
+
+    (Since r14 the COMMIT protocol itself is optimistic —
+    merge.commit_optimistic — so plain writers no longer need a lease
+    between each other; this stream still holds it because it also
+    runs the armed compaction/VACUUM maintenance, and vacuum racing
+    another writer's in-flight staging remains the one composition
+    only the lease or a stage-grace window makes safe.)"""
     spark = stream.sparkSession
     lease_kwargs = {} if lease_timeout_ms is None else {
         "timeout_ms": lease_timeout_ms

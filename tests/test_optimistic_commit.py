@@ -287,3 +287,64 @@ def test_append_rebases_over_compaction(spark, tmp_path, monkeypatch, backend):
         for r in sh.read_ledger(spark, serial).collect()
     }
     assert {(d, s) for d, s, _ in after} == want
+
+
+def test_merge_conflict_retries_rerun_from_fresh_read(
+    spark, tmp_path, monkeypatch
+):
+    """conflict_retries=N re-runs the WHOLE merge (fresh read) on a
+    typed conflict; the default 0 surfaces it. Pinned with a one-shot
+    synthetic conflict at the commit step."""
+    path = str(tmp_path / "base")
+    M.write_bucketed_base(_base_rows(spark), path, "key", N_BUCKETS)
+
+    real = M.commit_optimistic
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise M.ConcurrentWriteConflictError("synthetic conflict")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(M, "commit_optimistic", flaky)
+    with pytest.raises(M.ConcurrentWriteConflictError):
+        M.merge_into(spark, path, _change(spark, "k1", 111), key_col="key",
+                     ts_col="ts", n_buckets=N_BUCKETS)  # default: surfaces
+    calls["n"] = 0
+    M.merge_into(spark, path, _change(spark, "k1", 111), key_col="key",
+                 ts_col="ts", n_buckets=N_BUCKETS, conflict_retries=1)
+    assert calls["n"] == 2, "one conflicted attempt + one clean retry"
+    assert ("k1", 111) in _rows(spark, path)
+
+
+def test_append_conflict_retries(spark, tmp_path, monkeypatch):
+    import python_vectordbapp_ceph_spark.operators.shards as sh
+
+    path = str(tmp_path / "ledger")
+    docs = spark.createDataFrame(
+        [(j, 10) for j in range(40)], "doc_id long, n_tokens long"
+    )
+    sh.append_segment(spark, path, docs, budget=200)
+
+    real = sh.commit_optimistic
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise M.ConcurrentWriteConflictError("synthetic conflict")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sh, "commit_optimistic", flaky)
+    more = spark.createDataFrame(
+        [(100 + j, 10) for j in range(40)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(M.ConcurrentWriteConflictError):
+        sh.append_segment(spark, path, more, budget=200, conflict_retries=1)
+    calls["n"] = 0
+    seg = sh.append_segment(
+        spark, path, more, budget=200, conflict_retries=2
+    )
+    assert seg == 1 and calls["n"] == 3
+    assert sh.read_ledger(spark, path).count() == 80
