@@ -348,3 +348,92 @@ def test_append_conflict_retries(spark, tmp_path, monkeypatch):
     )
     assert seg == 1 and calls["n"] == 3
     assert sh.read_ledger(spark, path).count() == 80
+
+
+def test_optimistic_commit_model_random_interleavings(
+    spark, tmp_path, monkeypatch
+):
+    """Model-based sweep (the checkpoint plane's random-interleaving
+    discipline applied to the commit protocol): a seeded random
+    schedule of overlapped writers — each captures a read version,
+    stages later, commits in arbitrary order — checked after EVERY
+    commit against a driver-side model that predicts, from the
+    recorded touched sets alone, (a) whether the commit rebases or
+    conflicts and (b) the exact table contents. Any divergence between
+    the protocol's conflict rule and the model's serial-equivalence
+    rule fails here, not in production."""
+    import random as _random
+
+    rng = _random.Random(20260816)
+    path = str(tmp_path / "base")
+    keys = [f"k{i}" for i in range(24)]
+    M.write_bucketed_base(
+        spark.createDataFrame(
+            [(k, i * 10, 0) for i, k in enumerate(keys)],
+            "key string, val long, ts long",
+        ),
+        path, "key", N_BUCKETS,
+    )
+    # bucket map in ONE job
+    brows = spark.createDataFrame([(k,) for k in keys], "key string").select(
+        "key", F.pmod(F.xxhash64("key"), F.lit(N_BUCKETS)).alias("b")
+    ).collect()
+    bucket = {r.key: r.b for r in brows}
+
+    model = {k: i * 10 for i, k in enumerate(keys)}
+    committed_touched: list = [None]          # v0 full replacement = "*"
+    pending: list = []                        # (read_version, {key: val}, ts)
+    ts = 1
+    n_rebase = n_conflict = 0
+
+    def _current_rows():
+        return {(r.key, r.val) for r in M.read_base(spark, path).collect()}
+
+    for _step in range(40):
+        if pending and (rng.random() < 0.55 or len(pending) >= 3):
+            rv, kv, wts = pending.pop(rng.randrange(len(pending)))
+            touched = {bucket[k] for k in kv}
+            since = committed_touched[rv + 1:]
+            expect_ok = all(t is not None and not (t & touched)
+                            for t in since)
+            change = spark.createDataFrame(
+                [(k, v, wts, "upsert") for k, v in kv.items()],
+                "key string, val long, ts long, op string",
+            )
+            stale = (rv, M._read_manifest(spark, path, rv))
+            monkeypatch.setattr(
+                M, "current_manifest", lambda *a, _s=stale, **kw: _s
+            )
+            try:
+                if expect_ok:
+                    M.merge_into(spark, path, change, key_col="key",
+                                 ts_col="ts", n_buckets=N_BUCKETS,
+                                 keep_history=True)
+                    committed_touched.append(touched)
+                    model.update(kv)
+                    if since:
+                        n_rebase += 1
+                else:
+                    with pytest.raises(M.ConcurrentWriteConflictError):
+                        M.merge_into(spark, path, change, key_col="key",
+                                     ts_col="ts", n_buckets=N_BUCKETS,
+                                     keep_history=True)
+                    n_conflict += 1
+            finally:
+                monkeypatch.undo()
+            spark.catalog.refreshByPath(path)
+            assert _current_rows() == {(k, v) for k, v in model.items()}, (
+                f"table diverged from the model after commit "
+                f"v{len(committed_touched) - 1}"
+            )
+            v, _ = M.current_manifest(spark, path)
+            assert v == len(committed_touched) - 1
+        else:
+            rv = len(committed_touched) - 1
+            ks = rng.sample(keys, rng.randrange(1, 6))
+            pending.append(
+                (rv, {k: rng.randrange(1000, 9999) for k in ks}, ts)
+            )
+            ts += 1
+    # the schedule must actually have exercised both arms
+    assert n_rebase >= 2 and n_conflict >= 2, (n_rebase, n_conflict)
