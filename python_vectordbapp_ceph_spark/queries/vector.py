@@ -658,8 +658,11 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (operators/pca.py) — the dimension-reduction pass a
     vector pipeline runs between embedding and ANN indexing, and the
     whitening companion to q_embed_covariance. The covariance matrix
-    is assembled from EXACT decimal sums (deterministic under any
-    partitioning — pytest-pinned), eigendecomposed on the driver
+    is assembled from EXACT per-partition integer grams (numpy
+    X^T·X inside mapInPandas, DECIMAL(38,0) cross-partition reduce —
+    order-insensitive integer sums, deterministic under any
+    partitioning, pytest-pinned against the all-JVM decimal-sum
+    twin), eigendecomposed on the driver
     (64×64, kilobytes — the only driver-side object at any corpus
     size), and the projection is a codegen'd F.aggregate dot product
     against broadcast literal components: no Python, no shuffle in

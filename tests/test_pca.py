@@ -25,8 +25,25 @@ def emb(spark):
 def test_covariance_partitioning_invariant(spark, emb):
     c1 = covariance_matrix(emb.repartition(1), "embedding", 8)
     c7 = covariance_matrix(emb.repartition(7), "embedding", 8)
+    assert np.array_equal(c1, c7)  # exact integer sums → bit-identical
+    assert np.allclose(c1, c1.T)
+
+
+def test_covariance_sql_path_partitioning_invariant(spark, emb):
+    c1 = covariance_matrix(emb.repartition(1), "embedding", 8, method="sql")
+    c7 = covariance_matrix(emb.repartition(7), "embedding", 8, method="sql")
     assert np.array_equal(c1, c7)  # exact decimal sums → bit-identical
     assert np.allclose(c1, c1.T)
+
+
+def test_covariance_arrow_matches_sql_twin(spark, emb):
+    """The integer-gram arrow path and the all-JVM decimal path are
+    the same exact math on the same 1e-6 grid; they may only diverge
+    where a value sits within a double ULP of a .5 grid boundary
+    (none in this corpus)."""
+    ca = covariance_matrix(emb, "embedding", 16, method="arrow")
+    cs = covariance_matrix(emb, "embedding", 16, method="sql")
+    assert np.allclose(ca, cs, atol=1e-9), np.max(np.abs(ca - cs))
 
 
 def test_components_orthonormal_and_ordered(spark, emb):
