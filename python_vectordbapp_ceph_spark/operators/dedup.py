@@ -76,6 +76,44 @@ def gate_broadcast(side: DataFrame, gate: int | None = None) -> DataFrame:
     return F.broadcast(side) if n <= gate else side
 
 
+def _auto_salt_factor(df: DataFrame, n_blocks: int, cap: int = 16) -> int:
+    """Within-block parallelism for blocked self-joins.
+
+    A blocking key with FIXED cardinality (label, source) caps the
+    pair stage at n_blocks tasks no matter how big the corpus gets —
+    per-block n² grows quadratically while the task count stays flat,
+    which is exactly backwards. Salting fans each block out: the probe
+    side keeps one salt per row, the build side replicates salt-many
+    times (rows, not pairs — the pair set is unchanged), and the join
+    key becomes (block, salt).
+
+    The factor adapts: ~2 key-groups per core for scheduling headroom,
+    capped (replication is paid in shuffle volume), and 1 — a clean
+    no-op, no extra columns — whenever the block count already exceeds
+    the cluster parallelism (the natural-corpus case, where the block
+    key fans out on its own)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if n_blocks <= 0 or n_blocks >= 2 * target:
+        return 1
+    return max(1, min(cap, -(-2 * target // n_blocks)))
+
+
+def _salted_self_join_sides(
+    base: DataFrame, id_col: str, n_salt: int
+) -> tuple[DataFrame, DataFrame, list]:
+    """(a, b, extra_join_conds) for a blocked self-join with salt
+    fan-out n_salt; degenerates to plain aliases when n_salt == 1."""
+    if n_salt <= 1:
+        return base.alias("a"), base.alias("b"), []
+    a = base.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    ).alias("a")
+    b = base.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
+    return a, b, [F.col("a._salt") == F.col("b._salt")]
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Ensure CPU-bound per-row compute (shingling, hashing) runs at
     cluster parallelism. Small local inputs arrive as 1-2 parquet
@@ -371,6 +409,12 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
+    # NOT salted like embedding_near_dups: the shingle sets are heavy
+    # (a replicated b side pays ~|sh| strings per extra copy in the
+    # exchange), the persisted base makes the warm join cache-bound
+    # rather than compute-bound, and the measured warm wall REGRESSED
+    # under a 4x fan-out. Within-block parallelism comes from AQE
+    # splitting skewed join partitions.
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -469,12 +513,40 @@ def embedding_near_dups(
     """
     from ..functions import vector as V
 
-    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(vec_col))
-    a, b = base.alias("a"), base.alias("b")
-    sim = F.round(V.cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    # Per-row norm ONCE before the self-join: the pairwise cosine then
+    # costs one dot fold instead of three (norm-a, norm-b, dot), and
+    # the bits are unchanged — each norm is the identical per-row fold
+    # the inline cosine_similarity would compute, and the product /
+    # divide / round pipeline is the same IEEE sequence.
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col),
+        V.l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    # Low-cardinality blocking (10 labels at ANY corpus size) caps the
+    # pair stage at n_blocks parallel tasks; the adaptive salt fan-out
+    # restores within-block parallelism (no-op when blocks already
+    # exceed the cluster parallelism — see _auto_salt_factor).
+    base = _tracked_persist(base)
+    n_blocks = base.select("_blk").distinct().count()
+    n_salt = _auto_salt_factor(base, n_blocks)
+    a, b, salt_conds = _salted_self_join_sides(base, id_col, n_salt)
+    denom = F.col("a._nrm") * F.col("b._nrm")
+    sim = F.round(
+        F.when(
+            denom != 0.0,
+            V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / denom,
+        ),
+        6,
+    )
+    cond = (F.col("a._blk") == F.col("b._blk")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for c in salt_conds:
+        cond = cond & c
     return (
-        a.join(b, (F.col("a._blk") == F.col("b._blk"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, cond)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 sim.alias("cosine"))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import register
-from ._common import T
+from ._common import T, widen
 
 
 # --- exact ROC AUC, one-vs-rest per label ----------------------------------
@@ -483,7 +483,7 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
     )
     d = (
-        e.crossJoin(F.broadcast(q))
+        widen(e).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -550,7 +550,7 @@ def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
     )
     d = (
-        e.crossJoin(F.broadcast(q))
+        widen(e).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -640,7 +640,7 @@ def q_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("b_label"),
         F.col("v").alias("bv"),
     )
-    d = a.crossJoin(F.broadcast(b)).select(
+    d = widen(a).crossJoin(F.broadcast(b)).select(
         "a_id",
         "a_label",
         "b_id",
@@ -874,7 +874,7 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens-×-docs intermediate at 100 TB."""
     from ..functions.text import normalize_for_fingerprint
 
-    d = T(spark, sf_dir, "documents")
+    d = widen(T(spark, sf_dir, "documents"))
     tkc = F.filter(
         F.split(normalize_for_fingerprint(F.col("text")), " "),
         lambda x: x != "",

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from ._common import T
+from ._common import T, widen
 from ..functions import text as X
 from ..operators.dedup import (
     exact_dedup,
@@ -587,7 +587,10 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. At scale, the blocking key bounds the pair count and the
     join is one equi-join shuffle on the block."""
     p = T(spark, sf_dir, "part")
-    a = p.select(
+    # the broadcast self-join streams `a` as-is, so the 1.3M-pair
+    # levenshtein stage inherits the fixture's single scan split —
+    # floor the parallelism on the streamed side (no-op at scale)
+    a = widen(p).select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_type").alias("_ta"),
@@ -597,13 +600,19 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("p_type").alias("_tb"),
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # thresholded levenshtein (Spark 3.5+): banded DP that abandons a
+    # pair the moment its distance must exceed 2 and returns -1 —
+    # O(len·k) instead of O(len²) per pair, and EXACT for every kept
+    # pair (threshold semantics only fuzz the rejected ones), so the
+    # integer oracle is untouched. Measured 34 s → ~4 s on the sf0.1
+    # 1.3M-pair block set.
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
     return (
         a.join(
             b,
             (F.col("_ta") == F.col("_tb"))
             & (F.col("id_a") < F.col("id_b"))
-            & (dist <= 2),
+            & (dist >= 0),
         )
         .select(
             "id_a", "id_b", "name_a", "name_b",
@@ -1740,6 +1749,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
+    d = widen(d)
     exact = jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -1916,6 +1926,7 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
+    d = widen(d)
     cand = minhash_lsh_candidates(
         minhash_signatures(d, num_hashes=32, shingle_n=1), bands=16
     )

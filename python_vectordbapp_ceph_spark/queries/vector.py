@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from ._common import T
+from ._common import T, widen
 from ..functions import vector as V
 from ..operators.knn import knn_topk, knn_topk_batch, similarity_topk
 
