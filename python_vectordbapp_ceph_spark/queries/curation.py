@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import register
-from ._common import T
+from ._common import T, widen
 from .textops import _NORM_SQL, _TOKS_LOWER
 
 
@@ -729,7 +729,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import tracked_persist
     from ..functions.text import normalize_for_fingerprint
 
-    d = T(spark, sf_dir, "documents")
+    d = widen(T(spark, sf_dir, "documents"))
     tk = F.filter(
         F.split(normalize_for_fingerprint(F.col("text")), " "),
         lambda x: x != "",

@@ -783,7 +783,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded."""
     from ..functions.text import normalize_for_fingerprint
 
-    d = T(spark, sf_dir, "documents")
+    d = widen(T(spark, sf_dir, "documents"))
     tk = F.filter(
         F.split(normalize_for_fingerprint(F.col("text")), " "),
         lambda x: x != "",

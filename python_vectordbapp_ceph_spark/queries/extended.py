@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from ._common import T, dec2
+from ._common import T, dec2, widen
 
 
 # --- C22 explode (posexplode = UDTF-shaped lateral) ------------------------
@@ -335,7 +335,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.split import deterministic_split
     from ..pipelines import decontaminate
 
-    d = deterministic_split(T(spark, sf_dir, "documents"), "doc_id")
+    d = deterministic_split(widen(T(spark, sf_dir, "documents")), "doc_id")
     clean = decontaminate(d, jaccard_threshold=0.8)
     return clean.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
 

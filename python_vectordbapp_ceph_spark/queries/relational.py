@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
-from ._common import T, dec2
+from ._common import T, dec2, widen
 from ..operators.joins import asof_join
 from ..operators.mutation import delete_keys, upsert_last_writer
 
@@ -1089,7 +1089,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keys sorted / creation-ordered so every string output is deterministic;
     the oracle reconstructs the same JSON literally. All JVM-side Catalyst
     expressions — zero Python."""
-    e = T(spark, sf_dir, "events")
+    e = widen(T(spark, sf_dir, "events"))
     m = F.create_map(
         F.lit("etype"), F.col("event_type"),
         F.lit("k"), F.get_json_object("props", "$.k"),

@@ -1595,7 +1595,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the (doc_id, bucket) aggregate, which is map-side combined
     and keyed by the corpus itself."""
     d38 = "decimal(38,0)"
-    d = T(spark, sf_dir, "documents")
+    d = widen(T(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
     )
