@@ -270,13 +270,25 @@ def _write_ckpt_pointer(
     try:
         from .publish import HadoopFsOps
 
+        # merge-max against the current pointer: the pointer only ever
+        # advances (checkpoint version by publishes, floor by vacuum),
+        # and with optimistic commits running LEASE-FREE a committing
+        # writer's checkpoint could otherwise blind-overwrite the floor
+        # a concurrent leased vacuum just advanced — regressing the
+        # kept-window promise until it slid past (loud abort, no data
+        # loss, but avoidable). Best-effort read; the residual ms-wide
+        # race stays absorbed by the listing fallback as before.
+        cv, mv = int(checkpoint_version), int(min_version)
+        try:
+            ptr = _read_json(spark, f"{path}/{_COMMITS}/{_LAST_CKPT}")
+            cv = max(cv, int(ptr.get("checkpoint_version", cv)))
+            mv = max(mv, int(ptr.get("min_version", mv)))
+        except Exception:
+            pass
         HadoopFsOps(spark, path).create_bytes(
             f"{path}/{_COMMITS}/{_LAST_CKPT}",
             json.dumps(
-                {
-                    "checkpoint_version": int(checkpoint_version),
-                    "min_version": int(min_version),
-                }
+                {"checkpoint_version": cv, "min_version": mv}
             ).encode("utf-8"),
             overwrite=True,
         )
@@ -640,6 +652,15 @@ def commit_optimistic(
     optimistic writer's in-flight staging unless it runs under the
     lease or with ``stage_grace_ms`` armed (streaming default)."""
     touched = {int(b) for b in touched}
+    survivors = {int(b) for b in survivors}
+    if not survivors <= touched:
+        # a survivor OUTSIDE the touched set would silently overwrite a
+        # live bucket the conflict check never protected — loud caller
+        # bug, not a retryable race
+        raise ValueError(
+            "commit_optimistic: survivors must be a subset of touched; "
+            f"extra buckets {sorted(survivors - touched)}"
+        )
     checked = -1 if read_version is None else int(read_version)
     attempts = 0
     while True:

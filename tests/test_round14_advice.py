@@ -212,3 +212,41 @@ def test_checkpoint_file_floor_self_heals_when_range_is_clear(
     )
     rows = M.describe_history(spark, path).collect()
     assert [r.version for r in rows] == [5, 6, 7, 8]
+
+
+def test_ckpt_pointer_write_never_regresses_floor_or_version(
+    spark, tmp_path, small_interval
+):
+    """Self-review pin: with optimistic commits running LEASE-FREE, a
+    committing writer's checkpoint pointer refresh races a leased
+    vacuum's floor advance. The pointer write must merge-max against
+    the current pointer so a blind overwrite cannot regress either the
+    floor (un-guaranteeing vacuum's kept window) or the checkpoint
+    version (pointing readers at an older snapshot)."""
+    path = str(tmp_path / "base")
+    _mk_base(spark, path)
+    for c in range(1, 6):
+        _merge_one(spark, path, c)              # ckpt at v4
+    # a "concurrent vacuum" advanced the floor past what this writer
+    # knows; the writer then refreshes the pointer with its stale view
+    assert M._write_ckpt_pointer(spark, path, 4, 3)
+    assert M._write_ckpt_pointer(spark, path, 4, 0)   # stale floor
+    ptr = json.load(open(os.path.join(path, "_commits", "_last_checkpoint")))
+    assert int(ptr["min_version"]) == 3, "stale floor must not regress"
+    # same for the checkpoint version
+    assert M._write_ckpt_pointer(spark, path, 2, 3)   # stale version
+    ptr = json.load(open(os.path.join(path, "_commits", "_last_checkpoint")))
+    assert int(ptr["checkpoint_version"]) == 4
+
+
+def test_commit_optimistic_rejects_survivors_outside_touched(spark, tmp_path):
+    """Self-review pin: a survivor bucket OUTSIDE the declared touched
+    set would silently overwrite a live bucket the conflict check never
+    protected — commit_optimistic must refuse loudly."""
+    path = str(tmp_path / "base")
+    _mk_base(spark, path)
+    with pytest.raises(ValueError, match="subset of touched"):
+        M.commit_optimistic(
+            spark, path, read_version=0, touched={1},
+            gen="deadbeef", survivors={1, 2},
+        )
