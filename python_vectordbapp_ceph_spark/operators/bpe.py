@@ -76,19 +76,88 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _train_driver(
+    words: list[tuple[list[str], int]], n_merges: int, min_freq: int
+) -> list[tuple[int, str, str]]:
+    """The merge loop on a collected word table — EXACTLY the
+    distributed semantics: every adjacent position counts (weighted by
+    word freq, overlapping repeats included, same as the pair
+    explode), argmax broken by (n desc, pair asc), greedy
+    left-to-right rewrite. Kept separate so pytest pins the two paths
+    merge-for-merge equal."""
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        best = None
+        for (left, right), n in counts.items():
+            if n < min_freq:
+                continue
+            key = (-n, left, right)
+            if best is None or key < best[0]:
+                best = (key, left, right)
+        if best is None:
+            break
+        _, a, b = best
+        merges.append((rank, a, b))
+        ab = a + b
+        nxt: list[tuple[list[str], int]] = []
+        for syms, f in words:
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, f))
+        words = nxt
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
     min_freq: int = 2,
     checkpoint_dir: str | None = None,
+    driver_finish_words: int = 1 << 20,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns a DataFrame
     (rank int, left string, right string) in learning order. Stops
-    early when no pair reaches ``min_freq``."""
+    early when no pair reaches ``min_freq``.
+
+    Driver finish (same gate pattern as dedup_components'
+    ``driver_finish_edges``): the merge loop operates on the
+    WORD-FREQUENCY table — vocabulary-sized by construction — yet
+    each distributed round pays two scheduled jobs (argmax collect +
+    checkpointed rewrite) for work that is milliseconds once the
+    table fits on the driver. Below ``driver_finish_words`` rows the
+    table is collected ONCE (Arrow) and the loop runs in plain
+    Python with bit-identical semantics (pytest pins the paths
+    merge-for-merge equal); above it — web-scale vocabularies — the
+    distributed loop runs unchanged. At 1 Mi words the collect is
+    ~tens of MB, the same budget the CC finisher spends."""
     spark = docs.sparkSession
+    wf = word_freq(docs, text_col)
+    if driver_finish_words > 0:
+        wf = materialize(wf, checkpoint_dir)
+        if wf.count() <= driver_finish_words:
+            pdf = wf.toPandas()
+            words = [
+                (list(w), int(f)) for w, f in zip(pdf["word"], pdf["freq"])
+            ]
+            merges = _train_driver(words, n_merges, min_freq)
+            return spark.createDataFrame(
+                merges or [], "rank int, left string, right string"
+            )
     w = materialize(
-        word_freq(docs, text_col).select(
+        wf.select(
             "freq",
             F.expr(
                 "transform(sequence(1, length(word)),"

@@ -101,3 +101,22 @@ def test_word_freq_counts(spark):
     df = spark.createDataFrame([("a b a",), ("A  b",)], "text string")
     wf = {r.word: r.freq for r in word_freq(df).collect()}
     assert wf == {"a": 3, "b": 2}
+
+
+def test_driver_finish_equals_distributed_path(spark):
+    """The driver-finish gate must be invisible in results: forcing the
+    distributed loop (gate=0) and the driver loop (default gate) must
+    learn the identical merge sequence on the same corpus."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    fast = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(docs, n_merges=6, min_freq=2)
+        .orderBy("rank").collect()
+    ]
+    dist = [
+        (r.rank, r.left, r.right)
+        for r in bpe_train(docs, n_merges=6, min_freq=2,
+                           driver_finish_words=0)
+        .orderBy("rank").collect()
+    ]
+    assert fast == dist and len(fast) > 0
