@@ -30,6 +30,35 @@ from pyspark.sql import functions as F
 from ..cache import materialize, tracked_persist
 
 
+def _pagerank_driver(
+    edges_pdf, damping: float, iterations: int
+) -> "tuple[list, list]":
+    """The rank loop on a collected symmetrized edge table — same
+    per-iteration math as the distributed loop (contrib = rank/deg
+    scattered onto dst, rank = base + damping*in_mass); float sum
+    ORDER differs (np.add.at vs shuffle-order aggregation), which the
+    operator's rows-only contract already covers. Returns (ids,
+    ranks) aligned."""
+    import numpy as np
+
+    src = edges_pdf["src"].to_numpy()
+    dst = edges_pdf["dst"].to_numpy()
+    ids, inv_src = np.unique(src, return_inverse=True)
+    # symmetrized edge set → every node appears as a src; dst indexes
+    # into the same id universe
+    inv_dst = np.searchsorted(ids, dst)
+    n = len(ids)
+    deg = np.bincount(inv_src, minlength=n)
+    w = 1.0 / deg[inv_src]
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        in_mass = np.zeros(n)
+        np.add.at(in_mass, inv_dst, rank[inv_src] * w)
+        rank = base + damping * in_mass
+    return list(ids), [float(r) for r in rank]
+
+
 def pagerank(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -37,10 +66,22 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_dir: str | None = None,
+    driver_finish_edges: int = 1 << 20,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED pair set (each pair becomes two
     directed edges). Returns (id, rank); ranks over the edge-covered
-    nodes sum to ~1."""
+    nodes sum to ~1.
+
+    Driver finish (the dedup_components gate pattern): ``iterations``
+    distributed rounds each pay a join + aggregate + checkpoint of a
+    frontier that, on a near-dup graph, is a few hundred thousand
+    edges — scheduling-bound, not data-bound. At or below
+    ``driver_finish_edges`` symmetrized edges (default 1 Mi ≈ 16 MB)
+    the edge set is collected ONCE over Arrow and the loop runs as
+    numpy scatter-adds; beyond it the distributed loop runs
+    unchanged. Rank values differ from the distributed path only in
+    float summation order — the same ulp-level freedom that already
+    makes this operator rows-only."""
     p0 = materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
         checkpoint_dir,
@@ -51,6 +92,20 @@ def pagerank(
         .distinct(),
         checkpoint_dir,
     )
+    if driver_finish_edges > 0 and edges.count() <= driver_finish_edges:
+        spark = pairs.sparkSession
+        id_t = edges.schema["src"].dataType.simpleString()
+        pdf = edges.toPandas()
+        if len(pdf) == 0:
+            return edges.select(F.col("src").alias("id")).withColumn(
+                "rank", F.lit(0.0)
+            )
+        ids, ranks = _pagerank_driver(pdf, damping, iterations)
+        return spark.createDataFrame(
+            list(zip([i.item() if hasattr(i, "item") else i for i in ids],
+                     ranks)),
+            f"id {id_t}, rank double",
+        )
     # deg feeds BOTH eager materializations below (nodes, the weighted
     # edge table) — persist it so the full-edge groupBy shuffle runs
     # once per call, not twice (same discipline kcore applies to its
@@ -100,6 +155,7 @@ def kcore(
     id_b: str = "id_b",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    driver_finish_edges: int = 1 << 20,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly remove
     nodes of degree < k (with their edges) until the graph is stable;
@@ -131,6 +187,31 @@ def kcore(
         .distinct(),
         checkpoint_dir,
     )
+    if driver_finish_edges > 0 and edges.count() <= driver_finish_edges:
+        # the k-core is UNIQUE (maximal subgraph with min-degree >= k,
+        # peel-order-independent), so the driver peel is exactly equal
+        # to the distributed result — same gate rationale as pagerank
+        spark = pairs.sparkSession
+        id_t = edges.schema["src"].dataType.simpleString()
+        pdf = edges.toPandas()
+        import numpy as np
+
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        while True:
+            if len(src) == 0:
+                return spark.createDataFrame([], f"id {id_t}")
+            ids, inv_src = np.unique(src, return_inverse=True)
+            deg = np.bincount(inv_src, minlength=len(ids))
+            weak_ids = ids[deg < k]
+            if len(weak_ids) == 0:
+                break
+            bad = np.isin(src, weak_ids) | np.isin(dst, weak_ids)
+            src, dst = src[~bad], dst[~bad]
+        return spark.createDataFrame(
+            [(i.item() if hasattr(i, "item") else i,) for i in ids],
+            f"id {id_t}",
+        )
     for _ in range(max_iter):
         # persisted: the degree table feeds BOTH the stop-check count
         # and the keep-filter semi-joins — unpersisted it would be

@@ -5,7 +5,7 @@ graphs — the evidence backing the rows-only q_pagerank registration.
 import pytest
 
 from python_vectordbapp_ceph_spark.cache import release_caches
-from python_vectordbapp_ceph_spark.operators.graph import pagerank
+from python_vectordbapp_ceph_spark.operators.graph import kcore, pagerank
 
 
 def test_pagerank_star_closed_form(spark):
@@ -89,3 +89,31 @@ def test_kcore_empty_when_k_exceeds_connectivity(spark):
     # every ring node has degree 2 → 3-core is empty, 2-core is the ring
     assert kcore(ring, k=3).count() == 0
     assert sorted(r.id for r in kcore(ring, k=2).collect()) == list(range(6))
+
+
+def test_pagerank_driver_finish_matches_distributed(spark):
+    import math
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)],
+        "id_a long, id_b long",
+    )
+    fast = {r.id: r.rank for r in pagerank(pairs, iterations=6).collect()}
+    dist = {
+        r.id: r.rank
+        for r in pagerank(pairs, iterations=6, driver_finish_edges=0).collect()
+    }
+    assert set(fast) == set(dist)
+    for i in fast:
+        assert math.isclose(fast[i], dist[i], rel_tol=1e-9), (i, fast[i], dist[i])
+
+
+def test_kcore_driver_finish_exactly_equals_distributed(spark):
+    rows = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # K5 core
+    rows += [(0, 10), (10, 11), (11, 12)]                       # a tail
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    fast = sorted(r.id for r in kcore(pairs, k=4).collect())
+    dist = sorted(
+        r.id for r in kcore(pairs, k=4, driver_finish_edges=0).collect()
+    )
+    assert fast == dist == [0, 1, 2, 3, 4]
