@@ -24,6 +24,9 @@ from __future__ import annotations
 import logging
 import math
 from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -128,6 +131,103 @@ class IVFIndex:
         )
 
 
+_DRIVER_FIT_MAX_ELEMS = 32_000_000  # ≈256 MB of f64 — driver fit budget
+
+
+def _argmin_chunked(X, C, chunk: int = 8192):
+    """Row-wise nearest-centroid ids via -2·X·Cᵀ + |c|² (the |x|² term
+    is constant per row and cannot change the argmin). Chunked so the
+    n×k distance block never exceeds chunk×nlist floats."""
+    import numpy as np
+
+    c2 = (C * C).sum(1)
+    out = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), chunk):
+        d = X[s:s + chunk] @ C.T
+        d *= -2.0
+        d += c2[None, :]
+        # np.argmin takes the FIRST minimum — the lowest cluster_id,
+        # the same tiebreak probe_clusters and assign_new use
+        out[s:s + chunk] = np.argmin(d, axis=1)
+    return out
+
+
+def _kmeans_fit_driver(X, nlist: int, seed: int, max_iter: int,
+                       tol: float = 1e-4):
+    """Lloyd's iterations over the (bounded) fit sample as numpy — the
+    sample is ≤fit_sample_rows by construction, so the fit is
+    driver-sized at ANY corpus scale; what used to be ~25 scheduling-
+    bound MLlib jobs per build is now zero. Seeded k-means++ init;
+    empty clusters keep their previous center (MLlib's behavior)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n, _d = X.shape
+    k = int(nlist)
+    if n <= k:
+        # fewer points than lists: every point is a center, the rest
+        # repeat deterministically (degenerate, but never raises —
+        # matches fitting k on n<k points)
+        reps = -(-k // n)
+        return np.tile(X, (reps, 1))[:k].astype(np.float64, copy=True)
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[int(rng.randint(n))]
+    d2 = ((X - C[0]) ** 2).sum(1)
+    for i in range(1, k):
+        s = float(d2.sum())
+        idx = int(rng.choice(n, p=d2 / s)) if s > 0 else int(rng.randint(n))
+        C[i] = X[idx]
+        np.minimum(d2, ((X - C[i]) ** 2).sum(1), out=d2)
+    for _ in range(max_iter):
+        a = _argmin_chunked(X, C)
+        moved = 0.0
+        for i in range(k):
+            m = a == i
+            if m.any():
+                nc = X[m].mean(0)
+                moved = max(moved, float(np.sqrt(((nc - C[i]) ** 2).sum())))
+                C[i] = nc
+        if moved <= tol:
+            break
+    return C
+
+
+def _assign_udf(centroids):
+    """Vectorized nearest-centroid assignment: one BLAS matmul per
+    Arrow batch (the srp_signatures pattern) instead of a per-row
+    JVM/Python prediction. NULL or wrong-dimension vectors assign to
+    NULL (the build contract requires clean input; downstream guards
+    drop such rows loudly)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(1)
+    dim = C.shape[1]
+
+    @F.pandas_udf("int")
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            vals = s.to_numpy()
+            mask = np.fromiter(
+                (v is not None and len(v) == dim for v in vals),
+                dtype=bool, count=len(vals),
+            )
+            res = np.zeros(len(vals), dtype=np.int64)
+            if mask.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vals[mask]]
+                )
+                d = X @ C.T
+                d *= -2.0
+                d += c2[None, :]
+                res[np.where(mask)[0]] = np.argmin(d, axis=1)
+            out = pd.Series(res).astype("Int32")
+            out[~mask] = pd.NA
+            yield out
+
+    return assign
+
+
 def build_ivf(
     df: DataFrame,
     nlist: int = 16,
@@ -136,21 +236,28 @@ def build_ivf(
     seed: int = 42,
     max_iter: int = 20,
     fit_sample_rows: int = 100_000,
+    driver_fit_max_elems: int = _DRIVER_FIT_MAX_ELEMS,
 ) -> IVFIndex:
     """Fit the coarse quantizer and assign cluster ids.
 
-    The KMeans FIT runs on a bounded sample (``fit_sample_rows`` cap):
-    centroid quality converges long before the full table is seen, and
-    fitting on 100 TB would otherwise dominate the build. The ASSIGN
-    pass still covers every row (one cheap map over the table).
+    The KMeans FIT runs on a bounded sample (``fit_sample_rows`` cap,
+    tightened so rows×dim ≤ ``driver_fit_max_elems``): centroid
+    quality converges long before the full table is seen, and fitting
+    on 100 TB would otherwise dominate the build. Because the sample
+    is bounded by construction, the Lloyd's iterations run DRIVER-SIDE
+    as numpy over ONE collected sample (the FAISS train-on-sample
+    design) — the previous MLlib fit spent ~25 scheduling-bound Spark
+    jobs iterating over the same ≤100k rows. The ASSIGN pass still
+    covers every row: one vectorized Arrow-batch argmin over the
+    table, no shuffle.
 
     nlist defaults small for the test tables; production sizing follows
-    the reference's nlist=16384 at ~1e9+ rows (≈ sqrt(N) rule).
+    the reference's nlist=16384 at ~1e9+ rows (≈ sqrt(N) rule) — raise
+    ``driver_fit_max_elems`` alongside if you want more than
+    driver_fit_max_elems/dim training points for such an index.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
     # count BEFORE the projection: over parquet this resolves from row-
     # group statistics (no data scan), so sizing the sample is ~free
     n = df.count()
@@ -159,15 +266,35 @@ def build_ivf(
             "build_ivf: input has no rows — an IVF quantizer cannot be "
             "fitted on an empty table (defer index build until data arrives)"
         )
-    if n > fit_sample_rows:
-        fit_df = feats.sample(fraction=min(1.0, fit_sample_rows / n * 1.1), seed=seed)
-    else:
-        fit_df = feats
-    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="_features",
-                predictionCol="cluster_id")
-    model = km.fit(fit_df)
-    assigned = model.transform(feats).drop("_features")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    dim_row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("_d"))
+        .first()
+    )
+    if dim_row is None:
+        raise ValueError(
+            f"build_ivf: every {vec_col} is NULL — nothing to fit on"
+        )
+    dim = int(dim_row["_d"])
+    fit_rows = min(
+        int(fit_sample_rows),
+        max(int(nlist), driver_fit_max_elems // max(dim, 1)),
+    )
+    fit_df = df
+    if n > fit_rows:
+        fit_df = df.sample(fraction=min(1.0, fit_rows / n * 1.1), seed=seed)
+    sample = fit_df.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).toPandas()
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample["_v"]
+         if v is not None and len(v) == dim]
+    )
+    C = _kmeans_fit_driver(X, nlist, seed, max_iter)
+    assigned = df.withColumn(
+        "cluster_id", _assign_udf(C)(F.col(vec_col))
+    )
+    centroids = [list(map(float, c)) for c in C]
     return IVFIndex(assigned=assigned, centroids=centroids, vec_col=vec_col, id_col=id_col)
 
 

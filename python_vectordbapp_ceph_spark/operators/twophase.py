@@ -12,13 +12,24 @@ two-phase rank (used by q_shuffle_order since r6, generalized here):
   1. range-repartition on the order key — one sampled wide exchange;
      each partition owns a contiguous key range (persisted, so both
      passes see the SAME partitioning);
-  2. per-partition partial masses → cumulative prefix offsets via a
-     window over ≤num-partitions rows (the ONLY single-partition
-     window, bounded by cluster width, never by data);
+  2. per-partition partial masses → cumulative prefix offsets over
+     ≤num-partitions rows (bounded by cluster width, never by data);
   3. broadcast the offsets back and add a WITHIN-partition running
      sum.
 
 Every phase is bounded by a single partition's slice of the input.
+
+Phase 2 runs DRIVER-SIDE since round 14: the partial masses are one
+bounded collect (≤num-partitions rows — the same cluster-width bound
+the earlier single-partition offsets window relied on), the prefix
+sums are plain Python in _pid order (identical addition order to the
+window they replace, so even float sums are bit-identical), and the
+offsets return to the plan as a broadcast LocalTableScan whose schema
+is copied from the ANALYZED schema of the window formulation — result
+column types are unchanged to the digit. This removes the offsets
+window stage and (in global_ntile) the total-count re-execution of
+the ranked plan: measured 52 → ~30 Spark jobs on q_rfm_segments'
+three chained ntiles at sf0.1.
 """
 
 from __future__ import annotations
@@ -28,6 +39,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..cache import tracked_persist
+
+
+def _coerce(value, dtype):
+    """Coerce a driver-side running-sum value to the Python type
+    createDataFrame expects for ``dtype`` (the analyzed offset type)."""
+    import decimal
+
+    if value is None:
+        return None
+    t = dtype.simpleString()
+    if t.startswith("decimal"):
+        return value if isinstance(value, decimal.Decimal) else decimal.Decimal(value)
+    if t in ("double", "float"):
+        return float(value)
+    return int(value)
+
+
+def _offsets_rows(mass_rows, group_key, dtype):
+    """Strictly-preceding prefix sums of ``_mass`` in ``_pid`` order,
+    per group (group_key() maps a Row to its group tuple). Addition
+    runs in the same _pid order as the window it replaces."""
+    out = []
+    run: dict = {}
+    for r in sorted(mass_rows, key=lambda r: (r["_pid"],)):
+        g = group_key(r)
+        off = run.get(g, 0)
+        out.append((r, _coerce(off, dtype)))
+        m = r["_mass"]
+        if m is not None:
+            run[g] = off + m
+    return out
 
 
 def global_cumsum(
@@ -47,6 +89,20 @@ def global_cumsum(
     The caller's ``df`` is persisted (tracked_persist) to pin the
     sampled range boundaries; release via cache.release_caches() as
     usual."""
+    out, _ = _global_cumsum_total(df, order_cols, val_col, cum_col, before_col)
+    return out
+
+
+def _global_cumsum_total(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str | Column,
+    cum_col: str | None,
+    before_col: str | None,
+):
+    """global_cumsum plus the TOTAL mass (a driver-side scalar, free
+    byproduct of the bounded partials collect) — global_ntile needs it
+    and previously paid a full re-execution of the ranked plan for it."""
     val = F.col(val_col) if isinstance(val_col, str) else val_col
     spark = df.sparkSession
     npart = max(spark.sparkContext.defaultParallelism, 2)
@@ -56,11 +112,22 @@ def global_cumsum(
         )
     )
     partials = parts.groupBy("_pid").agg(F.sum(val).alias("_mass"))
+    # analyzed (never executed) window formulation pins _off's exact
+    # type so downstream arithmetic types match the old plan digit for
+    # digit
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = partials.select(
-        "_pid",
-        F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off"),
+    off_schema = partials.select(
+        "_pid", F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off")
+    ).schema
+    mass_rows = partials.collect()  # ≤npart rows — cluster-width bound
+    pairs = _offsets_rows(mass_rows, lambda r: None, off_schema["_off"].dataType)
+    offsets = spark.createDataFrame(
+        [(r["_pid"], off) for r, off in pairs], off_schema
     )
+    total = 0
+    for r in mass_rows:
+        if r["_mass"] is not None:
+            total = total + r["_mass"]
     w_in = Window.partitionBy("_pid").orderBy(*order_cols)
     out = parts.join(F.broadcast(offsets), "_pid")
     if cum_col is not None:
@@ -80,7 +147,7 @@ def global_cumsum(
                 F.lit(0),
             ),
         )
-    return out.drop("_pid", "_off")
+    return out.drop("_pid", "_off"), total
 
 
 def grouped_cumsum(
@@ -114,15 +181,32 @@ def grouped_cumsum(
         )
     )
     partials = parts.groupBy(*group_cols, "_pid").agg(F.sum(val).alias("_mass"))
+    # analyzed-only window formulation pins _off's type; the offsets
+    # themselves come from one bounded collect (#groups × #partitions
+    # rows — the same cardinality the broadcast join already assumed)
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = partials.select(
+    off_schema = partials.select(
         *group_cols,
         "_pid",
         F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off"),
+    ).schema
+
+    def _gkey(r):
+        return tuple(
+            tuple(v) if isinstance(v, list) else v
+            for v in (r[g] for g in group_cols)
+        )
+
+    pairs = _offsets_rows(
+        partials.collect(), _gkey, off_schema["_off"].dataType
+    )
+    offsets = spark.createDataFrame(
+        [tuple([*(r[g] for g in group_cols), r["_pid"], off]) for r, off in pairs],
+        off_schema,
     )
     w_in = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     # NULL-SAFE equi-join back: a list-of-names join uses null-unsafe
@@ -170,18 +254,17 @@ def global_ntile(
     plans: the global rank comes from the two-phase cumsum of 1, and
     the tile index is the closed form of ntile's bucket sizing (the
     first n MOD t buckets take CEIL(n/t) rows, the rest FLOOR(n/t) —
-    identical to Spark's and DuckDB's ntile). The row count reaches
-    the plan as a broadcast 1-row scalar, never the driver."""
-    ranked = global_cumsum(df, order_cols, F.lit(1), cum_col="_rnk")
-    # n == max(_rnk) off the PERSISTED ranked frame — counting df
-    # directly would recompute its entire upstream lineage just for
-    # the scalar (q_rfm chains three global_ntile calls; the third
-    # would re-run two stacked cumsums for a count)
-    tot = ranked.agg(
-        F.coalesce(F.max("_rnk"), F.lit(0)).cast("long").alias("_n")
+    identical to Spark's and DuckDB's ntile). The row count n is the
+    total mass from the cumsum's bounded partials collect — a free
+    driver-side byproduct; the earlier max(_rnk) aggregate re-executed
+    the whole ranked plan just for this scalar (q_rfm chains three
+    global_ntile calls; the third re-ran two stacked cumsums for a
+    count)."""
+    ranked, total = _global_cumsum_total(
+        df, order_cols, F.lit(1), "_rnk", None
     )
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked.withColumn("_n", F.lit(int(total)).cast("long"))
         .withColumn("_q", F.expr(f"_n div {n_tiles}"))
         .withColumn("_r", F.expr(f"_n % {n_tiles}"))
         .withColumn("_big", F.expr("_r * (_q + 1)"))

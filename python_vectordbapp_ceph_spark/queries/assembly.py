@@ -670,7 +670,10 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = global_cumsum(sel, ["source", "_k", "doc_id"], F.lit(1), cum_col="_g")
-    ns = sel.groupBy("source").agg(F.count(F.lit(1)).alias("n_sel"))
+    # per-source counts off g (the cumsum's PERSISTED range partitions)
+    # rather than sel — counting sel would re-run the documents scan +
+    # mixture join/filter a second time for the same numbers
+    ns = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_sel"))
     w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
     off = ns.select(
         "source",
