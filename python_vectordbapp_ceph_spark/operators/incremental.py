@@ -138,7 +138,15 @@ def apply_delta(
     Reads ONLY the touched buckets of the view, merges additively
     (one union + re-aggregate over view-rows + delta-groups, both
     tiny), drops zero-count groups, rewrites only those buckets."""
-    d = _bucketed(_delta_agg(delta, keys, value_col, sign_col), keys, n_buckets)
+    from ..cache import tracked_persist
+
+    # persisted: the bucket-id probe below AND the merge union both
+    # consume the collapsed delta — unpersisted, the full change-set
+    # aggregation (often a scan+filter over a fact table) ran twice
+    # per refresh
+    d = tracked_persist(
+        _bucketed(_delta_agg(delta, keys, value_col, sign_col), keys, n_buckets)
+    )
     buckets = [r._kb for r in d.select("_kb").distinct().collect()]
     if not buckets:
         return []

@@ -1137,7 +1137,27 @@ def _staged_write(
     _bucket_aligned(result, n_buckets, files_per_bucket).write.mode(
         "append"
     ).partitionBy("_kb").parquet(f"{path}/gen={gen}")
-    return [r._kb for r in result.select("_kb").distinct().collect()]
+    # surviving bucket ids from the freshly-written gen dir's LISTING:
+    # the partitionBy write just created exactly one `_kb=<b>` dir per
+    # surviving bucket, so re-running `result` (a full recompute of
+    # its lineage when the caller didn't checkpoint, e.g. replace_base
+    # over a raw scan) just to re-derive the same ids was a wasted
+    # pass. The gen dir is per-attempt private — nothing else writes
+    # there — so the listing is exact.
+    fs, hpath = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(hpath(f"{path}/gen={gen}")):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_kb="):
+            try:
+                out.append(int(name[4:]))
+            except ValueError:
+                # non-integer bucket value (never produced by
+                # _with_bucket) — fall back to the plan-side probe
+                return [
+                    r._kb for r in result.select("_kb").distinct().collect()
+                ]
+    return sorted(out)
 
 
 def overwrite_touched_buckets(

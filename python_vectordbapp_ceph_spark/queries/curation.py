@@ -123,8 +123,13 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     count table; the clipped sum is count-weighted. Emits sum + count,
     not the mean — no final division to hit a rounding tie
     (q_doc_fluency's lesson)."""
+    from ..cache import tracked_persist
+
     li = T(spark, sf_dir, "lineitem")
-    c = (
+    # persisted: the (flag, value) histogram feeds the percentile
+    # bounds AND the clipped weighted sum — unpersisted, the lineitem
+    # scan + composite-key aggregate ran twice
+    c = tracked_persist(
         li.select(
             F.col("l_returnflag").alias("flag"),
             F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),

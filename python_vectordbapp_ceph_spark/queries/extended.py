@@ -202,8 +202,12 @@ def q_vector_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .save()
     )
+    # explicit schema (the sink's own wire shape, identical to what
+    # inference derives): JSON schema inference is a FULL extra pass
+    # over every committed file before the real read
     back = (
         spark.read.option("pathGlobFilter", "part_*.jsonl")
+        .schema("key string, price double, status string")
         .json(out)
     )
     return back.groupBy(F.col("status").alias("o_orderstatus")).agg(

@@ -1138,7 +1138,10 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tfn), 6).alias("s"))
     )
-    tr = scored.orderBy(F.col("s").desc(), "doc_id").limit(50)
+    # the 50-row candidate cut feeds BOTH its min/max stats aggregate
+    # and the normalization projection — unpersisted, the whole BM25
+    # join pipeline above re-executed once per consumer
+    tr = tracked_persist(scored.orderBy(F.col("s").desc(), "doc_id").limit(50))
     tstat = tr.agg(F.min("s").alias("_mn"), F.max("s").alias("_mx"))
     tn = tr.crossJoin(F.broadcast(tstat)).select(
         "doc_id",
@@ -1154,7 +1157,8 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.l2_distance(F.col("embedding").cast("array<double>"), qarr), 6
         ).alias("d"),
     )
-    vtop = ev.orderBy("d", "doc_id").limit(50)
+    # same two-consumer persist for the vector side's 50-row cut
+    vtop = tracked_persist(ev.orderBy("d", "doc_id").limit(50))
     vr = vtop.select(
         "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.col("d")), 6).alias("sv")
     )

@@ -1749,9 +1749,17 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
-    d = widen(d)
-    exact = jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
-        "id_a", "id_b"
+    # persist the widened sample: the exact side, the LSH side and the
+    # ratio each re-executed the global TakeOrdered sample otherwise
+    from ..cache import tracked_persist
+
+    d = tracked_persist(widen(d))
+    # the exact pair set feeds the caught semi-join AND its own count:
+    # unpersisted, the full blocked-Jaccard verify ran twice
+    exact = tracked_persist(
+        jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
+            "id_a", "id_b"
+        )
     )
     # 2 rows/band: the recall-oriented operating point — banding
     # probability 1-(1-j^2)^16 is ~0.99 at j=0.5 (measured 99.8% on
@@ -1926,9 +1934,16 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
-    d = widen(d)
-    cand = minhash_lsh_candidates(
-        minhash_signatures(d, num_hashes=32, shingle_n=1), bands=16
+    # persisted for the same three-consumer reason as q_lsh_recall
+    from ..cache import tracked_persist
+
+    d = tracked_persist(widen(d))
+    # the candidate pair set feeds the verify semi-join AND its own
+    # count — unpersisted, the band-bucket self-join ran twice
+    cand = tracked_persist(
+        minhash_lsh_candidates(
+            minhash_signatures(d, num_hashes=32, shingle_n=1), bands=16
+        )
     )
     exact = jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
         "id_a", "id_b"
