@@ -172,8 +172,10 @@ def apply_delta(
             F.sum("total").cast("decimal(38,2)").alias("total"),
         )
         .filter(F.col("cnt") > 0)
-        # materialize before overwriting the files just read
-        .localCheckpoint()
+        # no materialize: the staged write goes to a private gen dir
+        # and the old bucket files outlive the write (merge.py's
+        # round-14 contract) — the localCheckpoint was a full extra
+        # execution of the refresh plan
     )
     overwrite_touched_buckets(
         spark, path, merged, buckets, read_version=read_version

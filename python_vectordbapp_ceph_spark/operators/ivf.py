@@ -225,7 +225,14 @@ def _assign_udf(centroids):
             out[~mask] = pd.NA
             yield out
 
-    return assign
+    # the probe filter (cluster_id IN (...)) references the UDF's
+    # output column, and the optimizer's filter pushdown would
+    # otherwise evaluate the UDF TWICE — once below the pushed filter
+    # and once in the projection (two ArrowEvalPython nodes observed
+    # in the search plan). asNondeterministic() forbids the
+    # duplication; the function itself is pure, the marker is purely
+    # an optimizer fence.
+    return assign.asNondeterministic()
 
 
 def build_ivf(

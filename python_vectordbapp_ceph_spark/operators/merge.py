@@ -1176,9 +1176,11 @@ def overwrite_touched_buckets(
     publish → lazy cleanup; the publish rename is the only visibility
     transition. ``keep_history=True`` skips the cleanup so superseded
     generations stay readable via read_buckets(version=...) — snapshot
-    time travel — until vacuum() reclaims them. ``result`` must
-    already be materialized (checkpointed) if its lineage reads
-    ``path``.
+    time travel — until vacuum() reclaims them. ``result`` may read
+    ``path`` lazily: the staged write targets a per-attempt private
+    gen dir, superseded dirs are deleted only after the publish, and
+    nothing re-executes ``result`` after the write (survivors come
+    from the staged dir's listing).
 
     The commit is OPTIMISTIC (:func:`commit_optimistic`): concurrent
     commits whose touched buckets are disjoint from ``buckets`` are
@@ -1375,9 +1377,13 @@ def _merge_into_once(
             tiebreak_cols=["_prio", op_col],
         )
         result = merged.filter(F.col(op_col) != delete_op).drop(op_col, "_prio")
-    # materialize BEFORE overwriting the path we just read (truncates
-    # the lineage back to the files being replaced); eager by default
-    result = materialize(result, checkpoint_dir)
+    # NO materialize of the merge result since round 14: the staged
+    # write lands in a per-attempt PRIVATE gen dir (never the files
+    # being read — superseded dirs are deleted only after the commit
+    # publishes), survivors come from the staged dir's listing rather
+    # than a second execution, and nothing consumes `result` after
+    # the write — so the localCheckpoint was a full extra pass over
+    # the merge plan per refresh
     overwrite_touched_buckets(
         spark, path, result, buckets, n_buckets, files_per_bucket,
         keep_history=keep_history, read_version=read_version,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._common import T, widen
+from ..cache import tracked_persist as _tracked_persist
 from ..functions import text as X
 from ..operators.dedup import (
     exact_dedup,
@@ -1609,10 +1610,15 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 64
         ).alias("b"),
     )
-    stats = t.groupBy("b").agg(
+    # persisted: the 64-row bucket stats feed the grand totals AND the
+    # ratio projection — unpersisted, each consumer re-ran the whole
+    # tokenize+explode+md5 stream to rebuild 64 rows (the token stream
+    # itself stays unpersisted on purpose: two passes beat pinning a
+    # tokens×docs intermediate at 100 TB, the boilerplate-scrub rule)
+    stats = _tracked_persist(t.groupBy("b").agg(
         F.count(F.lit(1)).alias("raw_cnt"),
         F.count_if(F.col("lang") == "en").alias("tgt_cnt"),
-    )
+    ))
     tot = stats.agg(
         F.sum("raw_cnt").alias("n_raw"), F.sum("tgt_cnt").alias("n_tgt")
     )
@@ -2033,11 +2039,14 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = w.join(src, "doc_id").select(
         "source", F.col("w").cast(d38).alias("wd"), F.col("w").alias("wl")
     )
-    g = per_doc.groupBy("source").agg(
+    # persisted: the source-cardinality partials feed the per-source
+    # rows AND the 'ALL' re-aggregate — unpersisted, the whole weight
+    # pipeline (two token passes) ran once per consumer
+    g = _tracked_persist(per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("wd").alias("sw"),
         F.sum(F.col("wd") * F.col("wl")).alias("sww"),
-    )
+    ))
     allg = g.agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("sw").alias("sw"),
