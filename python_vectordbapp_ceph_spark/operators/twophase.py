@@ -34,11 +34,117 @@ three chained ntiles at sf0.1.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..cache import tracked_persist
+
+# Below this Catalyst size estimate the input fits ONE window task
+# comfortably (well under the guide-§2.2 100 MB–1 GB per-task shuffle
+# target), so the two-phase machinery (sampled range exchange + persist
+# + bounded offsets collect) costs strictly more than the plain
+# unpartitioned window it exists to avoid — a multi-second, multi-job
+# overhead per call at bench scale. Gating on the OPTIMIZED-plan size
+# estimate is free (driver-side, no job) and SAFE in both directions:
+# the two paths are result-identical (same expression tree with a
+# typed zero in place of the broadcast offset), so a wrong estimate
+# can only cost performance, never correctness; Catalyst overestimates
+# joins/unions, which errs toward the distributed path. At 100 TB every
+# real input estimate is orders of magnitude above the gate.
+# Parameterized: spark conf key first, env second, default 64 MiB.
+_SMALL_PLAN_CONF = "spark.python_vectordbapp.twophase.smallPlanMaxBytes"
+_SMALL_PLAN_ENV = "SPARK_GRAFT_TWOPHASE_SMALL_BYTES"
+_SMALL_PLAN_DEFAULT = 64 << 20
+
+
+def _small_plan_gate_bytes(spark) -> int:
+    try:
+        v = spark.conf.get(_SMALL_PLAN_CONF, None)
+        if v is not None:
+            return int(v)
+    except Exception:
+        pass
+    env = os.environ.get(_SMALL_PLAN_ENV)
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    return _SMALL_PLAN_DEFAULT
+
+
+# plan nodes that can MULTIPLY rows relative to their inputs — with any
+# of these present the leaf-sum fallback below is not an upper bound
+_CARDINALITY_NODES = (
+    "Generate", "MapInPandas", "MapInArrow", "PythonMapInArrow",
+    "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas", "CoGroup",
+    "MapGroups", "FlatMapGroupsWithState",
+)
+
+
+def _fits_single_task(df: DataFrame) -> bool:
+    """True when Catalyst's optimized-plan size estimate says the whole
+    input fits one window task (performance gate only — both callers'
+    paths produce identical rows and types, see module docstring).
+
+    Catalyst's non-CBO join estimate is the PRODUCT of the sides, which
+    overshoots a broadcast-dim join over a small fact by orders of
+    magnitude. When the plan estimate misses the gate, fall back to the
+    SUM of the leaf-relation estimates, accepted only when no plan node
+    can multiply rows (no Generate/explode, no Python map/cogroup —
+    checkpointed/unknown leaves report Long.Max and fail the sum, the
+    conservative direction). A many-to-many join fanning small inputs
+    far past their size is the residual miss; it costs one oversized
+    window task, never a wrong result."""
+    gate = _small_plan_gate_bytes(df.sparkSession)
+    if gate <= 0:
+        return False
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+        est = int(plan.stats().sizeInBytes())
+        if 0 <= est <= gate:
+            return True
+        tree = plan.treeString()
+        if any(n in tree for n in _CARDINALITY_NODES):
+            return False
+        leaves = plan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            total += int(leaves.apply(i).stats().sizeInBytes())
+            if total > gate:
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def fits_single_task(df: DataFrame) -> bool:
+    """Public face of the single-task gate, for callers that thread one
+    decision through several same-cardinality cumsum calls (see
+    global_cumsum's ``single_task``)."""
+    return _fits_single_task(df)
+
+
+def _typed_zero_offset(df: DataFrame, val: Column) -> Column:
+    """lit(0) cast to the exact type the two-phase broadcast offset
+    column would carry — analyzed only, never executed — so the
+    single-task formulation's `0 + sum(val).over(w)` goes through the
+    identical Catalyst type-coercion as `_off + sum(val).over(w_in)`
+    and result types match the distributed path digit for digit."""
+    w_off = Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, -1)
+    off_t = (
+        df.groupBy()
+        .agg(F.sum(val).alias("_mass"))
+        .select(
+            F.coalesce(F.sum("_mass").over(w_off), F.lit(0)).alias("_off")
+        )
+        .schema["_off"]
+        .dataType
+    )
+    return F.lit(0).cast(off_t)
 
 
 def _coerce(value, dtype):
@@ -78,6 +184,7 @@ def global_cumsum(
     val_col: str | Column,
     cum_col: str | None = "cum",
     before_col: str | None = None,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """``df`` plus distributed global running sum(s) of ``val_col`` in
     ``order_cols`` order: ``cum_col`` includes the current row,
@@ -88,7 +195,48 @@ def global_cumsum(
 
     The caller's ``df`` is persisted (tracked_persist) to pin the
     sampled range boundaries; release via cache.release_caches() as
-    usual."""
+    usual.
+
+    SINGLE-TASK GATE (round 15, guide §1.2): when the optimized-plan
+    size estimate fits one window task (_fits_single_task), the same
+    running sums come from a plain unpartitioned window — identical
+    expression tree with a typed zero in place of the broadcast offset,
+    so values AND result types match the two-phase path exactly; the
+    sampled range exchange, the persist of the re-partitioned copy and
+    the offsets collect (multiple scheduling-bound jobs per call) are
+    skipped. The input is still tracked_persist-ed so multi-consumer
+    callers reuse one execution, as before. ``single_task`` overrides
+    the estimate (None = auto): callers chaining cumsums over the SAME
+    row set pass the first call's decision through, because the second
+    input's plan hangs off a not-yet-materialized persist whose size
+    estimate is unusable (InMemoryRelation reports its child's
+    join-product estimate until the cache fills)."""
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    if single_task if single_task is not None else _fits_single_task(df):
+        parts = tracked_persist(df)
+        zero = _typed_zero_offset(df, val)
+        w = Window.orderBy(*order_cols)
+        out = parts
+        if cum_col is not None:
+            out = out.withColumn(
+                cum_col,
+                zero
+                + F.sum(val).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+        if before_col is not None:
+            out = out.withColumn(
+                before_col,
+                zero
+                + F.coalesce(
+                    F.sum(val).over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+        return out
     out, _ = _global_cumsum_total(df, order_cols, val_col, cum_col, before_col)
     return out
 
@@ -170,8 +318,41 @@ def grouped_cumsum(
     prefixed to the range-partitioning key so each partition owns a
     contiguous (group, key) slice; prefix offsets accumulate per group
     over the ≤num-partitions slices that group spans. ``group_cols``
-    must be column NAMES (they key the broadcast equi-join back)."""
+    must be column NAMES (they key the broadcast equi-join back).
+
+    Same single-task gate as :func:`global_cumsum`: under the size
+    estimate the per-group running sums come from one
+    ``Window.partitionBy(group)`` pass (NULL group values are ordinary
+    window partitions, matching the eqNullSafe join semantics of the
+    distributed path), with the typed zero preserving result types."""
     val = F.col(val_col) if isinstance(val_col, str) else val_col
+    if _fits_single_task(df):
+        parts = tracked_persist(df)
+        zero = _typed_zero_offset(df, val)
+        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+            *order_cols
+        )
+        out = parts
+        if cum_col is not None:
+            out = out.withColumn(
+                cum_col,
+                zero
+                + F.sum(val).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+        if before_col is not None:
+            out = out.withColumn(
+                before_col,
+                zero
+                + F.coalesce(
+                    F.sum(val).over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+        return out
     spark = df.sparkSession
     npart = max(spark.sparkContext.defaultParallelism, 2)
     gcols = [F.col(g) for g in group_cols]
@@ -259,7 +440,17 @@ def global_ntile(
     driver-side byproduct; the earlier max(_rnk) aggregate re-executed
     the whole ranked plan just for this scalar (q_rfm chains three
     global_ntile calls; the third re-ran two stacked cumsums for a
-    count)."""
+    count).
+
+    Same single-task gate as :func:`global_cumsum`: under the size
+    estimate this is literally ``ntile(n).over(Window.orderBy(...))``
+    — Spark's ntile implements the identical bucket sizing the closed
+    form replicates (same values, same INT type)."""
+    if _fits_single_task(df):
+        parts = tracked_persist(df)
+        return parts.withColumn(
+            out_col, F.ntile(n_tiles).over(Window.orderBy(*order_cols))
+        )
     ranked, total = _global_cumsum_total(
         df, order_cols, F.lit(1), "_rnk", None
     )

@@ -642,7 +642,7 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤num-partitions / ≤num-sources offset ones.
     """
     from ..operators.split import split_bucket
-    from ..operators.twophase import global_cumsum
+    from ..operators.twophase import fits_single_task, global_cumsum
 
     d = T(spark, sf_dir, "documents")
     sz = d.groupBy("source").agg(
@@ -669,7 +669,15 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_k"),
         )
     )
-    g = global_cumsum(sel, ["source", "_k", "doc_id"], F.lit(1), cum_col="_g")
+    # one gate decision threads BOTH cumsums: v below holds exactly one
+    # row per sel row (same cardinality), but its plan hangs off sel's
+    # not-yet-filled persist whose size estimate is unusable — the
+    # caller knows the invariant the optimizer cannot see
+    small = fits_single_task(sel)
+    g = global_cumsum(
+        sel, ["source", "_k", "doc_id"], F.lit(1), cum_col="_g",
+        single_task=small,
+    )
     # per-source counts off g (the cumsum's PERSISTED range partitions)
     # rather than sel — counting sel would re-run the documents scan +
     # mixture join/filter a second time for the same numbers
@@ -688,7 +696,8 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vkey"),
     )
     r = global_cumsum(
-        v, ["vkey", "source", "doc_id"], F.lit(1), cum_col="_rnk"
+        v, ["vkey", "source", "doc_id"], F.lit(1), cum_col="_rnk",
+        single_task=small,
     )
     return (
         r.select(

@@ -1,11 +1,31 @@
 """operators/twophase.py — the distributed global-cumsum primitive
 must be value-identical to the naive single-partition window on any
-input, ordering direction, and physical layout."""
+input, ordering direction, and physical layout.
+
+Round 15 added a single-task gate (small optimized-plan estimates take
+a plain window instead of the two-phase machinery). The distributed
+path's pins here run with the gate DISABLED so they keep covering the
+at-scale plan; test_small_gate_* pin the two paths equal (values and
+dtypes) and the conf switch itself."""
+
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from python_vectordbapp_ceph_spark.operators.twophase import global_cumsum
+from python_vectordbapp_ceph_spark.operators.twophase import (
+    _SMALL_PLAN_CONF,
+    global_cumsum,
+)
+
+
+@contextmanager
+def _gate_bytes(spark, v):
+    spark.conf.set(_SMALL_PLAN_CONF, str(v))
+    try:
+        yield
+    finally:
+        spark.conf.unset(_SMALL_PLAN_CONF)
 
 
 def _naive(df, order_cols, val, cum_col=None, before_col=None):
@@ -78,13 +98,17 @@ def test_layout_invariant(spark):
 
 
 def test_no_unpartitioned_data_window(spark):
-    """The only unpartitioned window in the plan is the prefix-offset
-    one over per-partition partials (ordered by _pid)."""
+    """The only unpartitioned window in the DISTRIBUTED plan is the
+    prefix-offset one over per-partition partials (ordered by _pid) —
+    pinned with the single-task gate disabled (gate=0 forces the
+    at-scale path regardless of the test input's size)."""
     from python_vectordbapp_ceph_spark.plans.inspect import explain_str
 
-    plan = explain_str(
-        global_cumsum(_mk(spark), ["k", "id"], "v", cum_col="cum"), "simple"
-    )
+    with _gate_bytes(spark, 0):
+        plan = explain_str(
+            global_cumsum(_mk(spark), ["k", "id"], "v", cum_col="cum"),
+            "simple",
+        )
     for ln in plan.splitlines():
         if "Window [" in ln and "windowspecdefinition(_pid#" not in ln:
             assert "_pid#" in ln, ln  # the offsets window orders BY _pid
@@ -114,7 +138,85 @@ def test_global_ntile_no_unpartitioned_data_window(spark):
     from python_vectordbapp_ceph_spark.operators.twophase import global_ntile
     from python_vectordbapp_ceph_spark.plans.inspect import explain_str
 
-    plan = explain_str(global_ntile(_mk(spark), ["v", "id"], 4, "t"), "simple")
+    with _gate_bytes(spark, 0):
+        plan = explain_str(
+            global_ntile(_mk(spark), ["v", "id"], 4, "t"), "simple"
+        )
     for ln in plan.splitlines():
         if "Window [" in ln and "windowspecdefinition(_pid#" not in ln:
             assert "_pid#" in ln, ln  # the offsets window orders BY _pid
+
+
+# --- round-15 single-task gate pins -----------------------------------------
+
+
+def test_small_gate_paths_equal_global(spark):
+    """Gated (single-task window) and distributed outputs must match in
+    VALUES and DTYPES — including the decimal offset-type coercion."""
+    from python_vectordbapp_ceph_spark.operators.twophase import (
+        grouped_cumsum,
+    )
+
+    df = _mk(spark).withColumn("dv", (F.col("v") / 100).cast("decimal(18,2)"))
+    for val in ("v", "dv"):
+        with _gate_bytes(spark, 1 << 40):
+            small = global_cumsum(
+                df, ["k", "id"], val, cum_col="cum", before_col="pre"
+            )
+            small_rows = {
+                (r.id, r.cum, r.pre) for r in small.collect()
+            }
+            small_types = dict(small.dtypes)
+        with _gate_bytes(spark, 0):
+            dist = global_cumsum(
+                df, ["k", "id"], val, cum_col="cum", before_col="pre"
+            )
+            assert {(r.id, r.cum, r.pre) for r in dist.collect()} == small_rows
+            assert dict(dist.dtypes) == small_types
+    # grouped variant, with NULL group values
+    g = df.withColumn(
+        "grp", F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id") % 2)
+    )
+    with _gate_bytes(spark, 1 << 40):
+        s = grouped_cumsum(g, ["grp"], ["id"], "dv", cum_col="c")
+        s_rows = {(r.id, r.grp, r.c) for r in s.collect()}
+        s_types = dict(s.dtypes)
+        assert len(s_rows) == 997  # NULL-group rows survive the gate path
+    with _gate_bytes(spark, 0):
+        d = grouped_cumsum(g, ["grp"], ["id"], "dv", cum_col="c")
+        assert {(r.id, r.grp, r.c) for r in d.collect()} == s_rows
+        assert dict(d.dtypes) == s_types
+
+
+def test_small_gate_paths_equal_ntile(spark):
+    from python_vectordbapp_ceph_spark.operators.twophase import global_ntile
+
+    for n in (997, 40, 2):
+        df = _mk(spark, n=n)
+        with _gate_bytes(spark, 1 << 40):
+            s = global_ntile(df, ["v", "id"], 4, "t")
+            s_rows = {(r.id, r.t) for r in s.collect()}
+            s_types = dict(s.dtypes)
+        with _gate_bytes(spark, 0):
+            d = global_ntile(df, ["v", "id"], 4, "t")
+            assert {(r.id, r.t) for r in d.collect()} == s_rows
+            assert dict(d.dtypes) == s_types
+
+
+def test_small_gate_conf_switch(spark):
+    """gate=0 must plan the two-phase shape (repartitionByRange shows
+    up as RangePartitioning); a huge gate must not."""
+    from python_vectordbapp_ceph_spark.plans.inspect import explain_str
+
+    df = _mk(spark)
+    with _gate_bytes(spark, 0):
+        dist_plan = explain_str(
+            global_cumsum(df, ["k", "id"], "v", cum_col="cum"), "simple"
+        )
+    with _gate_bytes(spark, 1 << 40):
+        small_plan = explain_str(
+            global_cumsum(df, ["k", "id"], "v", cum_col="cum"), "simple"
+        )
+    assert "rangepartitioning" in dist_plan.lower()
+    assert "rangepartitioning(_pid" not in small_plan.lower()
+    assert "spark_partition_id" not in small_plan.lower()
