@@ -233,8 +233,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_col: str | None = None,
 ) -> DataFrame:
-    sh = _spread(df, id_col).select(id_col, shingles(text_col, shingle_n).alias("sh"))
+    """``shingle_col`` names a PRE-COMPUTED shingle-array column (the
+    exact ``shingles(text_col, shingle_n)`` output, typically persisted
+    and shared with a jaccard_pairs verify side — one tokenize pass for
+    both, see q_lsh_recall/q_lsh_precision). The caller then owns
+    spreading/persisting; ``text_col``/``shingle_n`` are ignored."""
+    if shingle_col is not None:
+        sh = df.select(id_col, F.col(shingle_col).alias("sh"))
+    else:
+        sh = _spread(df, id_col).select(
+            id_col, shingles(text_col, shingle_n).alias("sh")
+        )
     sig = F.array(*[_minhash_of(F.col("sh"), i) for i in range(num_hashes)])
     return sh.select(id_col, sig.alias("signature"))
 
@@ -317,6 +328,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
     prefix_filter: bool = False,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs INSIDE a blocking key.
 
@@ -344,12 +356,27 @@ def jaccard_pairs(
     only add cost (10×-sf0.1 stress point: 63 s cross vs 105 s
     prefix). On a natural web corpus the ratio inverts — flip the
     flag per corpus; pytest pins both paths equal.
+
+    ``shingle_col`` names a PRE-COMPUTED shingle-array column (the
+    exact ``shingles(text_col, shingle_n)`` output) on an input the
+    caller already spread and persisted — the LSH audit queries share
+    one tokenize pass between this verify side and the MinHash side.
+    The internal persist is skipped then (the caller's persist already
+    backs both self-join sides); ``text_col``/``shingle_n`` are
+    ignored.
     """
-    base = _spread(df, id_col).select(
-        F.col(id_col), F.col(block_col).alias("_blk"),
-        shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    base = _tracked_persist(base)
+    if shingle_col is not None:
+        base = df.select(
+            F.col(id_col), F.col(block_col).alias("_blk"),
+            F.col(shingle_col).alias("sh"),
+        ).withColumn("n_sh", F.size("sh"))
+    else:
+        base = _tracked_persist(
+            _spread(df, id_col).select(
+                F.col(id_col), F.col(block_col).alias("_blk"),
+                shingles(text_col, shingle_n).alias("sh"),
+            ).withColumn("n_sh", F.size("sh"))
+        )
     a, b = base.alias("a"), base.alias("b")
     size_prune = (
         F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
@@ -818,24 +845,34 @@ def dedup_components(
         p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
     )
-    remaining = edges.count()
-    if 0 < remaining <= driver_finish_edges and max_iter > 0:
+    remaining = None
+    if driver_finish_edges > 0 and max_iter > 0:
         # round-0 driver finish: the whole edge set is already under
         # the collect gate, so the id→label identity table (a distinct
         # shuffle) and the relabel join are pure overhead — the numpy
         # finisher's label map IS the (id, comp) result, every edge
-        # node included
+        # node included. ONE gated collect (r15): LIMIT gate+1 is both
+        # the gate decision and, when it passes, the data — the
+        # count()+toPandas() pair re-read the same checkpointed rows.
+        # A failed gate wastes one bounded ≤gate-row collect before
+        # the distributed rounds (fixed driver cost at any scale).
         import pandas as _pd
 
-        pdf = edges.toPandas()
-        node_ids, labels = _min_label_numpy(
-            pdf["src"].values, pdf["dst"].values
-        )
-        id_t = edges.schema["src"].dataType.simpleString()
-        return pairs.sparkSession.createDataFrame(
-            _pd.DataFrame({"id": node_ids, "comp": labels}),
-            f"id {id_t}, comp {id_t}",
-        )
+        pdf = edges.limit(driver_finish_edges + 1).toPandas()
+        if 0 < len(pdf) <= driver_finish_edges:
+            node_ids, labels = _min_label_numpy(
+                pdf["src"].values, pdf["dst"].values
+            )
+            id_t = edges.schema["src"].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                _pd.DataFrame({"id": node_ids, "comp": labels}),
+                f"id {id_t}, comp {id_t}",
+            )
+        if len(pdf) == 0:
+            remaining = 0
+        del pdf
+    if remaining is None:
+        remaining = edges.count()
     # id → current label; composed with each round's relabel
     comp = _ckpt(
         edges.select(F.col("src").alias("id")).distinct().withColumn(

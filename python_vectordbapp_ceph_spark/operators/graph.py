@@ -112,25 +112,33 @@ def pagerank(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
         checkpoint_dir,
     )
-    # gate on the PAIR count (symmetrized edges ≤ 2×pairs): under the
-    # driver-finish threshold the distributed union+distinct pass the
-    # old gate paid just to count what it was about to collect is
-    # skipped entirely — one collect, symmetrize/dedup as numpy
-    if driver_finish_edges > 0 and 2 * p0.count() <= driver_finish_edges:
-        import pandas as _pd
+    # ONE gated collect (r15): the old gate paid a count() job and then
+    # a toPandas() job for the same checkpointed rows — a LIMIT of
+    # cap+1 rows IS the gate decision and, when it passes, already the
+    # data (limit returns every row when there are ≤ cap). A failed
+    # gate wastes one bounded ≤cap-row collect (~16 MB) before the
+    # distributed path — a fixed driver-side cost at any scale.
+    if driver_finish_edges > 0:
+        cap = driver_finish_edges // 2  # 2·|pairs| ≤ gate ⇔ |pairs| ≤ cap
+        pdf = p0.limit(cap + 1).toPandas()
+        if len(pdf) <= cap:
+            import pandas as _pd
 
-        spark = pairs.sparkSession
-        id_t = p0.schema["src"].dataType.simpleString()
-        ids, inv_s, inv_d = _symmetrize_driver(p0.toPandas())
-        if len(inv_s) == 0:
-            return spark.createDataFrame([], f"id {id_t}, rank double")
-        _, ranks = _pagerank_driver((ids, inv_s, inv_d), damping, iterations)
-        # pandas frame → Arrow path: a list-of-tuples createDataFrame
-        # measured ~1.7 s at 81k rows vs ~0.1 s over Arrow
-        return spark.createDataFrame(
-            _pd.DataFrame({"id": ids, "rank": ranks}),
-            f"id {id_t}, rank double",
-        )
+            spark = pairs.sparkSession
+            id_t = p0.schema["src"].dataType.simpleString()
+            ids, inv_s, inv_d = _symmetrize_driver(pdf)
+            if len(inv_s) == 0:
+                return spark.createDataFrame([], f"id {id_t}, rank double")
+            _, ranks = _pagerank_driver(
+                (ids, inv_s, inv_d), damping, iterations
+            )
+            # pandas frame → Arrow path: a list-of-tuples createDataFrame
+            # measured ~1.7 s at 81k rows vs ~0.1 s over Arrow
+            return spark.createDataFrame(
+                _pd.DataFrame({"id": ids, "rank": ranks}),
+                f"id {id_t}, rank double",
+            )
+        del pdf
     edges = materialize(
         p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
@@ -212,34 +220,42 @@ def kcore(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
         checkpoint_dir,
     )
-    if driver_finish_edges > 0 and 2 * p0.count() <= driver_finish_edges:
+    if driver_finish_edges > 0:
         # the k-core is UNIQUE (maximal subgraph with min-degree >= k,
         # peel-order-independent), so the driver peel is exactly equal
         # to the distributed result — same gate rationale as pagerank,
         # including the skipped distributed symmetrize+distinct (the
-        # numpy dedup in _symmetrize_driver keeps degrees exact)
-        import numpy as np
-        import pandas as _pd
+        # numpy dedup in _symmetrize_driver keeps degrees exact) and
+        # the r15 single gated collect (LIMIT cap+1 is both the gate
+        # decision and, when it passes, the data)
+        cap = driver_finish_edges // 2
+        pdf = p0.limit(cap + 1).toPandas()
+        if len(pdf) <= cap:
+            import numpy as np
+            import pandas as _pd
 
-        spark = pairs.sparkSession
-        id_t = p0.schema["src"].dataType.simpleString()
-        ids, si, di = _symmetrize_driver(p0.toPandas())
-        while True:
-            if len(si) == 0:
-                return spark.createDataFrame([], f"id {id_t}")
-            # dense-index peel: degree by bincount, weakness by index
-            # lookup — the per-round np.isin over raw ids was an
-            # O(E·log V) search each round for the same information
-            deg = np.bincount(si, minlength=len(ids))
-            weak = (deg > 0) & (deg < k)
-            if not weak.any():
-                break
-            bad = weak[si] | weak[di]
-            si, di = si[~bad], di[~bad]
-        survivors = ids[np.flatnonzero(np.bincount(si, minlength=len(ids)))]
-        return spark.createDataFrame(
-            _pd.DataFrame({"id": survivors}), f"id {id_t}"
-        )
+            spark = pairs.sparkSession
+            id_t = p0.schema["src"].dataType.simpleString()
+            ids, si, di = _symmetrize_driver(pdf)
+            while True:
+                if len(si) == 0:
+                    return spark.createDataFrame([], f"id {id_t}")
+                # dense-index peel: degree by bincount, weakness by
+                # index lookup — the per-round np.isin over raw ids was
+                # an O(E·log V) search each round for the same info
+                deg = np.bincount(si, minlength=len(ids))
+                weak = (deg > 0) & (deg < k)
+                if not weak.any():
+                    break
+                bad = weak[si] | weak[di]
+                si, di = si[~bad], di[~bad]
+            survivors = ids[
+                np.flatnonzero(np.bincount(si, minlength=len(ids)))
+            ]
+            return spark.createDataFrame(
+                _pd.DataFrame({"id": survivors}), f"id {id_t}"
+            )
+        del pdf
     edges = materialize(
         p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))

@@ -1745,6 +1745,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs as jp,
         minhash_lsh_candidates,
         minhash_signatures,
+        shingles,
     )
 
     full = T(spark, sf_dir, "documents")
@@ -1755,23 +1756,31 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
-    # persist the widened sample: the exact side, the LSH side and the
-    # ratio each re-executed the global TakeOrdered sample otherwise
+    # ONE persisted shingle table feeds BOTH sides (r15): the exact
+    # verify and the MinHash signatures each tokenized the persisted
+    # sample separately — the shared `_sh` column is computed once and
+    # both operators take it via shingle_col (the sample itself no
+    # longer needs its own persist: nothing downstream reads raw text)
     from ..cache import tracked_persist
 
-    d = tracked_persist(widen(d))
+    sh_tab = tracked_persist(
+        widen(d).select(
+            "doc_id", "source", shingles("text", 1).alias("_sh")
+        )
+    )
     # the exact pair set feeds the caught semi-join AND its own count:
     # unpersisted, the full blocked-Jaccard verify ran twice
     exact = tracked_persist(
-        jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
-            "id_a", "id_b"
-        )
+        jp(
+            sh_tab, block_col="source", threshold=0.5, shingle_col="_sh"
+        ).select("id_a", "id_b")
     )
     # 2 rows/band: the recall-oriented operating point — banding
     # probability 1-(1-j^2)^16 is ~0.99 at j=0.5 (measured 99.8% on
     # this corpus vs 66% at the 4-rows/band candidate-volume point)
     cand = minhash_lsh_candidates(
-        minhash_signatures(d, num_hashes=32, shingle_n=1), bands=16
+        minhash_signatures(sh_tab, num_hashes=32, shingle_col="_sh"),
+        bands=16,
     )
     caught = exact.join(cand, ["id_a", "id_b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1930,6 +1939,7 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs as jp,
         minhash_lsh_candidates,
         minhash_signatures,
+        shingles,
     )
 
     full = T(spark, sf_dir, "documents")
@@ -1940,22 +1950,28 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
-    # persisted for the same three-consumer reason as q_lsh_recall
+    # ONE persisted shingle table for both sides — same r15 sharing as
+    # q_lsh_recall (n_docs counts it too: one row per sampled doc)
     from ..cache import tracked_persist
 
-    d = tracked_persist(widen(d))
+    sh_tab = tracked_persist(
+        widen(d).select(
+            "doc_id", "source", shingles("text", 1).alias("_sh")
+        )
+    )
     # the candidate pair set feeds the verify semi-join AND its own
     # count — unpersisted, the band-bucket self-join ran twice
     cand = tracked_persist(
         minhash_lsh_candidates(
-            minhash_signatures(d, num_hashes=32, shingle_n=1), bands=16
+            minhash_signatures(sh_tab, num_hashes=32, shingle_col="_sh"),
+            bands=16,
         )
     )
-    exact = jp(d, block_col="source", shingle_n=1, threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    exact = jp(
+        sh_tab, block_col="source", threshold=0.5, shingle_col="_sh"
+    ).select("id_a", "id_b")
     true_pos = cand.join(exact, ["id_a", "id_b"], "left_semi")
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = sh_tab.agg(F.count(F.lit(1)).alias("n_docs"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_true = true_pos.agg(F.count(F.lit(1)).alias("n_true"))
     return (
