@@ -727,7 +727,7 @@ def srp_near_dups(
     )
 
 
-def _min_label_numpy(src, dst) -> dict:
+def _min_label_numpy(src, dst) -> tuple:
     """Vectorized driver-side finisher: min-label propagation with
     pointer jumping over dense-reindexed edge arrays. Same result as
     a union-find (label → component-minimum label) but each round is
@@ -851,15 +851,24 @@ def dedup_components(
         # the collect gate, so the id→label identity table (a distinct
         # shuffle) and the relabel join are pure overhead — the numpy
         # finisher's label map IS the (id, comp) result, every edge
-        # node included. ONE gated collect (r15): LIMIT gate+1 is both
-        # the gate decision and, when it passes, the data — the
+        # node included. ONE gated collect (r15): LIMIT gate rows is
+        # both the gate decision and, when it passes, the data — the
         # count()+toPandas() pair re-read the same checkpointed rows.
-        # A failed gate wastes one bounded ≤gate-row collect before
-        # the distributed rounds (fixed driver cost at any scale).
+        # Fewer than gate rows ⇒ we hold the whole edge set; exactly
+        # gate rows is ambiguous (maybe truncated), so only that
+        # boundary pays a count() to disambiguate. The driver never
+        # holds more than driver_finish_edges rows (the same bound the
+        # old count()-first gate enforced, pinned by
+        # test_dedup_components_guard_bounds_driver_collect); a failed
+        # gate wastes one bounded collect before the distributed rounds.
         import pandas as _pd
 
-        pdf = edges.limit(driver_finish_edges + 1).toPandas()
-        if 0 < len(pdf) <= driver_finish_edges:
+        pdf = edges.limit(driver_finish_edges).toPandas()
+        complete = len(pdf) < driver_finish_edges
+        if not complete and len(pdf) == driver_finish_edges:
+            remaining = edges.count()
+            complete = remaining == driver_finish_edges
+        if complete and len(pdf) > 0:
             node_ids, labels = _min_label_numpy(
                 pdf["src"].values, pdf["dst"].values
             )

@@ -113,15 +113,21 @@ def pagerank(
         checkpoint_dir,
     )
     # ONE gated collect (r15): the old gate paid a count() job and then
-    # a toPandas() job for the same checkpointed rows — a LIMIT of
-    # cap+1 rows IS the gate decision and, when it passes, already the
-    # data (limit returns every row when there are ≤ cap). A failed
-    # gate wastes one bounded ≤cap-row collect (~16 MB) before the
-    # distributed path — a fixed driver-side cost at any scale.
+    # a toPandas() job for the same checkpointed rows — a LIMIT of cap
+    # rows IS the gate decision and, when it passes, already the data
+    # (fewer than cap rows ⇒ we hold them all; exactly cap is the only
+    # ambiguous case and alone pays a count() to disambiguate). The
+    # driver never holds more than cap rows — the same bound the old
+    # count()-first gate enforced. A failed gate wastes one bounded
+    # ≤cap-row collect (~16 MB) before the distributed path — a fixed
+    # driver-side cost at any scale.
     if driver_finish_edges > 0:
         cap = driver_finish_edges // 2  # 2·|pairs| ≤ gate ⇔ |pairs| ≤ cap
-        pdf = p0.limit(cap + 1).toPandas()
-        if len(pdf) <= cap:
+        pdf = p0.limit(cap).toPandas()
+        complete = len(pdf) < cap or (
+            len(pdf) == cap and p0.count() == cap
+        )
+        if complete:
             import pandas as _pd
 
             spark = pairs.sparkSession
@@ -226,11 +232,16 @@ def kcore(
         # to the distributed result — same gate rationale as pagerank,
         # including the skipped distributed symmetrize+distinct (the
         # numpy dedup in _symmetrize_driver keeps degrees exact) and
-        # the r15 single gated collect (LIMIT cap+1 is both the gate
-        # decision and, when it passes, the data)
+        # the r15 single gated collect (LIMIT cap rows is both the
+        # gate decision and, when it passes, the data; only the
+        # exactly-cap boundary pays a count() to disambiguate — the
+        # driver never holds more than cap rows, as before)
         cap = driver_finish_edges // 2
-        pdf = p0.limit(cap + 1).toPandas()
-        if len(pdf) <= cap:
+        pdf = p0.limit(cap).toPandas()
+        complete = len(pdf) < cap or (
+            len(pdf) == cap and p0.count() == cap
+        )
+        if complete:
             import numpy as np
             import pandas as _pd
 

@@ -103,20 +103,34 @@ def init_agg_view(
     path: str,
     n_buckets: int = N_BUCKETS_DEFAULT,
 ) -> None:
-    """Full (one-time) aggregate of the base, laid out by key bucket."""
-    view = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col(value_col).cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("total"),
+    """Full (one-time) aggregate of the base, laid out by key bucket.
+
+    One exchange end-to-end (r15, guide §2.4): `_kb` is a pure function
+    of the group keys, so repartitioning the RAW rows on `_kb` already
+    clusters every (keys) group into one partition — the aggregate
+    (grouped by `_kb` + keys, same groups) then needs no exchange of
+    its own, and the staged write takes the result pre-aligned instead
+    of paying the alignment repartition a second time."""
+    b = (
+        _bucketed(df, keys, n_buckets)
+        .repartition(F.col("_kb"))
+        .groupBy("_kb", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total"),
+        )
+        # column order of the pre-r15 plan (view cols then _kb): the
+        # schema sidecar and read paths are order-sensitive consumers
+        .select(*keys, "cnt", "total", "_kb")
     )
-    b = _bucketed(view, keys, n_buckets)
     spark = df.sparkSession
     # staged generation + manifest publish (merge.py protocol): the
     # view is unreadable until the commit lands, so a crashed init
     # never exposes a partial rollup, and a re-init atomically
     # replaces the old view
-    replace_base(b, path, n_buckets, 1)
+    replace_base(b, path, n_buckets, 1, pre_aligned=True)
     # the sidecar keeps a never-populated or fully-emptied view
     # readable (a staged write of zero groups emits no files to infer
     # a schema from)
@@ -166,6 +180,13 @@ def apply_delta(
         view = spark.createDataFrame([], d.schema)
     merged = (
         view.unionByName(d)
+        # ONE exchange for merge + write (r15, guide §2.4): hashing the
+        # union on `_kb` alone already clusters every (_kb, keys) group
+        # into one partition, so the aggregate below adds no exchange
+        # of its own and the staged write takes the result pre-aligned
+        # — previously the agg shuffled on (_kb, keys) and the write
+        # re-shuffled the same rows on _kb for layout.
+        .repartition(F.col("_kb"))
         .groupBy("_kb", *keys)
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -178,7 +199,8 @@ def apply_delta(
         # execution of the refresh plan
     )
     overwrite_touched_buckets(
-        spark, path, merged, buckets, read_version=read_version
+        spark, path, merged, buckets, read_version=read_version,
+        pre_aligned=True,
     )
     return sorted(buckets)
 

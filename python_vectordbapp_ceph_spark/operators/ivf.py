@@ -195,9 +195,13 @@ def _kmeans_fit_driver(X, nlist: int, seed: int, max_iter: int,
 def _assign_udf(centroids):
     """Vectorized nearest-centroid assignment: one BLAS matmul per
     Arrow batch (the srp_signatures pattern) instead of a per-row
-    JVM/Python prediction. NULL or wrong-dimension vectors assign to
-    NULL (the build contract requires clean input; downstream guards
-    drop such rows loudly)."""
+    JVM/Python prediction. NULL or wrong-dimension vectors RAISE (the
+    r14 advice: the MLlib path this replaced failed loudly, and a
+    silently NULL-assigned row would vanish from every probe filter
+    and land in __HIVE_DEFAULT_PARTITION__ on write_partitioned —
+    assign_new is the path with the counted-drop contract for dirty
+    ingest batches; the BUILD contract requires clean input). The
+    check is in-batch — zero extra Spark jobs."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -212,18 +216,19 @@ def _assign_udf(centroids):
                 (v is not None and len(v) == dim for v in vals),
                 dtype=bool, count=len(vals),
             )
-            res = np.zeros(len(vals), dtype=np.int64)
-            if mask.any():
-                X = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in vals[mask]]
+            if not mask.all():
+                n_null = sum(1 for v in vals if v is None)
+                raise ValueError(
+                    f"build_ivf: {int((~mask).sum())} row(s) with NULL "
+                    f"({n_null}) or wrong-dimension (expected {dim}) "
+                    "vectors — clean the input or route dirty batches "
+                    "through assign_new's counted-drop path"
                 )
-                d = X @ C.T
-                d *= -2.0
-                d += c2[None, :]
-                res[np.where(mask)[0]] = np.argmin(d, axis=1)
-            out = pd.Series(res).astype("Int32")
-            out[~mask] = pd.NA
-            yield out
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+            d = X @ C.T
+            d *= -2.0
+            d += c2[None, :]
+            yield pd.Series(np.argmin(d, axis=1)).astype("Int32")
 
     # the probe filter (cluster_id IN (...)) references the UDF's
     # output column, and the optimizer's filter pushdown would
@@ -293,10 +298,19 @@ def build_ivf(
     sample = fit_df.select(
         F.col(vec_col).cast("array<double>").alias("_v")
     ).toPandas()
-    X = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in sample["_v"]
-         if v is not None and len(v) == dim]
-    )
+    valid = [
+        np.asarray(v, dtype=np.float64) for v in sample["_v"]
+        if v is not None and len(v) == dim
+    ]
+    if not valid:
+        raise ValueError(
+            f"build_ivf: the fit sample ({len(sample)} row(s)) contains "
+            f"no valid {dim}-dimensional {vec_col} vectors — every "
+            "sampled row is NULL or wrong-dimension; clean the input "
+            "before building (r14 advice: np.stack([]) raised an opaque "
+            "'need at least one array to stack' here)"
+        )
+    X = np.stack(valid)
     C = _kmeans_fit_driver(X, nlist, seed, max_iter)
     assigned = df.withColumn(
         "cluster_id", _assign_udf(C)(F.col(vec_col))

@@ -1106,6 +1106,7 @@ def _staged_write(
     gen: str,
     n_buckets: int,
     files_per_bucket: int,
+    pre_aligned: bool = False,
 ) -> list[int]:
     """Stage ``result`` (bucket-aligned, one dir per surviving bucket)
     into `path/gen=<gen>/`. ``gen`` is a per-ATTEMPT unique token
@@ -1133,10 +1134,19 @@ def _staged_write(
     # the giant-bucket multiplier). mode('append'), NOT 'overwrite':
     # the gen dir is per-attempt unique (write-once), and a static
     # overwrite would delete the marker just stamped; append into the
-    # fresh dir writes the identical data.
-    _bucket_aligned(result, n_buckets, files_per_bucket).write.mode(
-        "append"
-    ).partitionBy("_kb").parquet(f"{path}/gen={gen}")
+    # fresh dir writes the identical data. ``pre_aligned=True`` means
+    # the caller's plan is ALREADY hash-partitioned on `_kb` (e.g. its
+    # final aggregate was keyed through a repartition on `_kb` — the
+    # guide-§2.4 shared exchange), so the alignment repartition here
+    # would be a second shuffle of the same rows for the same layout.
+    aligned = (
+        result
+        if pre_aligned
+        else _bucket_aligned(result, n_buckets, files_per_bucket)
+    )
+    aligned.write.mode("append").partitionBy("_kb").parquet(
+        f"{path}/gen={gen}"
+    )
     # surviving bucket ids from the freshly-written gen dir's LISTING:
     # the partitionBy write just created exactly one `_kb=<b>` dir per
     # surviving bucket, so re-running `result` (a full recompute of
@@ -1169,6 +1179,7 @@ def overwrite_touched_buckets(
     files_per_bucket: int = 1,
     keep_history: bool = False,
     read_version: int | None = None,
+    pre_aligned: bool = False,
 ) -> None:
     """Atomically replace the ``buckets`` of the base with ``result``
     (which holds their new contents; a touched bucket absent from
@@ -1200,7 +1211,8 @@ def overwrite_touched_buckets(
             raise FileNotFoundError(f"no committed manifest under {path}")
     gen = _gen_token(version + 1)
     survivors = _staged_write(
-        spark, path, result, gen, n_buckets, files_per_bucket
+        spark, path, result, gen, n_buckets, files_per_bucket,
+        pre_aligned=pre_aligned,
     )
     touched = set(buckets) | set(survivors)
     commit_optimistic(
@@ -1243,17 +1255,20 @@ def replace_base(
     path: str,
     n_buckets: int = N_BUCKETS_DEFAULT,
     files_per_bucket: int = 1,
+    pre_aligned: bool = False,
 ) -> None:
     """Create-or-replace the whole base from an already `_kb`-bucketed
     frame: stage at (current version + 1), publish a full map, lazily
     delete the superseded generations (orphans if interrupted;
-    vacuum() reclaims)."""
+    vacuum() reclaims). ``pre_aligned`` as in overwrite_touched_buckets
+    (the caller's plan already hash-partitions on `_kb`)."""
     spark = bucketed.sparkSession
     version, live = current_manifest(spark, path)
     v = 0 if version is None else version + 1
     gen = _gen_token(v)
     survivors = _staged_write(
-        spark, path, bucketed, gen, n_buckets, files_per_bucket
+        spark, path, bucketed, gen, n_buckets, files_per_bucket,
+        pre_aligned=pre_aligned,
     )
     # a full replacement touches EVERYTHING — including buckets that
     # do not exist yet — so it cannot rebase over any concurrent
@@ -1347,11 +1362,23 @@ def _merge_into_once(
             "(write it with write_bucketed_base)"
         )
     base = read_buckets(spark, path, buckets, version=read_version)
+    # ONE exchange for resolve + write (r15, guide §2.4): `_kb` is a
+    # pure function of the merge key, so hash-partitioning the log on
+    # `_kb` alone already clusters every key's rows into one partition;
+    # prefixing `_kb` to the window's partition spec is then
+    # group-identical (same key ⇒ same bucket) and lets the window run
+    # without its own exchange — the staged write takes the survivors
+    # pre-aligned instead of re-shuffling them onto `_kb` for layout.
     if base is None:
         # none of the touched buckets exist yet: pure insert
         base_cols = ch.drop(op_col).columns
         result = (
-            upsert_last_writer(ch, [key_col], ts_col, tiebreak_cols=[op_col])
+            upsert_last_writer(
+                ch.repartition(F.col("_kb")),
+                ["_kb", key_col],
+                ts_col,
+                tiebreak_cols=[op_col],
+            )
             .filter(F.col(op_col) != delete_op)
             .drop(op_col)
             .select(*base_cols)
@@ -1371,8 +1398,8 @@ def _merge_into_once(
         # ('upsert' > 'delete' descending) — fully deterministic even
         # for conflicting same-key same-ts change rows
         merged = upsert_last_writer(
-            base_log.unionByName(ch_aligned),
-            [key_col],
+            base_log.unionByName(ch_aligned).repartition(F.col("_kb")),
+            ["_kb", key_col],
             ts_col,
             tiebreak_cols=["_prio", op_col],
         )
@@ -1387,6 +1414,11 @@ def _merge_into_once(
     overwrite_touched_buckets(
         spark, path, result, buckets, n_buckets, files_per_bucket,
         keep_history=keep_history, read_version=read_version,
+        # the survivors are still hash-partitioned on _kb from the
+        # resolve window above (filter/drop preserve partitioning) —
+        # skip the second alignment shuffle. files_per_bucket>1 callers
+        # keep the salted alignment repartition instead.
+        pre_aligned=files_per_bucket <= 1,
     )
     return sorted(buckets)
 

@@ -725,12 +725,16 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     information-content score (a doc whose shingles all recur
     elsewhere adds nothing to a training mix; one that is all-novel is
     either valuable or noise). Integer counts end-to-end (the caller
-    derives the ratio). Plan: distinct (doc, shingle) explode
-    persisted across its two consumers, a map-side-combinable df
-    aggregate joined back ON THE SHINGLE KEY (vocabulary-sized — a
-    regular shuffle join, NOT a broadcast; at 100 TB the shingle
-    vocabulary is far beyond driver memory), then a per-doc
-    aggregate."""
+    derives the ratio).
+
+    Plan (r15, guide §2.3 — shuffle keys, not payloads): a df==1
+    shingle has exactly ONE owner row in the distinct (doc, shingle)
+    table, so novelty attributes through the df aggregate itself
+    (min(doc_id) of a singleton group IS the owner) — the join that
+    re-shuffled every 8-token shingle STRING back onto the doc stream
+    is gone. The heavy shingle bytes now cross one exchange (the df
+    aggregate); everything after is doc-keyed counts. Both consumers
+    read the persisted distinct explode, as before."""
     from ..cache import tracked_persist
     from ..functions.text import normalize_for_fingerprint
 
@@ -753,14 +757,22 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        sh.join(df, "s")
-        .groupBy("doc_id")
+    novel = (
+        sh.groupBy("s")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+            F.count(F.lit(1)).alias("df"),
+            # deterministic: groups surviving the df==1 filter have one row
+            F.min("doc_id").alias("doc_id"),
         )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
     )
 
 
@@ -1008,22 +1020,33 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py::kcore does the distributed peel: per round one
     degree aggregate + two semi-joins, all keyed on node id, edge set
     checkpointed so plans don't nest, cost tracking the SHRINKING
-    frontier."""
+    frontier.
+
+    Pair build (r15): baskets are bounded (≤7 items in TPC-H-shaped
+    data), so the q_copurchase_pairs shape applies — collect the sorted
+    basket per order (ONE shuffle) and expand the ≤k²/2 ordered pairs
+    in-row with higher-order functions, instead of the distinct +
+    self-join that shuffled every item row twice. Pair multiset (and
+    thus the n≥2 filter) is identical; this build dominated the
+    query's wall (the driver peel itself measures ~0 ms at sf0.1)."""
     from ..operators.graph import kcore
 
     li = T(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")

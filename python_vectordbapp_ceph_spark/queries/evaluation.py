@@ -151,11 +151,20 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     single global partition); the pair join runs on the length key
     with source<source dedup. Source count is small (it's a corpus
     slice label), so the pair blow-up is quadratic only in #slices."""
+    from ..cache import tracked_persist
+
     d = T(spark, sf_dir, "documents")
-    c = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    # ONE documents pass (r15, guide §1.2): the source list, the value
+    # support and the per-source totals are all rollups of the
+    # (source, n_chars) histogram — previously each was its own scan.
+    # The histogram is the query's own cardinality contract (it feeds
+    # a crossJoin grid), so persisting it is bounded by construction.
+    c = tracked_persist(
+        d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    )
     grid = (
-        d.select("source").distinct()
-        .crossJoin(d.select("n_chars").distinct())
+        c.select("source").distinct()
+        .crossJoin(c.select("n_chars").distinct())
     )
     cum = (
         grid.join(c, ["source", "n_chars"], "left")
@@ -172,7 +181,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum"),
         )
     )
-    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("c").alias("n"))
     a = cum.select(
         F.col("source").alias("source_a"),
         "n_chars",
@@ -986,9 +995,14 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract — it holds while distinct values fit an executor
     (~10⁷ spans ≈ hundreds of MB); beyond that, swap the broadcast
     for a range join on idx between cum_before and cum."""
+    from ..cache import tracked_persist
+
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    ng = d.agg(F.count(F.lit(1)).alias("n_g"))
+    # ng is the rollup of ns (r15, guide §1.2): one scan feeds both —
+    # ns is broadcast-sized (one row per source), so the persist is
+    # bounded and saves the second full documents pass
+    ns = tracked_persist(d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")))
+    ng = ns.agg(F.sum("n_s").alias("n_g"))
     r = d.select(
         "doc_id",
         "source",

@@ -83,8 +83,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select("doc_id", toks.alias("t"))
     dl = base.select("doc_id", F.size("t").alias("dl"))
+    # query-term filter BEFORE the (doc, term) aggregate (r15, guide
+    # §2.3): every downstream consumer joins tf to the query terms, so
+    # the filter commutes with the aggregate — only the query terms'
+    # posting rows ever reach the exchange (the inverted-index probe
+    # the docstring promises), instead of aggregating the full
+    # vocabulary and discarding it at the join
     tf = tracked_persist(
         base.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -226,11 +233,17 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.x", "p.y")
     )
-    big = tracked_persist(pairs)
-    n = big.agg(F.count(F.lit(1)).alias("n_pairs"))
-    cxy = big.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
-    cx = big.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
-    cy = big.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
+    # ONE pass over the bigram stream (r15, guide §1.2): the marginal
+    # counts and the total are exact rollups of the (x, y) counts —
+    # three more full-stream aggregates collapse to vocab-sized ones
+    # over the persisted pair-count table (same longs, same values);
+    # the raw-pairs persist goes with them (cxy is its only consumer)
+    cxy = tracked_persist(
+        pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n = cxy.agg(F.sum("c_xy").alias("n_pairs"))
+    cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
     return (
         cxy.filter(F.col("c_xy") >= 3)
         .join(F.broadcast(cx), "x")
@@ -473,38 +486,24 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark executes that on a single partition (range partitioning
     applies to global SORTS, not windows), which caps the operator at
     one task's memory. Instead the classic two-phase distributed
-    rank: range-repartition on the shuffle key (one sampled wide
-    exchange — each partition gets a contiguous key range), count
-    rows per partition, turn the tiny per-partition counts into
-    cumulative offsets driver-free (a window over ≤num-partitions
-    rows), broadcast them back, and add a WITHIN-partition
-    row_number. Every phase is bounded by a single partition's data;
-    the full corpus never converges on one task."""
-    from pyspark.sql.window import Window
-
-    from ..cache import tracked_persist
+    rank: range-repartition on the shuffle key, per-partition partial
+    counts, broadcast prefix offsets, within-partition running count.
+    Since r15 this query rides operators/twophase.py::global_cumsum of
+    1 (the generalization of the inline rank it pioneered in r6):
+    identical values and LONG type, one shared implementation — and it
+    inherits the single-task gate (at bench scale the whole rank is a
+    plain window; at 100 TB the distributed phases are unchanged)."""
+    from ..operators.twophase import global_cumsum
 
     d = T(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
-    npart = max(spark.sparkContext.defaultParallelism, 2)
-    # persist pins the sampled range boundaries: the counts pass and
-    # the final rank pass must see the SAME partitioning
-    parts = tracked_persist(
-        d.select("doc_id", key.alias("_k"))
-        .repartitionByRange(npart, "_k", "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
+    ranked = global_cumsum(
+        d.select("doc_id", key.alias("_k")),
+        ["_k", "doc_id"],
+        F.lit(1),
+        cum_col="shuffle_rank",
     )
-    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
-    )
-    w_in = Window.partitionBy("_pid").orderBy("_k", "doc_id")
-    return parts.join(F.broadcast(offsets), "_pid").select(
-        "doc_id",
-        (F.col("_off") + F.row_number().over(w_in)).alias("shuffle_rank"),
-    )
+    return ranked.select("doc_id", "shuffle_rank")
 
 
 # --- fingerprint-overlap near-dup pairs ------------------------------------
@@ -652,10 +651,15 @@ def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.x", "p.y")
     )
-    n = big.agg(F.count(F.lit(1)).alias("n_pairs"))
-    cxy = big.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
-    cx = big.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
-    cy = big.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
+    # marginals/total as rollups of the persisted pair counts (r15,
+    # guide §1.2): one pass over the doc-bigram stream instead of four
+    # — cxy feeds cx, cy, n AND the scored broadcast (same long counts)
+    cxy = tracked_persist(
+        big.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n = cxy.agg(F.sum("c_xy").alias("n_pairs"))
+    cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
     lift = F.round(
         (F.col("c_xy") * F.col("n_pairs")).cast("double")
         / (F.col("c_x") * F.col("c_y")).cast("double"),
@@ -849,8 +853,15 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select("doc_id", toks.alias("t"))
     dl = base.select("doc_id", F.size("t").alias("dl"))
+    # query-term filter BEFORE the (doc, term) aggregate (r15, guide
+    # §2.3): every downstream consumer joins tf to the query terms, so
+    # the filter commutes with the aggregate — only the query terms'
+    # posting rows ever reach the exchange (the inverted-index probe
+    # the docstring promises), instead of aggregating the full
+    # vocabulary and discarding it at the join
     tf = tracked_persist(
         base.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1108,8 +1119,15 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select("doc_id", toks.alias("t"))
     dl = base.select("doc_id", F.size("t").alias("dl"))
+    # query-term filter BEFORE the (doc, term) aggregate (r15, guide
+    # §2.3): every downstream consumer joins tf to the query terms, so
+    # the filter commutes with the aggregate — only the query terms'
+    # posting rows ever reach the exchange (the inverted-index probe
+    # the docstring promises), instead of aggregating the full
+    # vocabulary and discarding it at the join
     tf = tracked_persist(
         base.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

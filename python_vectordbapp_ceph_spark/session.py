@@ -42,6 +42,32 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets, env-parameterized for measurement and
+        # for cluster overrides. parallelismFirst stays at Spark's
+        # default (true): with it, the coalesce target is
+        # max(totalShuffleBytes/defaultParallelism, minPartitionSize),
+        # so raising minPartitionSize is the knob that stops kilobyte
+        # shuffles fanning out to defaultParallelism reduce tasks while
+        # LEAVING compute-dense mid-size shuffles (shingle self-joins,
+        # where bytes underestimate work) their parallelism —
+        # parallelismFirst=false with a 64 MiB advisory measured WORSE
+        # here for exactly that reason (see OPTIMIZATION_r15.md). At
+        # 100 TB totalBytes/parallelism dominates the max() and these
+        # floors are inert.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_BYTES",
+                           str(1 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES",
+                           str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime bloom-filter pushdown: selective join keys prune the
         # probe-side scan before the shuffle (big win on 100 TB facts)

@@ -112,10 +112,15 @@ def test_balanced_sample_plan_uses_window_group_limit(spark):
 
 def test_token_shards_cumsum_window_is_partitioned(spark):
     """The global token cumsum must be two-phased — no corpus-ordered
-    Window without the _pid partition spec."""
+    Window without the _pid partition spec. Pinned with the r15
+    single-task gate disabled (conftest.twophase_distributed): the
+    gate legitimately takes a plain window at test-fixture size."""
     import re
 
-    plan = explain_str(q_token_shards(spark, SF_DIR), "simple")
+    from tests.conftest import twophase_distributed
+
+    with twophase_distributed(spark):
+        plan = explain_str(q_token_shards(spark, SF_DIR), "simple")
     bad = [
         ln
         for ln in plan.splitlines()
@@ -341,8 +346,10 @@ def test_mixture_shards_windows_are_partitioned(spark):
     source over the per-source counts)."""
     from python_vectordbapp_ceph_spark.plans.inspect import explain_str
     from python_vectordbapp_ceph_spark.queries.assembly import q_mixture_shards
+    from tests.conftest import twophase_distributed
 
-    plan = explain_str(q_mixture_shards(spark, SF_DIR), "simple")
+    with twophase_distributed(spark):
+        plan = explain_str(q_mixture_shards(spark, SF_DIR), "simple")
     bad = [
         ln
         for ln in plan.splitlines()

@@ -350,6 +350,7 @@ def test_pipeline_drop_lists_respect_gate(spark, monkeypatch):
         release_caches()
 
 
+@pytest.mark.slow
 def test_dedup_components_two_hop_identical_labels(spark):
     """two_hop=True must produce EXACTLY the same (id, comp) labeling
     (component = min reachable id is algorithm-independent); the flag

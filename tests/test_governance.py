@@ -61,8 +61,12 @@ def test_pad_waste_plan_has_no_single_task_window(spark):
     """The per-bucket deal must come from the grouped two-phase rank:
     every window over the doc-cardinality path is partitioned by
     (_pid, bucket), and the only non-_pid windows are the broadcast
-    prefix-offset pass (over #groups × #partitions rows)."""
-    plan = explain_str(q_pad_waste(spark, SF_DIR))
+    prefix-offset pass (over #groups × #partitions rows). Pinned with
+    the r15 single-task gate disabled (conftest.twophase_distributed)."""
+    from tests.conftest import twophase_distributed
+
+    with twophase_distributed(spark):
+        plan = explain_str(q_pad_waste(spark, SF_DIR))
     bad = [
         ln
         for ln in plan.splitlines()

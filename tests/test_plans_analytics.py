@@ -362,8 +362,10 @@ def test_nucleus_vocab_window_is_partitioned(spark):
     import re
 
     from python_vectordbapp_ceph_spark.queries.textops import q_nucleus_vocab
+    from tests.conftest import twophase_distributed
 
-    plan = explain_str(q_nucleus_vocab(spark, SF_DIR), "simple")
+    with twophase_distributed(spark):
+        plan = explain_str(q_nucleus_vocab(spark, SF_DIR), "simple")
     vocab_windows = [
         ln
         for ln in plan.splitlines()
@@ -388,8 +390,11 @@ def test_histogram_cumsum_windows_are_partitioned(spark):
         q_quantile_normalize,
     )
 
+    from tests.conftest import twophase_distributed
+
     for q, key in ((q_auc, r"score#\d+"), (q_quantile_normalize, r"n_chars#\d+L?")):
-        plan = explain_str(q(spark, SF_DIR), "simple")
+        with twophase_distributed(spark):
+            plan = explain_str(q(spark, SF_DIR), "simple")
         key_windows = [
             ln
             for ln in plan.splitlines()
@@ -411,8 +416,10 @@ def test_rfm_windows_are_partitioned(spark):
     task). The only allowed unpartitioned windows are the ≤num-
     partitions prefix-offset ones ordered by _pid."""
     from python_vectordbapp_ceph_spark.queries.analytics import q_rfm_segments
+    from tests.conftest import twophase_distributed
 
-    plan = explain_str(q_rfm_segments(spark, SF_DIR), "simple")
+    with twophase_distributed(spark):
+        plan = explain_str(q_rfm_segments(spark, SF_DIR), "simple")
     bad = [
         ln
         for ln in plan.splitlines()

@@ -3,6 +3,9 @@ for fewer passes/jobs must stay exactly equal to what they replaced.
 
 - dedup: the pre-computed-shingles path (shingle_col) must yield
   byte-identical pair sets / signatures to the tokenize-inside path.
+- build_ivf: dirty input (NULL / wrong-dim vectors) fails LOUDLY in
+  both the fit sample and the assign pass (r14 advice — the silent
+  NULL-assignment path lost rows from every probe).
 """
 
 from __future__ import annotations
@@ -62,3 +65,27 @@ def test_shared_shingles_equal_tokenize_inside(spark):
         ).collect()
     }
     assert sig_shared == sig_text
+
+
+def test_build_ivf_raises_on_dirty_vectors(spark):
+    from python_vectordbapp_ceph_spark.operators.ivf import build_ivf
+
+    good = [(i, [float(i), float(i + 1)]) for i in range(40)]
+    # NULL vector: assign pass (or fit, if sampled) must fail loudly
+    df = spark.createDataFrame(
+        good + [(99, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL|wrong-dimension|no valid"):
+        build_ivf(df, nlist=2).assigned.collect()
+    # wrong dimension likewise
+    df2 = spark.createDataFrame(
+        good + [(98, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="wrong-dimension|NULL|no valid"):
+        build_ivf(df2, nlist=2).assigned.collect()
+    # all-invalid fit sample: the descriptive message, not np.stack's
+    df3 = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL|nothing to fit"):
+        build_ivf(df3, nlist=2)
