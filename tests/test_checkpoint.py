@@ -82,6 +82,7 @@ def no_listing(monkeypatch):
     return _arm
 
 
+@pytest.mark.slow
 def test_checkpoint_written_at_interval_and_gcd(spark, tmp_path, small_interval):
     path = str(tmp_path / "base")
     _mk_base(spark, path)                      # v0
@@ -325,6 +326,7 @@ def test_legacy_table_without_checkpoint_unaffected(spark, tmp_path, monkeypatch
     assert _commit_names(path) == [M._commit_file(3)]
 
 
+@pytest.mark.slow
 def test_checkpoint_plane_model_random_interleavings(
     spark, tmp_path, small_interval, monkeypatch
 ):

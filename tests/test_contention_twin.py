@@ -18,6 +18,8 @@ lifecycle lacked. Pins:
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -52,6 +54,7 @@ def _ledger_rows(path):
     ).fetchall()
 
 
+@pytest.mark.slow
 def test_two_process_condput_contention(tmp_path):
     mdir = str(tmp_path / "markers")
     os.makedirs(mdir)
@@ -100,6 +103,7 @@ def test_two_process_condput_contention(tmp_path):
         "raced ledger diverged from the serial control"
 
 
+@pytest.mark.slow
 def test_two_process_rename_contention(tmp_path):
     """The rename-protocol (tombstone lease) cross-process twin: same
     orchestration without the condput force or flaky injection — pins
@@ -140,6 +144,7 @@ def test_two_process_rename_contention(tmp_path):
     assert _ledger_rows(race_ledger) == _ledger_rows(serial_ledger)
 
 
+@pytest.mark.slow
 def test_two_process_condput_handover(tmp_path):
     """Ownership transfer across processes: the loser retries through
     the winner's release, acquires, and appends its OWN batch — the
@@ -209,6 +214,7 @@ import pytest  # noqa: E402
 
 
 @pytest.mark.parametrize("protocol", ["condput", "rename"])
+@pytest.mark.slow
 def test_two_process_optimistic_commits(tmp_path, protocol):
     """Two OS processes, each its own JVM, write ONE merge base with NO
     lease anywhere. Round 1: both read the SAME version and merge keys

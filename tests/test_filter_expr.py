@@ -163,6 +163,7 @@ def test_arithmetic_inside_grouped_boolean_still_parses(spark, df):
     assert got == {"a"}
 
 
+@pytest.mark.slow
 def test_random_arithmetic_expressions_match_spark_sql(spark):
     """The extended grammar is SQL-compatible for arithmetic
     comparisons: 60 seeded-random expressions filter identically via

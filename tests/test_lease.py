@@ -57,6 +57,7 @@ def _wait_released(path, timeout=15.0):
         time.sleep(0.1)
 
 
+@pytest.mark.slow
 def test_two_concurrent_appenders_one_wins_loser_raises(spark, tmp_path):
     """The r10 verdict's done-criterion: writer A streams into the
     ledger; writer B against the same path raises at start (fail-fast,
@@ -223,6 +224,7 @@ def _vecs(spark, lo, n, dim=8):
     )
 
 
+@pytest.mark.slow
 def test_ivf_rebuild_and_stream_share_one_lease(spark, tmp_path):
     """The IVF maintenance surface has the ledger's hazard in reverse:
     an append racing rebuild's two-rename swap vanishes with the
@@ -299,6 +301,7 @@ def test_auto_heartbeat_keeps_idle_lease_fresh(spark, tmp_path):
     acquire_writer_lease(spark, led, timeout_ms=0).release()
 
 
+@pytest.mark.slow
 def test_continuous_stream_survives_idle_gap(spark, tmp_path):
     """available_now=False (the 24/7 mode — previously untested): the
     source goes idle LONGER than the lease TTL, the auto-heartbeat

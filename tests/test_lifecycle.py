@@ -57,6 +57,7 @@ def _count_parquet(root):
     )
 
 
+@pytest.mark.slow
 def test_corpus_refresh_lifecycle_sfx10(spark, sfx10_dir, tmp_path):
     t0 = time.time()
 

@@ -47,6 +47,7 @@ def condput_everywhere():
     P._BACKEND_CACHE.clear()
 
 
+@pytest.mark.slow
 def test_lifecycle_on_conditional_put_protocol(
     spark, tmp_path, condput_everywhere
 ):

@@ -76,6 +76,7 @@ def test_resolver_without_curve_fails_loudly(spark):
         )
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip_and_target_recall_search(spark, tmp_path):
     root = str(tmp_path / "idx")
     index = ivf.build_ivf(_emb(spark), nlist=NLIST)
@@ -104,6 +105,7 @@ def test_save_load_roundtrip_and_target_recall_search(spark, tmp_path):
     assert one.count() == 3
 
 
+@pytest.mark.slow
 def test_rebuild_stages_curve_with_swap_and_invalidates_stale(
     spark, tmp_path
 ):

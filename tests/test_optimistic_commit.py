@@ -246,6 +246,7 @@ def test_full_replacement_conflicts_with_everything(
         )
 
 
+@pytest.mark.slow
 def test_append_rebases_over_compaction(spark, tmp_path, monkeypatch, backend):
     """Ledger side: an append racing an in-line COMPACTION is disjoint
     (the compaction touches only already-committed container ids) —
@@ -350,6 +351,7 @@ def test_append_conflict_retries(spark, tmp_path, monkeypatch):
     assert sh.read_ledger(spark, path).count() == 80
 
 
+@pytest.mark.slow
 def test_optimistic_commit_model_random_interleavings(
     spark, tmp_path, monkeypatch
 ):

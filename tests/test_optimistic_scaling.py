@@ -11,6 +11,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 TWIN = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -38,6 +39,7 @@ def _content_duck(path):
     return {k: v for k, v in rows}, int(man["version"])
 
 
+@pytest.mark.slow
 def test_three_process_disjoint_writers_all_land(tmp_path):
     base = str(tmp_path / "base")
     mdir = str(tmp_path / "markers")

@@ -7,6 +7,7 @@ from hypothesis import given, settings, strategies as st
 
 from python_vectordbapp_ceph_spark.functions import vector as V
 from python_vectordbapp_ceph_spark.operators.mutation import upsert_last_writer
+import pytest
 
 finite = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
 
@@ -27,6 +28,7 @@ def test_l2_normalize_unit_norm(spark, vecs):
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.lists(finite, min_size=4, max_size=4), min_size=2, max_size=6))
+@pytest.mark.slow
 def test_cosine_symmetry_and_self_similarity(spark, vecs):
     rows = [(i, v) for i, v in enumerate(vecs)]
     df = spark.createDataFrame(rows, "id long, v array<float>")
@@ -98,6 +100,7 @@ def test_zorder_key_bounds_and_determinism(spark, pts):
 
 @given(st.text(max_size=80))
 @settings(max_examples=30, deadline=None)
+@pytest.mark.slow
 def test_scrub_pii_idempotent(spark, text):
     """scrub(scrub(x)) == scrub(x): redaction tokens never re-match."""
     from pyspark.sql import functions as F
@@ -216,6 +219,7 @@ def test_pagerank_conserves_mass(spark, edges):
 @settings(max_examples=6, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 999)),
                 min_size=1, max_size=30))
+@pytest.mark.slow
 def test_salted_join_equals_plain_join(spark, rows):
     """Salting must be row-identical to the plain join for arbitrary
     (skewed) key distributions — including keys only on one side."""
@@ -262,6 +266,7 @@ def _auc_from_pairs(spark, pairs):
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 1), st.integers(-5, 5)),
                 min_size=4, max_size=24))
+@pytest.mark.slow
 def test_auc_complement_symmetry(spark, rows):
     """AUC(class 0) + AUC(class 1) == 1 exactly (one-vs-rest on two
     classes scores the same ranking from both ends), for ANY score
@@ -275,6 +280,7 @@ def test_auc_complement_symmetry(spark, rows):
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 1), st.integers(-5, 5)),
                 min_size=4, max_size=24))
+@pytest.mark.slow
 def test_auc_invariant_under_monotone_score_transform(spark, rows):
     """AUC depends only on the ranking: x -> 3x+7 must not change it."""
     pairs = [(l, float(s)) for l, s in rows]
@@ -285,6 +291,7 @@ def test_auc_invariant_under_monotone_score_transform(spark, rows):
 @settings(max_examples=6, deadline=None)
 @given(st.lists(st.integers(1, 30), min_size=2, max_size=20),
        st.lists(st.integers(1, 30), min_size=2, max_size=20))
+@pytest.mark.slow
 def test_ks_statistic_bounds_and_identity(spark, xs, ys):
     """Integerized KS: 0 <= D_ppm <= 1e6 for any two samples, and
     D(x, x) == 0 exactly."""

@@ -68,6 +68,7 @@ def test_schema_evolution_null_backfill_and_time_travel(spark, tmp_path):
     assert all(rows[d] is None for d in range(2000, 2050))
 
 
+@pytest.mark.slow
 def test_schema_evolution_never_changes_packing(spark, tmp_path):
     """The doc→shard assignment with payload columns present must be
     byte-identical to the plain (doc_id, n_tokens) run — payload can
@@ -172,6 +173,7 @@ def test_string_zonemap_lexicographic_edge_is_safe(spark, tmp_path):
     assert got == {"12"}
 
 
+@pytest.mark.slow
 def test_string_ledger_end_to_end_dedup_append(spark, tmp_path):
     """dedup=True append on a string-keyed ledger: redeliveries drop,
     the zonemap stays typed through compaction's merged sidecar."""

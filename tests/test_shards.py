@@ -4,6 +4,8 @@ identical old assignments, one coherent global token sequence, and
 time travel to any earlier append."""
 
 import json
+
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -319,6 +321,7 @@ def _live_layout(path):
     return sorted(int(s) for s in m["buckets"]), files, dirs
 
 
+@pytest.mark.slow
 def test_compaction_read_identical_and_fewer_files(spark, tmp_path):
     """compact() must change LAYOUT only: same rows (original segment
     ids preserved in the data), strictly fewer live directories and
@@ -496,6 +499,7 @@ def test_racing_appends_still_single_win(spark, tmp_path, monkeypatch):
     assert _ledger_rows(spark, path)
 
 
+@pytest.mark.slow
 def test_streaming_compaction_bounds_container_count(spark, tmp_path):
     """A drip-fed stream with max_segments= + vacuum_keep= keeps the
     live container count, the on-disk generation count, AND the commit
@@ -585,6 +589,7 @@ def test_streaming_dedup_drops_redelivered_keys(spark, tmp_path):
         prev = r.cum
 
 
+@pytest.mark.slow
 def test_retention_vacuum_keeps_window_and_bounds_metadata(spark, tmp_path):
     """vacuum(keep_versions=N): time travel keeps working inside the
     retention window after compaction, everything older is reclaimed
@@ -676,6 +681,7 @@ def test_dedup_falls_back_without_sidecar(spark, tmp_path):
     assert kept == list(range(120, 180))
 
 
+@pytest.mark.slow
 def test_ledger_soak_50_batches_bounded_and_constant_time(spark, tmp_path):
     """SOAK (r9 verdict ask #3): ONE streaming query drives 50+
     micro-batches (maxFilesPerTrigger=1 over 52 pre-staged files, ~30%
@@ -903,6 +909,7 @@ def test_bloom_sidecar_scales_with_merged_keys(spark, tmp_path):
     assert kept == list(range(301_000, 301_500)), "mixed-format gate inexact"
 
 
+@pytest.mark.slow
 def test_stream_maintenance_cadence(spark, tmp_path):
     """maintenance_every=3 amortizes the in-line compact/vacuum passes:
     the live container count may overshoot max_segments by up to K-1

@@ -3,6 +3,8 @@ binary files — write a fixture, read through the connector, check."""
 
 import json
 
+import pytest
+
 from pyspark.sql import types as T
 
 from python_vectordbapp_ceph_spark.sources.readers import (
@@ -118,6 +120,7 @@ def test_read_binary_files_with_glob(spark, tmp_path):
     assert rows[0].length == 3
 
 
+@pytest.mark.slow
 def test_s3events_streaming_reader_drains_and_matches_batch(spark, tmp_path):
     """readStream over the same DataSource: the stream drains the
     capped feed in batchSize chunks with checkpointed offsets, and the
