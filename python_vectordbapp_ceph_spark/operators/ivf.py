@@ -270,24 +270,26 @@ def build_ivf(
     """
     import numpy as np
 
-    # count BEFORE the projection: over parquet this resolves from row-
-    # group statistics (no data scan), so sizing the sample is ~free
-    n = df.count()
+    # ONE probe job for (row count, vector dim) — r15: the separate
+    # count() + first() pair cost two scheduling-bound jobs per build;
+    # first(ignorenulls) over size(vec) inside the same aggregate
+    # returns the dimension of the first non-null vector, the identical
+    # value the old filtered first() produced
+    probe = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("_d"),
+    ).first()
+    n = int(probe["_n"])
     if n == 0:
         raise ValueError(
             "build_ivf: input has no rows — an IVF quantizer cannot be "
             "fitted on an empty table (defer index build until data arrives)"
         )
-    dim_row = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.size(F.col(vec_col)).alias("_d"))
-        .first()
-    )
-    if dim_row is None:
+    if probe["_d"] is None:
         raise ValueError(
             f"build_ivf: every {vec_col} is NULL — nothing to fit on"
         )
-    dim = int(dim_row["_d"])
+    dim = int(probe["_d"])
     fit_rows = min(
         int(fit_sample_rows),
         max(int(nlist), driver_fit_max_elems // max(dim, 1)),

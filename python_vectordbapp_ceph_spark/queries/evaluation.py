@@ -151,20 +151,18 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     single global partition); the pair join runs on the length key
     with source<source dedup. Source count is small (it's a corpus
     slice label), so the pair blow-up is quadratic only in #slices."""
-    from ..cache import tracked_persist
-
     d = T(spark, sf_dir, "documents")
-    # ONE documents pass (r15, guide §1.2): the source list, the value
-    # support and the per-source totals are all rollups of the
-    # (source, n_chars) histogram — previously each was its own scan.
-    # The histogram is the query's own cardinality contract (it feeds
-    # a crossJoin grid), so persisting it is bounded by construction.
-    c = tracked_persist(
-        d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
-    )
+    # NOT rewritten onto a persisted-histogram rollup (r15 measured
+    # rejection): deriving grid/totals from a tracked_persist of the
+    # (source, n_chars) histogram nearly DOUBLED the Spark job count
+    # (15 → 29; the four consumers of the cached aggregate each spawn
+    # their own cache-read + broadcast stages under AQE) with no wall
+    # win — the plain scans below share the parquet read and stay
+    # cheaper end-to-end.
+    c = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
     grid = (
-        c.select("source").distinct()
-        .crossJoin(c.select("n_chars").distinct())
+        d.select("source").distinct()
+        .crossJoin(d.select("n_chars").distinct())
     )
     cum = (
         grid.join(c, ["source", "n_chars"], "left")
@@ -181,7 +179,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum"),
         )
     )
-    tot = c.groupBy("source").agg(F.sum("c").alias("n"))
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = cum.select(
         F.col("source").alias("source_a"),
         "n_chars",
@@ -995,14 +993,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract — it holds while distinct values fit an executor
     (~10⁷ spans ≈ hundreds of MB); beyond that, swap the broadcast
     for a range join on idx between cum_before and cum."""
-    from ..cache import tracked_persist
-
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    # ng is the rollup of ns (r15, guide §1.2): one scan feeds both —
-    # ns is broadcast-sized (one row per source), so the persist is
-    # bounded and saves the second full documents pass
-    ns = tracked_persist(d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")))
-    ng = ns.agg(F.sum("n_s").alias("n_g"))
+    # NOT rewritten to derive ng from a persisted ns (r15 measured
+    # rejection, same shape as q_ks_drift's): the persist's extra
+    # cache-fill/broadcast stages cost more jobs than the saved scan
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    ng = d.agg(F.count(F.lit(1)).alias("n_g"))
     r = d.select(
         "doc_id",
         "source",

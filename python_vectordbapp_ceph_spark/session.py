@@ -43,17 +43,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalescing targets, env-parameterized for measurement and
-        # for cluster overrides. parallelismFirst stays at Spark's
-        # default (true): with it, the coalesce target is
+        # for cluster overrides; the r15 interleaved A/B (defaults vs
+        # minPartitionSize=8m vs parallelismFirst=false, 2 reps each —
+        # OPTIMIZATION_r15.md) found no variant outside the host-noise
+        # band, so the values STAY at Spark's defaults: with
+        # parallelismFirst=true the coalesce target is already
         # max(totalShuffleBytes/defaultParallelism, minPartitionSize),
-        # so raising minPartitionSize is the knob that stops kilobyte
-        # shuffles fanning out to defaultParallelism reduce tasks while
-        # LEAVING compute-dense mid-size shuffles (shingle self-joins,
-        # where bytes underestimate work) their parallelism —
-        # parallelismFirst=false with a 64 MiB advisory measured WORSE
-        # here for exactly that reason (see OPTIMIZATION_r15.md). At
-        # 100 TB totalBytes/parallelism dominates the max() and these
-        # floors are inert.
+        # which collapses kilobyte shuffles to a couple of tasks while
+        # leaving compute-dense mid-size shuffles (shingle self-joins,
+        # where bytes underestimate work) their parallelism. At 100 TB
+        # totalBytes/parallelism dominates the max() and these floors
+        # are inert.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),

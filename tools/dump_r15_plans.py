@@ -29,6 +29,10 @@ TOUCHED = [
     "q_lsh_recall", "q_lsh_precision",
     # incremental/merge
     "q_incremental_view", "q_merge_into", "q_merge_time_travel",
+    # r15 batch 3+: join/pass eliminations and the Arrow sink
+    "q_ngram_novelty", "q_doc_fluency", "q_bigram_lift",
+    "q_bm25_topk", "q_hybrid_rrf", "q_hybrid_weighted",
+    "q_vector_sink_roundtrip", "q_ivf_batch_search",
 ]
 
 
